@@ -1,0 +1,82 @@
+"""Public encoder API — the TPU-native equivalent of the 5 public entry
+points in common/x264.h:910-935 (x264_encoder_open / headers / encode /
+close, x264_param_default) plus x264_picture_t / x264_nal_t.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import params as P
+
+
+@dataclass
+class Picture:
+    """x264_picture_t twin (common/x264.h:847): planar I420 input frame."""
+    y: np.ndarray = None
+    u: np.ndarray = None
+    v: np.ndarray = None
+    i_type: int = P.TYPE_AUTO
+    i_qpplus1: int = 0
+    i_pts: int = 0
+    i_dts: int = 0
+    b_keyframe: int = 0
+    # output stats
+    i_frame_qp: int = 0
+    i_frame_type: int = 0
+
+    @staticmethod
+    def from_planes(y, u, v, pts: int = 0) -> "Picture":
+        return Picture(y=np.asarray(y, dtype=np.uint8),
+                       u=np.asarray(u, dtype=np.uint8),
+                       v=np.asarray(v, dtype=np.uint8), i_pts=pts)
+
+
+@dataclass
+class NAL:
+    """x264_nal_t twin (common/x264.h:52)."""
+    i_type: int
+    i_ref_idc: int
+    payload: bytes  # escaped, start-code prefixed (Annex-B)
+    b_long_startcode: bool = True
+
+    @property
+    def i_payload(self) -> int:
+        return len(self.payload)
+
+
+class Encoder:
+    """x264_t twin: one encoding session.
+
+    Usage::
+
+        enc = Encoder(param)            # x264_encoder_open
+        headers = enc.headers()         # x264_encoder_headers
+        nals, pic_out = enc.encode(pic) # x264_encoder_encode
+        while True:                     # drain delayed frames
+            nals, pic_out = enc.encode(None)
+            if not nals: break
+        enc.close()                     # x264_encoder_close
+    """
+
+    def __init__(self, param: P.Param):
+        from .encoder.core import EncoderCore
+        self._core = EncoderCore(param)
+        self.param = self._core.param
+
+    def headers(self) -> list[NAL]:
+        return self._core.headers()
+
+    def encode(self, pic_in: Picture | None):
+        """Returns (nals, pic_out). Empty nals = frame delayed (lookahead)."""
+        return self._core.encode(pic_in)
+
+    def close(self) -> dict:
+        """Finalize; returns the accumulated stats block (h->stat twin)."""
+        return self._core.close()
+
+    @property
+    def stats(self) -> dict:
+        return self._core.stats()

@@ -1,0 +1,323 @@
+"""SPS / PPS construction and serialization.
+
+Mirrors encoder/set.c: x264_sps_init (:71), x264_sps_write (:245),
+x264_pps_init (:400), x264_pps_write (:467). Field derivations follow the
+reference exactly so headers are byte-identical for the shared feature set
+(flat CQM, 4:2:0, 8-bit, progressive).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .. import params as P
+from ..entropy.bitstream import BitWriter
+
+
+@dataclass
+class SPS:
+    i_id: int = 0
+    i_profile_idc: int = P.PROFILE_BASELINE
+    i_level_idc: int = 0
+    b_constraint_set0: int = 0
+    b_constraint_set1: int = 0
+    b_constraint_set2: int = 0
+    b_constraint_set3: int = 0
+    i_log2_max_frame_num: int = 4
+    i_poc_type: int = 2
+    i_log2_max_poc_lsb: int = 4
+    i_num_ref_frames: int = 1
+    b_gaps_in_frame_num_value_allowed: int = 0
+    i_mb_width: int = 0
+    i_mb_height: int = 0
+    b_frame_mbs_only: int = 1
+    b_mb_adaptive_frame_field: int = 0
+    b_direct8x8_inference: int = 1
+    b_crop: int = 0
+    crop: tuple = (0, 0, 0, 0)  # left, right, top, bottom
+    i_chroma_format_idc: int = P.CHROMA_420
+    b_qpprime_y_zero_transform_bypass: int = 0
+
+    b_vui: int = 1
+    vui_sar: tuple = (0, 0)
+    vui_overscan_present: int = 0
+    vui_overscan: int = 0
+    vui_signal_type_present: int = 0
+    vui_vidformat: int = 5
+    vui_fullrange: int = 0
+    vui_color_description_present: int = 0
+    vui_colorprim: int = 2
+    vui_transfer: int = 2
+    vui_colmatrix: int = 2
+    vui_chroma_loc_present: int = 0
+    vui_chroma_loc: int = 0
+    vui_timing_info_present: int = 0
+    vui_num_units_in_tick: int = 0
+    vui_time_scale: int = 0
+    vui_fixed_frame_rate: int = 0
+    vui_nal_hrd_present: int = 0
+    vui_pic_struct_present: int = 0
+    vui_bitstream_restriction: int = 1
+    vui_mv_over_bounds: int = 1
+    vui_log2_max_mv_length: int = 9
+    vui_num_reorder_frames: int = 0
+    vui_max_dec_frame_buffering: int = 1
+
+    @staticmethod
+    def init(param: P.Param, i_id: int = 0) -> "SPS":
+        """x264_sps_init (encoder/set.c:71-243)."""
+        sps = SPS()
+        sps.i_id = i_id
+        sps.i_mb_width = (param.i_width + 15) >> 4
+        sps.i_mb_height = (param.i_height + 15) >> 4
+        sps.i_chroma_format_idc = P.CHROMA_420
+        sps.b_qpprime_y_zero_transform_bypass = int(
+            param.rc.i_rc_method == P.RC_CQP and param.rc.i_qp_constant == 0)
+
+        # profile decision flow (set.c:83-104)
+        if sps.b_qpprime_y_zero_transform_bypass:
+            sps.i_profile_idc = P.PROFILE_HIGH444_PREDICTIVE
+        elif param.analyse.b_transform_8x8 or param.i_cqm_preset != P.CQM_FLAT:
+            sps.i_profile_idc = P.PROFILE_HIGH
+        elif param.b_cabac or param.i_bframe > 0 or param.analyse.i_weighted_pred > 0:
+            sps.i_profile_idc = P.PROFILE_MAIN
+        else:
+            sps.i_profile_idc = P.PROFILE_BASELINE
+
+        sps.b_constraint_set0 = int(sps.i_profile_idc == P.PROFILE_BASELINE)
+        sps.b_constraint_set1 = int(sps.i_profile_idc <= P.PROFILE_MAIN)
+        sps.b_constraint_set2 = 0
+        sps.b_constraint_set3 = 0
+
+        sps.i_level_idc = param.i_level_idc
+        if param.i_level_idc == 9 and sps.i_profile_idc in (
+                P.PROFILE_BASELINE, P.PROFILE_MAIN):
+            sps.b_constraint_set3 = 1
+            sps.i_level_idc = 11
+        if param.i_keyint_max == 1 and sps.i_profile_idc > P.PROFILE_HIGH:
+            sps.b_constraint_set3 = 1
+
+        sps.vui_num_reorder_frames = 1 if param.i_bframe else 0
+        if param.i_bframe_pyramid:
+            sps.vui_num_reorder_frames = 2
+        sps.i_num_ref_frames = min(
+            P.REF_MAX,
+            max(param.i_frame_reference, 1 + sps.vui_num_reorder_frames,
+                4 if param.i_bframe_pyramid else 1, param.i_dpb_size))
+        sps.vui_max_dec_frame_buffering = sps.i_num_ref_frames
+        if param.i_keyint_max == 1:
+            sps.i_num_ref_frames = 0
+            sps.vui_max_dec_frame_buffering = 0
+
+        max_frame_num = sps.vui_max_dec_frame_buffering * (
+            (1 if param.i_bframe_pyramid else 0) + 1) + 1
+        sps.i_log2_max_frame_num = 4
+        while (1 << sps.i_log2_max_frame_num) <= max_frame_num:
+            sps.i_log2_max_frame_num += 1
+
+        sps.i_poc_type = 0 if param.i_bframe or param.b_interlaced else 2
+        if sps.i_poc_type == 0:
+            max_delta_poc = (param.i_bframe + 2) * (
+                (1 if param.i_bframe_pyramid else 0) + 1) * 2
+            sps.i_log2_max_poc_lsb = 4
+            while (1 << sps.i_log2_max_poc_lsb) <= max_delta_poc * 2:
+                sps.i_log2_max_poc_lsb += 1
+
+        sps.b_vui = 1
+        sps.b_frame_mbs_only = 1
+        sps.b_mb_adaptive_frame_field = 0
+        sps.b_direct8x8_inference = 1
+
+        cl, ct, cr, cb = param.crop_rect
+        crop_r = cr + sps.i_mb_width * 16 - param.i_width
+        crop_b = cb + sps.i_mb_height * 16 - param.i_height
+        sps.crop = (cl, crop_r, ct, crop_b)
+        sps.b_crop = int(any(sps.crop))
+
+        vui = param.vui
+        if vui.i_sar_width > 0 and vui.i_sar_height > 0:
+            sps.vui_sar = (vui.i_sar_width, vui.i_sar_height)
+        sps.vui_overscan_present = int(0 < vui.i_overscan <= 2)
+        sps.vui_overscan = int(vui.i_overscan == 2)
+        sps.vui_vidformat = vui.i_vidformat if 0 <= vui.i_vidformat <= 5 else 5
+        sps.vui_fullrange = vui.b_fullrange if 0 <= vui.b_fullrange <= 1 else 0
+        sps.vui_colorprim = vui.i_colorprim if 0 <= vui.i_colorprim <= 8 else 2
+        sps.vui_transfer = vui.i_transfer if 0 <= vui.i_transfer <= 10 else 2
+        sps.vui_colmatrix = vui.i_colmatrix if 0 <= vui.i_colmatrix <= 8 else 2
+        sps.vui_color_description_present = int(
+            sps.vui_colorprim != 2 or sps.vui_transfer != 2
+            or sps.vui_colmatrix != 2)
+        sps.vui_signal_type_present = int(
+            sps.vui_vidformat != 5 or sps.vui_fullrange
+            or sps.vui_color_description_present)
+        sps.vui_chroma_loc_present = int(0 < vui.i_chroma_loc <= 5)
+        sps.vui_chroma_loc = vui.i_chroma_loc
+        sps.vui_timing_info_present = int(
+            param.i_timebase_num > 0 and param.i_timebase_den > 0)
+        if sps.vui_timing_info_present:
+            sps.vui_num_units_in_tick = param.i_timebase_num
+            sps.vui_time_scale = param.i_timebase_den * 2
+            sps.vui_fixed_frame_rate = int(not param.b_vfr_input)
+        sps.vui_nal_hrd_present = int(bool(param.i_nal_hrd))
+        sps.vui_pic_struct_present = param.b_pic_struct
+        sps.vui_bitstream_restriction = 1
+        sps.vui_log2_max_mv_length = int(
+            math.log2(max(1, param.analyse.i_mv_range * 4 - 1))) + 1
+        return sps
+
+    def write(self, bw: BitWriter) -> None:
+        """x264_sps_write (encoder/set.c:245-398)."""
+        bw.write(8, self.i_profile_idc)
+        bw.write1(self.b_constraint_set0)
+        bw.write1(self.b_constraint_set1)
+        bw.write1(self.b_constraint_set2)
+        bw.write1(self.b_constraint_set3)
+        bw.write(4, 0)
+        bw.write(8, self.i_level_idc)
+        bw.write_ue(self.i_id)
+        if self.i_profile_idc >= P.PROFILE_HIGH:
+            bw.write_ue(self.i_chroma_format_idc)
+            bw.write_ue(P.BIT_DEPTH - 8)
+            bw.write_ue(P.BIT_DEPTH - 8)
+            bw.write1(self.b_qpprime_y_zero_transform_bypass)
+            bw.write1(0)
+        bw.write_ue(self.i_log2_max_frame_num - 4)
+        bw.write_ue(self.i_poc_type)
+        if self.i_poc_type == 0:
+            bw.write_ue(self.i_log2_max_poc_lsb - 4)
+        bw.write_ue(self.i_num_ref_frames)
+        bw.write1(self.b_gaps_in_frame_num_value_allowed)
+        bw.write_ue(self.i_mb_width - 1)
+        bw.write_ue(self.i_mb_height - 1)
+        bw.write1(self.b_frame_mbs_only)
+        if not self.b_frame_mbs_only:
+            bw.write1(self.b_mb_adaptive_frame_field)
+        bw.write1(self.b_direct8x8_inference)
+        bw.write1(self.b_crop)
+        if self.b_crop:
+            h_shift = int(self.i_chroma_format_idc in (P.CHROMA_420, P.CHROMA_422))
+            v_shift = int(self.i_chroma_format_idc == P.CHROMA_420)
+            left, right, top, bottom = self.crop
+            bw.write_ue(left >> h_shift)
+            bw.write_ue(right >> h_shift)
+            bw.write_ue(top >> v_shift)
+            bw.write_ue(bottom >> v_shift)
+        bw.write1(self.b_vui)
+        if self.b_vui:
+            self._write_vui(bw)
+        bw.rbsp_trailing()
+
+    def _write_vui(self, bw: BitWriter) -> None:
+        sar_w, sar_h = self.vui_sar
+        present = int(sar_w > 0 and sar_h > 0)
+        bw.write1(present)
+        if present:
+            table = [(1, 1, 1), (12, 11, 2), (10, 11, 3), (16, 11, 4),
+                     (40, 33, 5), (24, 11, 6), (20, 11, 7), (32, 11, 8),
+                     (80, 33, 9), (18, 11, 10), (15, 11, 11), (64, 33, 12),
+                     (160, 99, 13), (4, 3, 14), (3, 2, 15), (2, 1, 16)]
+            idc = next((s for w, h, s in table if (w, h) == (sar_w, sar_h)), 255)
+            bw.write(8, idc)
+            if idc == 255:
+                bw.write(16, sar_w)
+                bw.write(16, sar_h)
+        bw.write1(self.vui_overscan_present)
+        if self.vui_overscan_present:
+            bw.write1(self.vui_overscan)
+        bw.write1(self.vui_signal_type_present)
+        if self.vui_signal_type_present:
+            bw.write(3, self.vui_vidformat)
+            bw.write1(self.vui_fullrange)
+            bw.write1(self.vui_color_description_present)
+            if self.vui_color_description_present:
+                bw.write(8, self.vui_colorprim)
+                bw.write(8, self.vui_transfer)
+                bw.write(8, self.vui_colmatrix)
+        bw.write1(self.vui_chroma_loc_present)
+        if self.vui_chroma_loc_present:
+            bw.write_ue(self.vui_chroma_loc)
+            bw.write_ue(self.vui_chroma_loc)
+        bw.write1(self.vui_timing_info_present)
+        if self.vui_timing_info_present:
+            bw.write32(self.vui_num_units_in_tick)
+            bw.write32(self.vui_time_scale)
+            bw.write1(self.vui_fixed_frame_rate)
+        bw.write1(self.vui_nal_hrd_present)
+        assert not self.vui_nal_hrd_present, "NAL HRD not supported yet"
+        bw.write1(0)  # vcl_hrd_parameters_present
+        bw.write1(self.vui_pic_struct_present)
+        bw.write1(self.vui_bitstream_restriction)
+        if self.vui_bitstream_restriction:
+            bw.write1(self.vui_mv_over_bounds)
+            bw.write_ue(0)  # max_bytes_per_pic_denom
+            bw.write_ue(0)  # max_bits_per_mb_denom
+            bw.write_ue(self.vui_log2_max_mv_length)
+            bw.write_ue(self.vui_log2_max_mv_length)
+            bw.write_ue(self.vui_num_reorder_frames)
+            bw.write_ue(self.vui_max_dec_frame_buffering)
+
+
+@dataclass
+class PPS:
+    i_id: int = 0
+    i_sps_id: int = 0
+    b_cabac: int = 0
+    b_pic_order: int = 0
+    i_num_slice_groups: int = 1
+    i_num_ref_idx_l0_default_active: int = 1
+    i_num_ref_idx_l1_default_active: int = 1
+    b_weighted_pred: int = 0
+    b_weighted_bipred: int = 0
+    i_pic_init_qp: int = 26
+    i_pic_init_qs: int = 26
+    i_chroma_qp_index_offset: int = 0
+    b_deblocking_filter_control: int = 1
+    b_constrained_intra_pred: int = 0
+    b_redundant_pic_cnt: int = 0
+    b_transform_8x8_mode: int = 0
+    i_cqm_preset: int = P.CQM_FLAT
+
+    @staticmethod
+    def init(param: P.Param, sps: SPS, i_id: int = 0) -> "PPS":
+        """x264_pps_init (encoder/set.c:404-465)."""
+        pps = PPS()
+        pps.i_id = i_id
+        pps.i_sps_id = sps.i_id
+        pps.b_cabac = param.b_cabac
+        pps.b_pic_order = 0
+        pps.i_num_slice_groups = 1
+        pps.i_num_ref_idx_l0_default_active = param.i_frame_reference
+        pps.i_num_ref_idx_l1_default_active = 1
+        pps.b_weighted_pred = int(param.analyse.i_weighted_pred > 0)
+        pps.b_weighted_bipred = 2 if param.analyse.b_weighted_bipred else 0
+        pps.i_pic_init_qp = (26 + P.QP_BD_OFFSET
+                             if param.rc.i_rc_method == P.RC_ABR
+                             else P.spec_qp(param.rc.i_qp_constant))
+        pps.i_pic_init_qs = 26 + P.QP_BD_OFFSET
+        pps.i_chroma_qp_index_offset = param.analyse.i_chroma_qp_offset
+        pps.b_deblocking_filter_control = 1
+        pps.b_constrained_intra_pred = param.b_constrained_intra
+        pps.b_transform_8x8_mode = int(bool(param.analyse.b_transform_8x8))
+        pps.i_cqm_preset = param.i_cqm_preset
+        return pps
+
+    def write(self, bw: BitWriter) -> None:
+        """x264_pps_write (encoder/set.c:467-530), flat-CQM path."""
+        bw.write_ue(self.i_id)
+        bw.write_ue(self.i_sps_id)
+        bw.write1(self.b_cabac)
+        bw.write1(self.b_pic_order)
+        bw.write_ue(self.i_num_slice_groups - 1)
+        bw.write_ue(self.i_num_ref_idx_l0_default_active - 1)
+        bw.write_ue(self.i_num_ref_idx_l1_default_active - 1)
+        bw.write1(self.b_weighted_pred)
+        bw.write(2, self.b_weighted_bipred)
+        bw.write_se(self.i_pic_init_qp - 26 - P.QP_BD_OFFSET)
+        bw.write_se(self.i_pic_init_qs - 26 - P.QP_BD_OFFSET)
+        bw.write_se(self.i_chroma_qp_index_offset)
+        bw.write1(self.b_deblocking_filter_control)
+        bw.write1(self.b_constrained_intra_pred)
+        bw.write1(self.b_redundant_pic_cnt)
+        assert not self.b_transform_8x8_mode and self.i_cqm_preset == P.CQM_FLAT
+        bw.rbsp_trailing()
