@@ -10,12 +10,18 @@ import subprocess
 import sys
 from pathlib import Path
 
-# Must be set before jax import anywhere in the test process.
+# Must be set before jax backend init. NOTE: this image force-registers the
+# "axon" TPU platform via a config hook that overrides JAX_PLATFORMS, so we
+# pin the platform through jax.config directly.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import jax  # noqa: E402
+
+if os.environ.get("X264_TEST_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

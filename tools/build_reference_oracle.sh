@@ -23,4 +23,12 @@ gcc -O2 -fno-strict-aliasing -w \
     -o "$OUT/x264ref" \
     "$OUT"/tree/cli/*.c "$REF"/common/*.c "$REF"/encoder/*.c -lm
 
+# configurable variant (our main, env-driven params) for parity tests
+gcc -O2 -fno-strict-aliasing -w \
+    -DX264_BIT_DEPTH=8 -DX264_CHROMA_FORMAT=0 \
+    -include "$HERE/oracle/ti_compat.h" \
+    -I"$REF" -I"$OUT/tree" \
+    -o "$OUT/oracle_cli" \
+    "$HERE/oracle/oracle_cli.c" "$REF"/common/*.c "$REF"/encoder/*.c -lm
+
 echo "$OUT/x264ref"

@@ -1,0 +1,641 @@
+"""Device-side I-frame encoder: wavefront over the MB grid.
+
+The reference encodes MBs serially (x264_slice_write, encoder.c:1503-1664);
+the causal dependencies of intra prediction (reconstructed left/top/topright
+neighbors) admit a 2:1-slope wavefront: MBs with equal x + 2y are
+independent (topright (x+1, y-1) has index x+2y-1). This module runs one
+`lax.fori_loop` over those diagonals; each step gathers neighbor pixels for
+every MB on the diagonal, runs the full analysis+encode vectorized across
+the diagonal (and the stream batch), and scatters reconstruction + syntax
+tensors back.
+
+Decision semantics replicate encoder/analyse.c exactly (mode availability
+tables :424-484, i16x16 selection :564-638, the i4x4 favor-H/V shortcut
+tree :640-746 with MPM discount and early i4x4 abort against the i16x16
+cost, chroma selection :509-560) and encoder/macroblock.c's residual
+pipeline (x264_mb_encode_i16x16 :72, x264_mb_encode_i4x4 macroblock.h:37,
+x264_mb_encode_chroma :175 with the optimize_chroma_2x2_dc lossless DC
+rounding, common/quant.c:141-196).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import intra as I
+from ..ops import pixel as PX
+from ..ops import transforms as T
+from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
+
+COST_MAX = jnp.int32(1 << 28)
+
+# x264_mb_pred_mode4x4_fix (common/predict.h:60-68), indexed by mode+1
+_FIX4 = jnp.asarray(np.array([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 2, 2, 2],
+                             np.int32))
+# ue(v) bit sizes for fixed mode numbers 0..3
+_UE_BITS = np.array([1, 3, 3, 5], np.int32)
+# per-physical-mode ue bits for 16x16 (fix: V,H,DC,P,DC,DC,DC → 0,1,2,3,2,2,2)
+_BITS16 = jnp.asarray(_UE_BITS[[0, 1, 2, 3, 2, 2, 2]])
+# chroma fix: DC,H,V,P,DC,DC,DC → 0,1,2,3,0,0,0
+_BITSC = jnp.asarray(_UE_BITS[[0, 1, 2, 3, 0, 0, 0]])
+
+# evaluation orders per availability case (encoder/analyse.c:436-442),
+# -1 = unused slot (cost forced to +inf)
+_ORDER16 = jnp.asarray(np.array([
+    [6, -1, -1, -1],   # none: DC_128
+    [4, 1, -1, -1],    # left: DC_LEFT, H
+    [5, 0, -1, -1],    # top:  DC_TOP, V
+    [0, 1, 2, -1],     # left+top: V, H, DC
+    [0, 1, 2, 3],      # all: V, H, DC, P
+], np.int32))
+_ORDERC = jnp.asarray(np.array([
+    [6, -1, -1, -1],   # DC_128
+    [4, 1, -1, -1],    # DC_LEFT, H
+    [5, 2, -1, -1],    # DC_TOP, V
+    [2, 1, 0, -1],     # V, H, DC
+    [2, 1, 0, 3],      # V, H, DC, P
+], np.int32))
+
+# i4x4 serial-path mode lists per availability case (i4x4_mode_available[0],
+# analyse.c:471-478); only cases 0-2 use the serial loop over the full list
+_I4_LIST = np.array([
+    [11, -1, -1, -1],   # DC_128
+    [9, 1, 8, -1],      # DC_LEFT, H, HU
+    [10, 0, 3, 7],      # DC_TOP, V, DDL, VL
+    [0, 0, 0, 0],       # unused (case 3 handled by x3+shortcut)
+    [0, 0, 0, 0],       # unused (case 4 handled by x3/x4)
+], np.int32)
+
+# block idx → idx of the block at (bx+1, by-1) coded-before rule gives the
+# static topright availability for by>0 rows
+_IDX_OF = {(int(x), int(y)): i for i, (x, y) in
+           enumerate(zip(BLOCK_IDX_X, BLOCK_IDX_Y))}
+
+
+def _avail_case(left, top, tl):
+    """Availability case index 0..4 (predict_*_mode_available,
+    analyse.c:486-508)."""
+    both = left & top
+    return jnp.where(both & tl, 4, left + 2 * top)
+
+
+def _ordered_pick(costs, order):
+    """COPY2_IF_LT chain: first index achieving the minimum, in `order`.
+    costs: (n_modes,), order: (k,) physical mode ids with -1 padding."""
+    oc = jnp.where(order >= 0, costs[jnp.maximum(order, 0)], COST_MAX)
+    k = jnp.argmin(oc)  # argmin returns the first occurrence == strict <
+    return oc[k], order[k]
+
+
+def _mbcmp(a, b, use_satd: bool):
+    return PX.satd(a, b) if use_satd else PX.sad(a, b)
+
+
+def _serial_i4(costs12, order, mpm, lam, init_best, init_mode):
+    """The reference's serial mode loop (analyse.c:723-746): per mode, MPM
+    discount, early accept when discounted cost <= 0, else COPY2_IF_LT."""
+    best, mode = init_best, init_mode
+    stopped = jnp.bool_(False)
+    for j in range(order.shape[0]):
+        m = order[j]
+        m_ok = m >= 0
+        satd = jnp.where(m_ok, costs12[jnp.maximum(m, 0)], COST_MAX)
+        is_mpm = m_ok & (mpm == _FIX4[jnp.maximum(m, 0) + 1])
+        satd = jnp.where(is_mpm, satd - lam * 3, satd)
+        accept = m_ok & (~stopped) & is_mpm & (satd <= 0)
+        better = m_ok & (~stopped) & (satd < best)
+        take = accept | better
+        best = jnp.where(take, satd, best)
+        mode = jnp.where(take, m, mode)
+        stopped = stopped | accept
+    return best, mode
+
+
+def _encode_4x4(fenc_blk, pred, qp):
+    """x264_mb_encode_i4x4 core (encoder/macroblock.h:37-63)."""
+    dct = T.sub_dct4x4(fenc_blk, pred)
+    q = T.quant4x4(dct, qp, True)
+    nz = jnp.any(q != 0)
+    levels = T.zigzag4x4(q)
+    dq = T.dequant4x4(q, qp)
+    recon = jnp.where(nz, T.idct4x4_add(pred, dq), pred)
+    return recon, levels, nz.astype(jnp.int32)
+
+
+def _optimize_chroma_dc(dc, qp):
+    """optimize_chroma_2x2_dc (common/quant.c:141-196): losslessly round
+    DC coefficients toward zero while the (>>6) reconstruction is unchanged.
+    dc: (4,) quantized chroma DC (reference storage order). Returns
+    (new_dc, nz)."""
+    dmf = (T.DEQUANT4_MF_J[qp % 6, 0] << (qp // 6))
+
+    def idct_deq(d):
+        d0, d1 = d[0] + d[1], d[2] + d[3]
+        d2, d3 = d[0] - d[1], d[2] - d[3]
+        out = jnp.stack([d0 + d1, d0 - d1, d2 + d3, d2 - d3])
+        return ((out * dmf) >> 5) + 32
+
+    ref = idct_deq(dc)
+    # early exit: if the original already rounds to zero everywhere
+    already_zero = jnp.all((ref >> 6) == 0)
+
+    def round_differs(d):
+        return jnp.any(((ref ^ idct_deq(d)) >> 6) != 0)
+
+    def reduce_coeff(c, d):
+        sign = jnp.where(d[c] < 0, -1, 1)
+
+        def cond(state):
+            level, _ = state
+            return level != 0
+
+        def body(state):
+            level, dd = state
+            trial = dd.at[c].set(level - sign)
+            stop = round_differs(trial)
+            # on stop: keep current level; else accept the reduction
+            new_level = jnp.where(stop, jnp.int32(0), level - sign)
+            new_d = jnp.where(stop, dd.at[c].set(level), trial)
+            # encode "stopped with nonzero" by negative marker channel:
+            return (new_level, new_d)
+
+        level0 = d[c]
+        _, d_out = jax.lax.while_loop(cond, body, (level0, d))
+        return d_out
+
+    def run(d):
+        for c in (3, 2, 1, 0):
+            d = reduce_coeff(c, d)
+        return d
+
+    new_dc = jnp.where(already_zero, jnp.zeros_like(dc), run(dc))
+    nz = jnp.any(new_dc != 0) & ~already_zero
+    return jnp.where(already_zero, jnp.zeros_like(dc), new_dc), nz
+
+
+def _encode_chroma_channel(fenc8, pred8, qp, intra: bool):
+    """One chroma channel of x264_mb_encode_chroma (b_decimate=0 path,
+    encoder/macroblock.c:233-300). Returns dict with recon, dc/ac levels,
+    nnz flags."""
+    # 4 quadrant blocks in raster order (sub8x8_dct, common/dct.c:157)
+    blocks_f = jnp.stack([fenc8[0:4, 0:4], fenc8[0:4, 4:8],
+                          fenc8[4:8, 0:4], fenc8[4:8, 4:8]])
+    blocks_p = jnp.stack([pred8[0:4, 0:4], pred8[0:4, 4:8],
+                          pred8[4:8, 0:4], pred8[4:8, 4:8]])
+    dct = T.sub_dct4x4(blocks_f, blocks_p)            # (4, 4, 4)
+    dc_raw = dct[:, 0, 0]
+    dct = dct.at[:, 0, 0].set(0)
+    dc = T.hadamard2x2(dc_raw)                        # reference storage order
+    q_ac = T.quant4x4(dct, qp, intra)                 # (4, 4, 4)
+    nnz_ac = jnp.any(q_ac.reshape(4, 16) != 0, axis=-1).astype(jnp.int32)
+    nz_ac = jnp.any(nnz_ac != 0)
+    ac_levels = T.zigzag4x4(q_ac)                     # (4, 16)
+    q_dc = T.quant_dc(dc, qp, intra)
+    nz_dc = jnp.any(q_dc != 0)
+
+    # DC-only path with lossless rounding at low QP (macroblock.c:262-284)
+    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qp)
+    use_opt = (~nz_ac) & nz_dc & (qp <= 22)
+    dc_final = jnp.where(use_opt, opt_dc, q_dc)
+    nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
+
+    dc_levels = dc_final[jnp.asarray([0, 2, 1, 3])]   # zigzag_scan_2x2_dc
+
+    # reconstruction:
+    dq_dc = T.idct_dequant_2x2_dc(dc_final, qp)       # (4,) per-quadrant DC
+    # AC path recon: dct4x4 blocks with DC inserted, idct
+    dq_ac = T.dequant4x4(q_ac, qp)
+    dq_ac = dq_ac.at[:, 0, 0].set(jnp.where(nz_dc_final, dq_dc, 0))
+    rec_blocks_ac = T.idct4x4_add(blocks_p, dq_ac)
+    # DC-only recon: (dc+32)>>6 added (add8x8_idct_dc, common/dct.c:253)
+    dc_shift = (dq_dc + 32) >> 6
+    rec_blocks_dc = jnp.clip(
+        blocks_p.astype(jnp.int32) + dc_shift[:, None, None], 0, 255)
+    rec_blocks_none = blocks_p.astype(jnp.int32)
+
+    rec_blocks = jnp.where(
+        nz_ac, rec_blocks_ac,
+        jnp.where(nz_dc_final, rec_blocks_dc, rec_blocks_none))
+    recon = jnp.zeros((8, 8), jnp.int32)
+    recon = recon.at[0:4, 0:4].set(rec_blocks[0])
+    recon = recon.at[0:4, 4:8].set(rec_blocks[1])
+    recon = recon.at[4:8, 0:4].set(rec_blocks[2])
+    recon = recon.at[4:8, 4:8].set(rec_blocks[3])
+
+    nnz_ac = jnp.where(nz_ac, nnz_ac, jnp.zeros_like(nnz_ac))
+    ac_levels = jnp.where(nz_ac, ac_levels, jnp.zeros_like(ac_levels))
+    return dict(recon=recon, dc_levels=dc_levels, ac_levels=ac_levels,
+                nnz_ac=nnz_ac, nz_dc=nz_dc_final.astype(jnp.int32),
+                has_ac=nz_ac)
+
+
+def _encode_i16(fenc16, pred16, qp):
+    """x264_mb_encode_i16x16 (encoder/macroblock.c:72-170), I-slice
+    (no decimation)."""
+    bx = jnp.asarray(BLOCK_IDX_X * 4)
+    by = jnp.asarray(BLOCK_IDX_Y * 4)
+    # gather the 16 4x4 blocks in coding (quadrant) order
+    rows = by[:, None, None] + jnp.arange(4)[None, :, None]
+    cols = bx[:, None, None] + jnp.arange(4)[None, None, :]
+    blk_f = fenc16[rows, cols]
+    blk_p = pred16[rows, cols]
+    dct = T.sub_dct4x4(blk_f, blk_p)                  # (16, 4, 4)
+    dc_raw = dct[:, 0, 0]
+    dct = dct.at[:, 0, 0].set(0)
+    q = T.quant4x4(dct, qp, True)
+    nnz = jnp.any(q.reshape(16, 16) != 0, axis=-1).astype(jnp.int32)
+    any_ac = jnp.any(nnz != 0)
+    cbp_luma = jnp.where(any_ac, 0xF, 0)
+    levels = T.zigzag4x4(q)                           # (16, 16), [:,0] == 0
+    dq_ac = T.dequant4x4(q, qp)
+
+    # DC: natural 4x4 grid position = (block_y, block_x)
+    dc_grid = jnp.zeros((4, 4), jnp.int32).at[
+        jnp.asarray(BLOCK_IDX_Y), jnp.asarray(BLOCK_IDX_X)].set(dc_raw)
+    dc_t = T.hadamard4x4(dc_grid, forward=True)
+    q_dc = T.quant_dc(dc_t.reshape(16), qp, True)
+    nz_dc = jnp.any(q_dc != 0)
+    dc_levels = T.zigzag4x4(q_dc.reshape(4, 4))
+    dc_it = T.hadamard4x4(q_dc.reshape(4, 4), forward=False)
+    dc_dq = T.dequant_dc4x4(dc_it, qp)
+    dc_per_block = jnp.where(
+        nz_dc, dc_dq[jnp.asarray(BLOCK_IDX_Y), jnp.asarray(BLOCK_IDX_X)], 0)
+
+    dq_full = dq_ac.at[:, 0, 0].set(dc_per_block)
+    rec_ac = T.idct4x4_add(blk_p, dq_full)
+    rec_dc = jnp.clip(blk_p.astype(jnp.int32)
+                      + ((dc_per_block + 32) >> 6)[:, None, None], 0, 255)
+    rec_blocks = jnp.where(any_ac, rec_ac,
+                           jnp.where(nz_dc, rec_dc, blk_p.astype(jnp.int32)))
+    recon = jnp.zeros((16, 16), jnp.int32)
+    recon = recon.at[rows, cols].set(rec_blocks)
+    return dict(recon=recon, levels=levels, dc_levels=dc_levels,
+                nnz=nnz, nz_dc=nz_dc.astype(jnp.int32), cbp_luma=cbp_luma)
+
+
+# static per-block-index geometry tables
+_BX4 = jnp.asarray(BLOCK_IDX_X.astype(np.int32))
+_BY4 = jnp.asarray(BLOCK_IDX_Y.astype(np.int32))
+# static topright availability for by>0 blocks (coded-order rule)
+_TR_STATIC = jnp.asarray(np.array(
+    [int(bx < 3 and by > 0
+         and _IDX_OF[(int(bx) + 1, int(by) - 1)] < i)
+     for i, (bx, by) in enumerate(zip(BLOCK_IDX_X, BLOCK_IDX_Y))],
+    np.int32))
+
+
+def _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam, thresh,
+                       avail_l, avail_t, avail_tl, avail_tr,
+                       left_modes, top_modes, use_satd):
+    """i4x4 analysis + inline encode (analyse.c:640-760 + macroblock.h:37).
+
+    Runs as a lax.fori_loop over the 16 blocks in coding order, operating
+    on a unified local buffer L (17x25): row 0 = [topleft | top 16 | 8
+    topright samples], column 0 = left border, interior = reconstruction
+    so far. Pixel (r, c) of the MB lives at L[1+r, 1+c], so every neighbor
+    gather is one dynamic slice regardless of block position.
+
+    Returns (cost, valid, modes(16,), recon(16,16), levels(16,16), nnz(16,))."""
+    L = jnp.zeros((17, 25), jnp.int32)
+    L = L.at[0, :].set(ytop25)
+    L = L.at[1:17, 0].set(yleft16)
+    # mode grid M (5x5): M[1+by, 1+bx] = decided mode; borders = neighbors
+    M = jnp.full((5, 5), -1, jnp.int32)
+    M = M.at[0, 1:5].set(top_modes)
+    M = M.at[1:5, 0].set(left_modes)
+
+    def block_body(idx, state):
+        L, M, all_levels, all_nnz, cost, aborted = state
+        bx = _BX4[idx]
+        by = _BY4[idx]
+        x0, y0 = bx * 4, by * 4
+
+        # ---- neighbor pixels (unified gathers) ----
+        top4 = jax.lax.dynamic_slice(L, (y0, x0 + 1), (1, 4))[0]
+        tr4_raw = jax.lax.dynamic_slice(L, (y0, x0 + 5), (1, 4))[0]
+        left4 = jax.lax.dynamic_slice(L, (y0 + 1, x0), (4, 1))[:, 0]
+        tl = jax.lax.dynamic_slice(L, (y0, x0), (1, 1))[0, 0]
+
+        # ---- availability ----
+        tt = jnp.bool_(True)
+        b_l = jnp.where(bx > 0, tt, avail_l)
+        b_t = jnp.where(by > 0, tt, avail_t)
+        b_tl = jnp.where((bx > 0) & (by > 0), tt,
+                         jnp.where(by == 0,
+                                   jnp.where(bx > 0, avail_t, avail_tl),
+                                   avail_l))
+        b_tr = jnp.where(by == 0,
+                         jnp.where(bx < 3, avail_t, avail_tr),
+                         _TR_STATIC[idx] > 0)
+
+        # topright emulation (macroblock_encode / analyse.c:677-679)
+        patch = b_t & ~b_tr
+        tr4 = jnp.where(patch, jnp.broadcast_to(top4[3], (4,)), tr4_raw)
+
+        # ---- most probable mode (common/macroblock.h:373-388) ----
+        lmode = M[1 + by, bx]
+        tmode = M[by, 1 + bx]
+        m = jnp.minimum(_FIX4[lmode + 1], _FIX4[tmode + 1])
+        mpm = jnp.where(m < 0, 2, m)
+
+        # ---- all-mode predictions + raw costs ----
+        preds = I.predict_4x4_all(left4[None], top4[None], tl[None],
+                                  tr4[None])[0]        # (12, 4, 4)
+        fenc_blk = jax.lax.dynamic_slice(fenc16, (y0, x0), (4, 4))
+        if use_satd:
+            costs = PX.satd_4x4(preds, fenc_blk)
+        else:
+            costs = PX.sad(preds, fenc_blk)
+        costs = costs.astype(jnp.int32)
+
+        case = _avail_case(b_l.astype(jnp.int32), b_t.astype(jnp.int32),
+                           b_tl.astype(jnp.int32))
+
+        # --- case >= 3: x3 fast path (analyse.c:681-722) ---
+        favor_v = costs[1] > costs[0]  # satd[H] > satd[V]
+        disc = costs.at[mpm].add(-lam * 3)
+        best4 = disc[2]
+        mode4 = jnp.int32(2)
+        for mseq in (1, 0, 3, 4):
+            c = disc[mseq]
+            t = c < best4
+            best4, mode4 = jnp.where(t, c, best4), jnp.where(t, mseq, mode4)
+        for pair_v, pair_h in ((5, 6), (7, 8)):
+            msel = jnp.where(favor_v, pair_v, pair_h)
+            c = disc[msel]
+            t = c < best4
+            best4, mode4 = jnp.where(t, c, best4), jnp.where(t, msel, mode4)
+
+        # case 3: x3 over DC,H,V then serial shortcut list (no topleft)
+        best3 = disc[2]
+        mode3 = jnp.int32(2)
+        for mseq in (1, 0):
+            c = disc[mseq]
+            t = c < best3
+            best3, mode3 = jnp.where(t, c, best3), jnp.where(t, mseq, mode3)
+        # shortcut list: favor_v ? {DDL, VL} : {HU} (analyse.c:485-491)
+        sc_order = jnp.where(favor_v,
+                             jnp.asarray([3, 7], jnp.int32),
+                             jnp.asarray([8, -1], jnp.int32))
+        b3s, m3s = _serial_i4(costs, sc_order, mpm, lam, best3, mode3)
+        run_serial = best3 > 0
+        best3 = jnp.where(run_serial, b3s, best3)
+        mode3 = jnp.where(run_serial, m3s, mode3)
+
+        # cases 0-2: pure serial loop over the availability list
+        order_low = jnp.asarray(_I4_LIST)[jnp.minimum(case, 2)]
+        best_low, mode_low = _serial_i4(costs, order_low, mpm, lam,
+                                        COST_MAX, jnp.int32(11))
+
+        best = jnp.where(case == 4, best4,
+                         jnp.where(case == 3, best3, best_low))
+        mode = jnp.where(case == 4, mode4,
+                         jnp.where(case == 3, mode3, mode_low))
+
+        cost = cost + best + lam * 3
+        aborted = aborted | ((cost > thresh) & (idx < 15))
+
+        # ---- encode the block with the chosen mode ----
+        pred = preds[mode]
+        recon_blk, levels, nz = _encode_4x4(fenc_blk, pred, qp)
+        L = jax.lax.dynamic_update_slice(L, recon_blk, (y0 + 1, x0 + 1))
+        M = M.at[1 + by, 1 + bx].set(mode)
+        all_levels = all_levels.at[idx].set(levels)
+        all_nnz = all_nnz.at[idx].set(nz)
+        return (L, M, all_levels, all_nnz, cost, aborted)
+
+    state = (L, M, jnp.zeros((16, 16), jnp.int32), jnp.zeros((16,), jnp.int32),
+             lam * 40, jnp.bool_(False))
+    L, M, all_levels, all_nnz, cost, aborted = jax.lax.fori_loop(
+        0, 16, block_body, state)
+
+    # decided modes in coding order, reconstruction from the local buffer
+    decided = M[1 + _BY4, 1 + _BX4]
+    cur = L[1:17, 1:17]
+    valid = ~aborted
+    return cost, valid, decided, cur, all_levels, all_nnz
+
+
+def make_encode_mb(use_satd: bool, i4x4_enabled: bool):
+    """Build the per-MB analyse+encode function (to be vmapped)."""
+
+    def encode_mb(fenc16, fenc_u8, fenc_v8,
+                  ytop25, yleft16, utop9, uleft8, vtop9, vleft8,
+                  avail_l, avail_t, avail_tl, avail_tr,
+                  left_modes, top_modes, qp, qpc, lam):
+        case = _avail_case(avail_l.astype(jnp.int32),
+                           avail_t.astype(jnp.int32),
+                           avail_tl.astype(jnp.int32))
+
+        # ---------- I16x16 analysis (analyse.c:596-638) ----------
+        preds16 = I.predict_16x16_all(yleft16[None], ytop25[None, 1:17],
+                                      ytop25[None, 0])[0]
+        c16 = _mbcmp(preds16, fenc16[None], use_satd).astype(jnp.int32)
+        c16 = c16 + lam * _BITS16
+        i16_cost, i16_mode = _ordered_pick(c16, _ORDER16[case])
+
+        # ---------- I4x4 analysis + encode ----------
+        if i4x4_enabled:
+            i4_cost, i4_valid, i4_modes, i4_recon, i4_levels, i4_nnz = \
+                _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam,
+                                   i16_cost, avail_l, avail_t, avail_tl,
+                                   avail_tr, left_modes, top_modes, use_satd)
+            i4_cost = jnp.where(i4_valid, i4_cost, COST_MAX)
+        else:
+            i4_cost = COST_MAX
+            i4_modes = jnp.full((16,), 2, jnp.int32)
+            i4_recon = jnp.zeros((16, 16), jnp.int32)
+            i4_levels = jnp.zeros((16, 16), jnp.int32)
+            i4_nnz = jnp.zeros((16,), jnp.int32)
+
+        # decision: COPY2_IF_LT — I_4x4 wins only on strictly lower cost
+        is_i4 = i4_cost < i16_cost
+
+        # ---------- I16x16 encode ----------
+        e16 = _encode_i16(fenc16, preds16[i16_mode], qp)
+
+        recon_y = jnp.where(is_i4, i4_recon, e16["recon"])
+        luma_levels = jnp.where(is_i4, i4_levels, e16["levels"])
+        luma_nnz = jnp.where(is_i4, i4_nnz, e16["nnz"])
+        luma_dc_levels = jnp.where(is_i4, 0, e16["dc_levels"])
+        nz_luma_dc = jnp.where(is_i4, 0, e16["nz_dc"])
+        cbp_luma_i4 = (
+            (jnp.any(i4_nnz[0:4] != 0)).astype(jnp.int32)
+            | ((jnp.any(i4_nnz[4:8] != 0)).astype(jnp.int32) << 1)
+            | ((jnp.any(i4_nnz[8:12] != 0)).astype(jnp.int32) << 2)
+            | ((jnp.any(i4_nnz[12:16] != 0)).astype(jnp.int32) << 3))
+        cbp_luma = jnp.where(is_i4, cbp_luma_i4, e16["cbp_luma"])
+
+        # ---------- chroma analysis (analyse.c:509-560) ----------
+        predsU = I.predict_8x8c_all(uleft8[None], utop9[None, 1:9],
+                                    utop9[None, 0])[0]
+        predsV = I.predict_8x8c_all(vleft8[None], vtop9[None, 1:9],
+                                    vtop9[None, 0])[0]
+        cc = (_mbcmp(predsU, fenc_u8[None], use_satd)
+              + _mbcmp(predsV, fenc_v8[None], use_satd)).astype(jnp.int32)
+        cc = cc + lam * _BITSC
+        _, chroma_mode = _ordered_pick(cc, _ORDERC[case])
+
+        # ---------- chroma encode ----------
+        eu = _encode_chroma_channel(fenc_u8, predsU[chroma_mode], qpc, True)
+        ev = _encode_chroma_channel(fenc_v8, predsV[chroma_mode], qpc, True)
+        any_ac = eu["has_ac"] | ev["has_ac"]
+        any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
+        cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
+
+        return dict(
+            mb_type=is_i4.astype(jnp.int32),       # 0 = I16x16, 1 = I4x4
+            i16_mode=i16_mode, i4_modes=i4_modes, chroma_mode=chroma_mode,
+            cbp_luma=cbp_luma, cbp_chroma=cbp_chroma,
+            recon_y=recon_y,
+            recon_u=eu["recon"], recon_v=ev["recon"],
+            luma_levels=luma_levels, luma_nnz=luma_nnz,
+            luma_dc_levels=luma_dc_levels, nz_luma_dc=nz_luma_dc,
+            chroma_dc_levels=jnp.stack([eu["dc_levels"], ev["dc_levels"]]),
+            chroma_ac_levels=jnp.stack([eu["ac_levels"], ev["ac_levels"]]),
+            chroma_nnz_ac=jnp.stack([eu["nnz_ac"], ev["nnz_ac"]]),
+            chroma_nz_dc=jnp.stack([eu["nz_dc"], ev["nz_dc"]]),
+        )
+
+    return encode_mb
+
+
+def _diag_schedule(mb_w: int, mb_h: int):
+    """Static 2:1 wavefront schedule: diagonals of constant x + 2y."""
+    n_diag = (mb_w - 1) + 2 * (mb_h - 1) + 1
+    rows = []
+    dmax = 0
+    for d in range(n_diag):
+        mbs = [(y, d - 2 * y) for y in range(mb_h) if 0 <= d - 2 * y < mb_w]
+        rows.append(mbs)
+        dmax = max(dmax, len(mbs))
+    ys = np.full((n_diag, dmax), -1, np.int32)
+    xs = np.full((n_diag, dmax), -1, np.int32)
+    for d, mbs in enumerate(rows):
+        for k, (y, x) in enumerate(mbs):
+            ys[d, k] = y
+            xs[d, k] = x
+    return n_diag, dmax, jnp.asarray(ys), jnp.asarray(xs)
+
+
+# column indices of left-MB blocks (bx=3) and row indices of top-MB
+# bottom blocks (by=3), in coding order
+_LEFT_COL_IDX = jnp.asarray([_IDX_OF[(3, by)] for by in range(4)])
+_TOP_ROW_IDX = jnp.asarray([_IDX_OF[(bx, 3)] for bx in range(4)])
+
+PAD = 8
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_satd",
+                                             "i4x4_enabled"))
+def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
+                   mb_w: int, mb_h: int, use_satd: bool, i4x4_enabled: bool):
+    """Encode one I-frame (single stream). fenc_* are mod16-padded planes
+    (uint8/int32). Returns the full per-MB syntax tensor dict + recon
+    planes (unfiltered, for intra; deblocking is a separate pass)."""
+    H, W = mb_h * 16, mb_w * 16
+    fy = fenc_y.astype(jnp.int32)
+    fu = fenc_u.astype(jnp.int32)
+    fv = fenc_v.astype(jnp.int32)
+    ry = jnp.zeros((H + 2 * PAD, W + 2 * PAD), jnp.int32)
+    ru = jnp.zeros((H // 2 + 2 * PAD, W // 2 + 2 * PAD), jnp.int32)
+    rv = jnp.zeros((H // 2 + 2 * PAD, W // 2 + 2 * PAD), jnp.int32)
+
+    n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
+    encode_mb = make_encode_mb(use_satd, i4x4_enabled)
+    vmb = jax.vmap(encode_mb,
+                   in_axes=(0,) * 9 + (0, 0, 0, 0, 0, 0, None, None, None))
+
+    out = dict(
+        mb_type=jnp.zeros((mb_h, mb_w), jnp.int32),
+        i16_mode=jnp.zeros((mb_h, mb_w), jnp.int32),
+        i4_modes=jnp.zeros((mb_h, mb_w, 16), jnp.int32),
+        chroma_mode=jnp.zeros((mb_h, mb_w), jnp.int32),
+        cbp_luma=jnp.zeros((mb_h, mb_w), jnp.int32),
+        cbp_chroma=jnp.zeros((mb_h, mb_w), jnp.int32),
+        luma_levels=jnp.zeros((mb_h, mb_w, 16, 16), jnp.int32),
+        luma_nnz=jnp.zeros((mb_h, mb_w, 16), jnp.int32),
+        luma_dc_levels=jnp.zeros((mb_h, mb_w, 16), jnp.int32),
+        nz_luma_dc=jnp.zeros((mb_h, mb_w), jnp.int32),
+        chroma_dc_levels=jnp.zeros((mb_h, mb_w, 2, 4), jnp.int32),
+        chroma_ac_levels=jnp.zeros((mb_h, mb_w, 2, 4, 16), jnp.int32),
+        chroma_nnz_ac=jnp.zeros((mb_h, mb_w, 2, 4), jnp.int32),
+        chroma_nz_dc=jnp.zeros((mb_h, mb_w, 2), jnp.int32),
+    )
+
+    def slot_gather(plane, ys, xs, y_off, x_off, h, w):
+        def one(y, x):
+            return jax.lax.dynamic_slice(plane, (y + y_off, x + x_off), (h, w))
+        return jax.vmap(one)(ys, xs)
+
+    def step(d, state):
+        ry, ru, rv, out = state
+        ys = diag_ys[d]
+        xs = diag_xs[d]
+        valid = ys >= 0
+        yc = jnp.maximum(ys, 0)
+        xc = jnp.maximum(xs, 0)
+
+        fenc16 = slot_gather(fy, yc * 16, xc * 16, 0, 0, 16, 16)
+        fencu = slot_gather(fu, yc * 8, xc * 8, 0, 0, 8, 8)
+        fencv = slot_gather(fv, yc * 8, xc * 8, 0, 0, 8, 8)
+        ytop25 = slot_gather(ry, yc * 16, xc * 16, PAD - 1, PAD - 1, 1, 25)[:, 0]
+        yleft16 = slot_gather(ry, yc * 16, xc * 16, PAD, PAD - 1, 16, 1)[:, :, 0]
+        utop9 = slot_gather(ru, yc * 8, xc * 8, PAD - 1, PAD - 1, 1, 9)[:, 0]
+        uleft8 = slot_gather(ru, yc * 8, xc * 8, PAD, PAD - 1, 8, 1)[:, :, 0]
+        vtop9 = slot_gather(rv, yc * 8, xc * 8, PAD - 1, PAD - 1, 1, 9)[:, 0]
+        vleft8 = slot_gather(rv, yc * 8, xc * 8, PAD, PAD - 1, 8, 1)[:, :, 0]
+
+        avail_l = xs > 0
+        avail_t = ys > 0
+        avail_tl = avail_l & avail_t
+        avail_tr = avail_t & (xs < mb_w - 1)
+
+        # neighbor i4 modes for MPM: stored modes if neighbor is I4x4 else DC
+        def eff_modes(y, x, idxs, avail):
+            mb_modes = out["i4_modes"][y, x][idxs]
+            is_i4 = out["mb_type"][y, x] == 1
+            mm = jnp.where(is_i4, mb_modes, jnp.full((4,), 2, jnp.int32))
+            return jnp.where(avail, mm, jnp.full((4,), -1, jnp.int32))
+
+        left_modes = jax.vmap(
+            lambda y, x, a: eff_modes(y, jnp.maximum(x - 1, 0),
+                                      _LEFT_COL_IDX, a))(yc, xc, avail_l)
+        top_modes = jax.vmap(
+            lambda y, x, a: eff_modes(jnp.maximum(y - 1, 0), x,
+                                      _TOP_ROW_IDX, a))(yc, xc, avail_t)
+
+        res = vmb(fenc16, fencu, fencv, ytop25, yleft16, utop9, uleft8,
+                  vtop9, vleft8, avail_l, avail_t, avail_tl, avail_tr,
+                  left_modes, top_modes, qp, qpc, lam)
+
+        # ---------- scatter ----------
+        # invalid slots are dropped via out-of-bounds indices + mode="drop"
+        oob = jnp.int32(1 << 20)
+        sy = jnp.where(valid, yc, oob)
+        sx = jnp.where(valid, xc, oob)
+
+        def scat_plane(plane, mbsize, vals):
+            r = (sy[:, None, None] * mbsize + PAD
+                 + jnp.arange(mbsize)[None, :, None])
+            c = (sx[:, None, None] * mbsize + PAD
+                 + jnp.arange(mbsize)[None, None, :])
+            return plane.at[r, c].set(vals, mode="drop")
+
+        ry2 = scat_plane(ry, 16, res["recon_y"])
+        ru2 = scat_plane(ru, 8, res["recon_u"])
+        rv2 = scat_plane(rv, 8, res["recon_v"])
+
+        out2 = {k: v.at[sy, sx].set(res[k], mode="drop")
+                for k, v in out.items()}
+        return ry2, ru2, rv2, out2
+
+    ry, ru, rv, out = jax.lax.fori_loop(0, n_diag, step, (ry, ru, rv, out))
+    out["recon_y"] = ry[PAD:PAD + H, PAD:PAD + W]
+    out["recon_u"] = ru[PAD:PAD + H // 2, PAD:PAD + W // 2]
+    out["recon_v"] = rv[PAD:PAD + H // 2, PAD:PAD + W // 2]
+    return out

@@ -1,0 +1,49 @@
+"""Multi-stream batching over a device mesh.
+
+The reference's frame-threading slot (i_threads, forced to 1 —
+encoder/encoder.c:57, SURVEY §2.6) becomes the TPU-native parallel axis:
+N independent video streams are encoded as one batched tensor program,
+sharded over a 1-D ``jax.sharding.Mesh`` ("stream" = data parallel). No
+collectives are needed for the parity target — streams are independent —
+so scaling is embarrassingly linear over ICI-connected chips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from ..encoder import intra_frame
+
+
+def make_stream_mesh(devices=None, name: str = "stream") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.array(devices), (name,))
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_satd",
+                                             "i4x4_enabled"))
+def encode_i_frames_batched(fy, fu, fv, qp, qpc, lam,
+                            mb_w: int, mb_h: int,
+                            use_satd: bool, i4x4_enabled: bool):
+    """Batched I-frame encode: planes carry a leading stream axis.
+    fy: (S, H, W), fu/fv: (S, H/2, W/2); qp/qpc/lam scalars (per-batch QP
+    support comes with rate control)."""
+    fn = functools.partial(intra_frame.encode_i_frame.__wrapped__,
+                           mb_w=mb_w, mb_h=mb_h, use_satd=use_satd,
+                           i4x4_enabled=i4x4_enabled)
+    return jax.vmap(lambda y, u, v: fn(y, u, v, qp, qpc, lam))(fy, fu, fv)
+
+
+def shard_streams(mesh: Mesh, *arrays):
+    """Place stream-batched arrays with the stream axis sharded over the
+    mesh."""
+    out = []
+    for a in arrays:
+        spec = PSpec("stream", *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out)
