@@ -1,0 +1,55 @@
+"""Deblocking: wavefront device kernel vs scalar golden twin."""
+
+import numpy as np
+import pytest
+
+from x264dsp_tpu.ops import deblock as D
+from x264dsp_tpu.ops import golden as G
+
+
+def _random_case(mb_w, mb_h, seed, qp=32, all_intra=False):
+    rng = np.random.default_rng(seed)
+    H, W = mb_h * 16, mb_w * 16
+    # blocky content so edges actually trigger the filters
+    y = rng.integers(0, 256, (mb_h * 4, mb_w * 4))
+    y = np.kron(y, np.ones((4, 4), int)) + rng.integers(-6, 7, (H, W))
+    y = y.clip(0, 255).astype(np.int32)
+    u = rng.integers(0, 256, (mb_h * 2, mb_w * 2))
+    u = np.kron(u, np.ones((4, 4), int)).clip(0, 255).astype(np.int32)
+    v = 255 - u
+    if all_intra:
+        intra = np.ones((mb_h, mb_w), np.int32)
+    else:
+        intra = (rng.random((mb_h, mb_w)) < 0.3).astype(np.int32)
+    bs = rng.integers(0, 3, (mb_h, mb_w, 2, 4, 4)).astype(np.int32)
+    bs[intra > 0] = 3
+    feo = ((rng.random((mb_h, mb_w)) < 0.2) & (intra == 0)).astype(np.int32)
+    return y, u, v, bs, intra, feo
+
+
+@pytest.mark.parametrize("qp,seed,all_intra", [
+    (32, 0, True), (32, 1, False), (26, 2, False), (40, 3, False),
+    (18, 4, False),
+])
+def test_deblock_wavefront_matches_golden(qp, seed, all_intra):
+    mb_w, mb_h = 4, 3
+    y, u, v, bs, intra, feo = _random_case(mb_w, mb_h, seed, qp, all_intra)
+    from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE
+    qpc = int(CHROMA_QP_TABLE[min(qp, 51)])
+    gy, gu, gv = G.deblock_frame_golden(y, u, v, bs, intra, feo, qp, qpc)
+    dy, du, dv = D.deblock_frame(y, u, v, bs, intra, feo, qp, qpc, 0, 0,
+                                 mb_w=mb_w, mb_h=mb_h)
+    np.testing.assert_array_equal(np.asarray(dy), gy)
+    np.testing.assert_array_equal(np.asarray(du), gu)
+    np.testing.assert_array_equal(np.asarray(dv), gv)
+
+
+def test_deblock_identity_when_bs_zero():
+    mb_w, mb_h = 2, 2
+    y, u, v, bs, intra, feo = _random_case(mb_w, mb_h, 7)
+    bs[:] = 0
+    intra[:] = 0
+    dy, du, dv = D.deblock_frame(y, u, v, bs, intra, feo * 0, 30, 30, 0, 0,
+                                 mb_w=mb_w, mb_h=mb_h)
+    np.testing.assert_array_equal(np.asarray(dy), y)
+    np.testing.assert_array_equal(np.asarray(du), u)

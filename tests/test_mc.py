@@ -1,0 +1,63 @@
+"""Motion compensation kernels vs golden twins."""
+
+import numpy as np
+import pytest
+
+from x264dsp_tpu.ops import golden as G
+from x264dsp_tpu.ops import mc as MC
+
+rng = np.random.default_rng(5)
+
+
+@pytest.fixture(scope="module")
+def ref_planes():
+    recon = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    ref4 = np.asarray(MC.make_ref_planes(recon))
+    return recon, ref4
+
+
+def test_hpel_matches_golden(ref_planes):
+    recon, ref4 = ref_planes
+    p = np.pad(recon.astype(np.int64), MC.PAD_MC, mode="edge")
+    gh, gv, gc = G.hpel_filter(p)
+    s = slice(8, -8)  # golden leaves 3-px borders unset; compare interior
+    np.testing.assert_array_equal(ref4[1][s, s], gh[s, s])
+    np.testing.assert_array_equal(ref4[2][s, s], gv[s, s])
+    np.testing.assert_array_equal(ref4[3][s, s], gc[s, s])
+
+
+@pytest.mark.parametrize("mvx,mvy", [
+    (0, 0), (4, 8), (2, 0), (0, 2), (2, 2), (1, 0), (0, 1), (3, 3),
+    (1, 3), (3, 1), (-5, 7), (-17, -9), (13, -6), (23, 31), (-3, -3),
+])
+def test_mc_luma_matches_golden(ref_planes, mvx, mvy):
+    recon, ref4 = ref_planes
+    x0, y0 = 16, 16
+    got = np.asarray(MC.mc_luma_block(ref4, x0, y0, mvx, mvy, 16, 16))
+    want = G.mc_luma([ref4[i] for i in range(4)],
+                     x0 + MC.PAD_MC, y0 + MC.PAD_MC, mvx, mvy, 16, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mvx,mvy", [
+    (0, 0), (8, 8), (3, 5), (-11, 9), (17, -13), (1, 1), (7, 7),
+])
+def test_mc_chroma_matches_golden(mvx, mvy):
+    recon = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    refc = np.asarray(MC.pad_chroma(recon))
+    x0, y0 = 8, 8
+    got = np.asarray(MC.mc_chroma_block(refc, x0, y0, mvx, mvy, 8, 8))
+    want = G.mc_chroma(refc, x0 + MC.PAD_MC // 2, y0 + MC.PAD_MC // 2,
+                       mvx, mvy, 8, 8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lowres_shape_and_filter():
+    plane = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+    lp = np.asarray(MC.lowres_planes(plane))
+    assert lp.shape == (4, 16, 24)
+    # spot check dst0[0,0] = FILTER(p00, p10, p01, p11)
+    a, b, c, d = (int(plane[0, 0]), int(plane[1, 0]),
+                  int(plane[0, 1]), int(plane[1, 1]))
+    want = (((a + b + 1) >> 1) + ((c + d + 1) >> 1) + 1) >> 1
+    assert lp[0, 0, 0] == want

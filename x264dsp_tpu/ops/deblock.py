@@ -1,0 +1,381 @@
+"""In-loop deblocking — TPU replacement for deblock-a.sa + common/deblock.c.
+
+Semantics follow common/deblock.c exactly: alpha/beta/tc0 spec tables
+(:26-78), normal and intra edge filters (:80-295), per-MB strength rules
+(deblock_strength_c :297-323 + the intra bs=3/bs=4 rules in
+x264_frame_deblock_row :341-430 and x264_macroblock_deblock_strength,
+common/macroblock.c:677-691).
+
+Structure: MB raster order is required by the spec (filtered pixels of the
+left/top/topright MBs feed later edges), which admits the same 2:1-slope
+wavefront as intra prediction (x + 2y diagonals). One lax.fori_loop over
+diagonals; each step gathers a 20x20 luma (12x12 chroma) region per MB on
+the diagonal, applies the 4+4 luma and 2+2 chroma edges in order
+(vectorized across edge rows and across the diagonal), and scatters back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# spec tables (common/deblock.c:26-78), index 0..51
+ALPHA_TABLE = np.zeros(52, np.int32)
+ALPHA_TABLE[16:52] = [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25,
+                      28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113,
+                      127, 144, 162, 182, 203, 226, 255, 255]
+BETA_TABLE = np.zeros(52, np.int32)
+BETA_TABLE[16:52] = [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9,
+                     10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+                     17, 17, 18, 18]
+TC0_TABLE = np.zeros((52, 4), np.int32)
+TC0_TABLE[:, 0] = -1
+_tc0 = [
+    (17, [0, 0, 1]), (18, [0, 0, 1]), (19, [0, 0, 1]), (20, [0, 0, 1]),
+    (21, [0, 1, 1]), (22, [0, 1, 1]), (23, [1, 1, 1]), (24, [1, 1, 1]),
+    (25, [1, 1, 1]), (26, [1, 1, 1]), (27, [1, 1, 2]), (28, [1, 1, 2]),
+    (29, [1, 1, 2]), (30, [1, 1, 2]), (31, [1, 2, 3]), (32, [1, 2, 3]),
+    (33, [2, 2, 3]), (34, [2, 2, 4]), (35, [2, 3, 4]), (36, [2, 3, 4]),
+    (37, [3, 3, 5]), (38, [3, 4, 6]), (39, [3, 4, 6]), (40, [4, 5, 7]),
+    (41, [4, 5, 8]), (42, [4, 6, 9]), (43, [5, 7, 10]), (44, [6, 8, 11]),
+    (45, [6, 8, 13]), (46, [7, 10, 14]), (47, [8, 11, 16]),
+    (48, [9, 12, 18]), (49, [10, 13, 20]), (50, [11, 15, 23]),
+    (51, [13, 17, 25]),
+]
+for _qp, _v in _tc0:
+    TC0_TABLE[_qp, 1:] = _v
+
+_ALPHA_J = jnp.asarray(ALPHA_TABLE)
+_BETA_J = jnp.asarray(BETA_TABLE)
+_TC0_J = jnp.asarray(TC0_TABLE)
+
+
+def _clamp_idx(i):
+    return jnp.clip(i, 0, 51)
+
+
+def compute_strengths(nnz4, mv4, ref4, intra_mb):
+    """Vectorized deblock strength (deblock_strength_c, common/deblock.c:297
+    + intra rules). Inputs are frame-level 4x4-block grids:
+      nnz4: (4*mb_h, 4*mb_w) nonzero flags
+      mv4:  (4*mb_h, 4*mb_w, 2) qpel MVs
+      ref4: (4*mb_h, 4*mb_w) ref idx (-1 for intra MBs)
+      intra_mb: (mb_h, mb_w) bool
+    Returns bs: (mb_h, mb_w, 2, 4, 4) — [dir][edge][i]; dir 0 = vertical
+    edges. Internal edges of intra MBs get bs=3 (edge 0 is resolved to the
+    bs=4 intra filter inside the wavefront using the intra flags)."""
+    h4, w4 = nnz4.shape
+    mb_h, mb_w = h4 // 4, w4 // 4
+
+    def one_dir(shift_y, shift_x):
+        n_cur = nnz4
+        n_nb = jnp.roll(nnz4, (shift_y, shift_x), axis=(0, 1))
+        r_cur = ref4
+        r_nb = jnp.roll(ref4, (shift_y, shift_x), axis=(0, 1))
+        m_cur = mv4
+        m_nb = jnp.roll(mv4, (shift_y, shift_x), axis=(0, 1))
+        bs2 = (n_cur | n_nb) != 0
+        mvd = jnp.abs(m_cur - m_nb)
+        bs1 = (r_cur != r_nb) | jnp.any(mvd >= 4, axis=-1)
+        return jnp.where(bs2, 2, jnp.where(bs1, 1, 0)).astype(jnp.int32)
+
+    bs_v = one_dir(0, 1)   # vertical edges: neighbor = left block
+    bs_h = one_dir(1, 0)   # horizontal edges: neighbor = top block
+    # reshape to (mb_h, 4, mb_w, 4) → [mb][edge=block x][i=block y]
+    bs_v = bs_v.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 3, 1)
+    # bs_v[mby][mbx][bx][by] → want [edge=bx][i=by]
+    bs_h = bs_h.reshape(mb_h, 4, mb_w, 4).transpose(0, 2, 1, 3)
+    # bs_h[mby][mbx][by][bx] → [edge=by][i=bx]
+    bs = jnp.stack([bs_v, bs_h], axis=2)  # (mb_h, mb_w, 2, 4, 4)
+    bs = jnp.where(intra_mb[:, :, None, None, None], 3, bs)
+    return bs
+
+
+def _filter_normal_luma(p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0):
+    """deblock_edge_luma_c (common/deblock.c:80-121), vectorized. All args
+    broadcastable; tc0 >= 0 lanes active (tc0 < 0 → no filtering)."""
+    filt = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+            & (jnp.abs(q1 - q0) < beta) & (tc0 >= 0) & (tc0 > 0))
+    # note: reference applies p1/q1 deltas only when tc0 != 0, and the
+    # p0/q0 delta uses tc = tc0 + ap + aq; with tc0 == 0, tc can be > 0
+    filt_any = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+                & (jnp.abs(q1 - q0) < beta) & (tc0 >= 0))
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    pq1 = (p0 + q0 + 1) >> 1
+    p1n = p1 + jnp.clip(((p2 + pq1) >> 1) - p1, -tc0, tc0)
+    q1n = q1 + jnp.clip(((q2 + pq1) >> 1) - q1, -tc0, tc0)
+    p1o = jnp.where(filt_any & ap & (tc0 > 0), p1n, p1)
+    q1o = jnp.where(filt_any & aq & (tc0 > 0), q1n, q1)
+    tc = tc0 + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0o = jnp.where(filt_any, jnp.clip(p0 + delta, 0, 255), p0)
+    q0o = jnp.where(filt_any, jnp.clip(q0 - delta, 0, 255), q0)
+    return p1o, p0o, q0o, q1o
+
+
+def _filter_intra_luma(p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta):
+    """deblock_edge_luma_intra_c (common/deblock.c:196-246), vectorized."""
+    filt = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+            & (jnp.abs(q1 - q0) < beta))
+    strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    # strong 4/5-tap
+    p0s = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+    p1s = (p2 + p1 + p0 + q0 + 2) >> 2
+    p2s = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+    q0s = (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3
+    q1s = (p0 + q0 + q1 + q2 + 2) >> 2
+    q2s = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+    # weak 3-tap
+    p0w = (2 * p1 + p0 + q1 + 2) >> 2
+    q0w = (2 * q1 + q0 + p1 + 2) >> 2
+
+    p0o = jnp.where(filt, jnp.where(strong, jnp.where(ap, p0s, p0w), p0w), p0)
+    p1o = jnp.where(filt & strong & ap, p1s, p1)
+    p2o = jnp.where(filt & strong & ap, p2s, p2)
+    q0o = jnp.where(filt, jnp.where(strong, jnp.where(aq, q0s, q0w), q0w), q0)
+    q1o = jnp.where(filt & strong & aq, q1s, q1)
+    q2o = jnp.where(filt & strong & aq, q2s, q2)
+    return p2o, p1o, p0o, q0o, q1o, q2o
+
+
+def _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc):
+    """deblock_edge_chroma_c (common/deblock.c:147-168); tc already +1."""
+    filt = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+            & (jnp.abs(q1 - q0) < beta) & (tc > 0))
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0o = jnp.where(filt, jnp.clip(p0 + delta, 0, 255), p0)
+    q0o = jnp.where(filt, jnp.clip(q0 - delta, 0, 255), q0)
+    return p0o, q0o
+
+
+def _filter_intra_chroma(p1, p0, q0, q1, alpha, beta):
+    filt = ((jnp.abs(p0 - q0) < alpha) & (jnp.abs(p1 - p0) < beta)
+            & (jnp.abs(q1 - q0) < beta))
+    p0o = jnp.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+    q0o = jnp.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+    return p0o, q0o
+
+
+def _deblock_mb_luma(region, bs_mb, intra_cur, intra_left, intra_top,
+                     has_left, has_top, first_edge_only,
+                     alpha, beta, index_a):
+    """Deblock one MB's luma. region: (20, 20), MB at [4:20, 4:20].
+    bs_mb: (2, 4, 4)."""
+    rows = jnp.arange(16)
+    grp = rows >> 2  # tc0 group per row
+
+    def v_edge(reg, edge_i, use_intra, enabled):
+        c = 4 + edge_i * 4
+        cols = [reg[4:20, c + o] for o in range(-4, 4)]
+        p3, p2, p1, p0, q0, q1, q2, q3 = cols
+        bs = bs_mb[0, edge_i]               # (4,)
+        tc0 = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp]
+        p1n, p0n, q0n, q1n = _filter_normal_luma(
+            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0)
+        p2i, p1i, p0i, q0i, q1i, q2i = _filter_intra_luma(
+            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta)
+        sel = use_intra
+        outs = {
+            c - 3: jnp.where(sel, p2i, p2),
+            c - 2: jnp.where(sel, p1i, p1n),
+            c - 1: jnp.where(sel, p0i, p0n),
+            c + 0: jnp.where(sel, q0i, q0n),
+            c + 1: jnp.where(sel, q1i, q1n),
+            c + 2: jnp.where(sel, q2i, q2),
+        }
+        for cc, vv in outs.items():
+            vv = jnp.where(enabled, vv, reg[4:20, cc])
+            reg = reg.at[4:20, cc].set(vv)
+        return reg
+
+    def h_edge(reg, edge_i, use_intra, enabled):
+        r = 4 + edge_i * 4
+        rws = [reg[r + o, 4:20] for o in range(-4, 4)]
+        p3, p2, p1, p0, q0, q1, q2, q3 = rws
+        bs = bs_mb[1, edge_i]
+        tc0 = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp]
+        p1n, p0n, q0n, q1n = _filter_normal_luma(
+            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0)
+        p2i, p1i, p0i, q0i, q1i, q2i = _filter_intra_luma(
+            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta)
+        sel = use_intra
+        outs = {
+            r - 3: jnp.where(sel, p2i, p2),
+            r - 2: jnp.where(sel, p1i, p1n),
+            r - 1: jnp.where(sel, p0i, p0n),
+            r + 0: jnp.where(sel, q0i, q0n),
+            r + 1: jnp.where(sel, q1i, q1n),
+            r + 2: jnp.where(sel, q2i, q2),
+        }
+        for rr, vv in outs.items():
+            vv = jnp.where(enabled, vv, reg[rr, 4:20])
+            reg = reg.at[rr, 4:20].set(vv)
+        return reg
+
+    f = jnp.bool_(False)
+    # vertical edges first (x264_frame_deblock_row order, deblock.c:379-398)
+    region = v_edge(region, 0, intra_cur | intra_left, has_left)
+    internal = ~first_edge_only
+    region = v_edge(region, 1, f, internal)
+    region = v_edge(region, 2, f, internal)
+    region = v_edge(region, 3, f, internal)
+    region = h_edge(region, 0, intra_cur | intra_top, has_top)
+    region = h_edge(region, 1, f, internal)
+    region = h_edge(region, 2, f, internal)
+    region = h_edge(region, 3, f, internal)
+    return region
+
+
+def _deblock_mb_chroma(region, bs_mb, intra_cur, intra_left, intra_top,
+                       has_left, has_top, first_edge_only,
+                       alpha, beta, index_a):
+    """region: (12, 12), chroma MB at [4:12, 4:12]; edges at 0 and 4 use
+    bs rows 0 and 2; tc0 group per 2 samples; chroma tc = tc0 + 1."""
+    rows = jnp.arange(8)
+    grp = rows >> 1  # 4 groups of 2 samples
+
+    def v_edge(reg, edge_c, bs_row, use_intra, enabled):
+        c = 4 + edge_c
+        p1, p0, q0, q1 = (reg[4:12, c - 2], reg[4:12, c - 1],
+                          reg[4:12, c], reg[4:12, c + 1])
+        bs = bs_mb[0, bs_row]
+        tc = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp] + 1
+        # reference skips groups with tc0 <= 0 (tc0 == -1 → tc == 0)
+        p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
+        p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
+        p0o = jnp.where(use_intra, p0i, p0n)
+        q0o = jnp.where(use_intra, q0i, q0n)
+        reg = reg.at[4:12, c - 1].set(jnp.where(enabled, p0o, p0))
+        reg = reg.at[4:12, c].set(jnp.where(enabled, q0o, q0))
+        return reg
+
+    def h_edge(reg, edge_c, bs_row, use_intra, enabled):
+        r = 4 + edge_c
+        p1, p0, q0, q1 = (reg[r - 2, 4:12], reg[r - 1, 4:12],
+                          reg[r, 4:12], reg[r + 1, 4:12])
+        bs = bs_mb[1, bs_row]
+        tc = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp] + 1
+        p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
+        p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
+        p0o = jnp.where(use_intra, p0i, p0n)
+        q0o = jnp.where(use_intra, q0i, q0n)
+        reg = reg.at[r - 1, 4:12].set(jnp.where(enabled, p0o, p0))
+        reg = reg.at[r, 4:12].set(jnp.where(enabled, q0o, q0))
+        return reg
+
+    f = jnp.bool_(False)
+    internal = ~first_edge_only
+    region = v_edge(region, 0, 0, intra_cur | intra_left, has_left)
+    region = v_edge(region, 4, 2, f, internal)
+    region = h_edge(region, 0, 0, intra_cur | intra_top, has_top)
+    region = h_edge(region, 4, 2, f, internal)
+    return region
+
+
+def _diag_schedule(mb_w, mb_h):
+    n_diag = (mb_w - 1) + 2 * (mb_h - 1) + 1
+    rows = []
+    dmax = 0
+    for d in range(n_diag):
+        mbs = [(y, d - 2 * y) for y in range(mb_h) if 0 <= d - 2 * y < mb_w]
+        rows.append(mbs)
+        dmax = max(dmax, len(mbs))
+    ys = np.full((n_diag, dmax), -1, np.int32)
+    xs = np.full((n_diag, dmax), -1, np.int32)
+    for d, mbs in enumerate(rows):
+        for k, (y, x) in enumerate(mbs):
+            ys[d, k], xs[d, k] = y, x
+    return n_diag, dmax, jnp.asarray(ys), jnp.asarray(xs)
+
+
+PAD_DB = 8
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
+                  alpha_off, beta_off, mb_w: int, mb_h: int):
+    """Deblock a full frame in place (wavefront). y/u/v: recon planes
+    int32; bs: (mb_h, mb_w, 2, 4, 4); intra_mb/first_edge_only:
+    (mb_h, mb_w); qp/qpc scalars (per-slice, constant-QP round 1);
+    alpha_off/beta_off: slice offsets (already <<1 removed — raw offsets).
+    Returns filtered (y, u, v)."""
+    index_a = jnp.clip(qp + alpha_off, 0, 51)
+    index_b = jnp.clip(qp + beta_off, 0, 51)
+    index_ac = jnp.clip(qpc + alpha_off, 0, 51)
+    index_bc = jnp.clip(qpc + beta_off, 0, 51)
+    alpha = _ALPHA_J[index_a]
+    beta = _BETA_J[index_b]
+    alphac = _ALPHA_J[index_ac]
+    betac = _BETA_J[index_bc]
+
+    H, W = mb_h * 16, mb_w * 16
+    yp = jnp.pad(y.astype(jnp.int32), PAD_DB)
+    up = jnp.pad(u.astype(jnp.int32), PAD_DB)
+    vp = jnp.pad(v.astype(jnp.int32), PAD_DB)
+
+    n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
+
+    def gather(plane, ys, xs, mbsize, rsize):
+        def one(yy, xx):
+            return jax.lax.dynamic_slice(
+                plane, (yy * mbsize + PAD_DB - 4, xx * mbsize + PAD_DB - 4),
+                (rsize, rsize))
+        return jax.vmap(one)(ys, xs)
+
+    def step(d, state):
+        yp, up, vp = state
+        ys = diag_ys[d]
+        xs = diag_xs[d]
+        valid = ys >= 0
+        yc = jnp.maximum(ys, 0)
+        xc = jnp.maximum(xs, 0)
+
+        regy = gather(yp, yc, xc, 16, 24)[:, :20, :20]
+        regu = gather(up, yc, xc, 8, 16)[:, :12, :12]
+        regv = gather(vp, yc, xc, 8, 16)[:, :12, :12]
+
+        bs_mb = bs[yc, xc]
+        ic = intra_mb[yc, xc] > 0
+        il = intra_mb[yc, jnp.maximum(xc - 1, 0)] > 0
+        it = intra_mb[jnp.maximum(yc - 1, 0), xc] > 0
+        feo = first_edge_only[yc, xc] > 0
+        has_l = xs > 0
+        has_t = ys > 0
+
+        vy = jax.vmap(_deblock_mb_luma,
+                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))
+        regy2 = vy(regy, bs_mb, ic, il, it, has_l, has_t, feo,
+                   alpha, beta, index_a)
+        vc = jax.vmap(_deblock_mb_chroma,
+                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))
+        regu2 = vc(regu, bs_mb, ic, il, it, has_l, has_t, feo,
+                   alphac, betac, index_ac)
+        regv2 = vc(regv, bs_mb, ic, il, it, has_l, has_t, feo,
+                   alphac, betac, index_ac)
+
+        oob = jnp.int32(1 << 20)
+        sy = jnp.where(valid, yc, oob)
+        sx = jnp.where(valid, xc, oob)
+
+        def scatter(plane, reg, mbsize, rsize):
+            r = (sy[:, None, None] * mbsize + PAD_DB - 4
+                 + jnp.arange(rsize)[None, :, None])
+            c = (sx[:, None, None] * mbsize + PAD_DB - 4
+                 + jnp.arange(rsize)[None, None, :])
+            return plane.at[r, c].set(reg, mode="drop")
+
+        yp2 = scatter(yp, regy2, 16, 20)
+        up2 = scatter(up, regu2, 8, 12)
+        vp2 = scatter(vp, regv2, 8, 12)
+        return (yp2, up2, vp2)
+
+    yp, up, vp = jax.lax.fori_loop(0, n_diag, step, (yp, up, vp))
+    return (yp[PAD_DB:PAD_DB + H, PAD_DB:PAD_DB + W],
+            up[PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2],
+            vp[PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2])

@@ -475,3 +475,237 @@ def var2_8x8(fenc: np.ndarray, fdec: np.ndarray):
     s = int(d.sum())
     sq = int((d * d).sum())
     return sq - (s * s >> 6), sq
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (common/mc.c)
+# ---------------------------------------------------------------------------
+
+HPEL_REF0 = np.array([0, 1, 1, 1, 0, 1, 1, 1, 2, 3, 3, 3, 0, 1, 1, 1])
+HPEL_REF1 = np.array([0, 0, 0, 0, 2, 2, 3, 2, 2, 2, 3, 2, 2, 2, 3, 2])
+
+
+def hpel_filter(plane: np.ndarray):
+    """Scalar twin of hpel_filter (common/mc.c:144-167). Returns (h, v, c);
+    the outer 3 pixels of each edge are invalid."""
+    p = plane.astype(np.int64)
+    H, W = p.shape
+    h = np.zeros_like(p)
+    v = np.zeros_like(p)
+    c = np.zeros_like(p)
+    vfull = np.zeros_like(p)
+    for y in range(2, H - 3):
+        for x in range(W):
+            t = (p[y - 2, x] + p[y + 3, x] - 5 * (p[y - 1, x] + p[y + 2, x])
+                 + 20 * (p[y, x] + p[y + 1, x]))
+            vfull[y, x] = t
+            v[y, x] = clip_pixel((t + 16) >> 5)
+    for y in range(H):
+        for x in range(2, W - 3):
+            t = (p[y, x - 2] + p[y, x + 3] - 5 * (p[y, x - 1] + p[y, x + 2])
+                 + 20 * (p[y, x] + p[y, x + 1]))
+            h[y, x] = clip_pixel((t + 16) >> 5)
+    for y in range(2, H - 3):
+        for x in range(2, W - 3):
+            t = (vfull[y, x - 2] + vfull[y, x + 3]
+                 - 5 * (vfull[y, x - 1] + vfull[y, x + 2])
+                 + 20 * (vfull[y, x] + vfull[y, x + 1]))
+            c[y, x] = clip_pixel((t + 512) >> 10)
+    return h, v, c
+
+
+def mc_luma(ref4, x0, y0, mvx, mvy, bw, bh):
+    """Scalar twin of mc_luma (common/mc.c:216-240). ref4: list of 4
+    planes (same shape); coords are plane coords (already padded)."""
+    qidx = ((mvy & 3) << 2) + (mvx & 3)
+    fy = y0 + (mvy >> 2)
+    fx = x0 + (mvx >> 2)
+    y1 = fy + (1 if (mvy & 3) == 3 else 0)
+    src1 = ref4[HPEL_REF0[qidx]][y1:y1 + bh, fx:fx + bw].astype(np.int32)
+    if qidx & 5:
+        x2 = fx + (1 if (mvx & 3) == 3 else 0)
+        src2 = ref4[HPEL_REF1[qidx]][fy:fy + bh, x2:x2 + bw].astype(np.int32)
+        return (src1 + src2 + 1) >> 1
+    return src1
+
+
+def mc_chroma(refc, x0, y0, mvx, mvy, bw, bh):
+    """Scalar twin of mc_chroma (common/mc.c:295-323), planar."""
+    d8x, d8y = mvx & 7, mvy & 7
+    cA = (8 - d8x) * (8 - d8y)
+    cB = d8x * (8 - d8y)
+    cC = (8 - d8x) * d8y
+    cD = d8x * d8y
+    fy = y0 + (mvy >> 3)
+    fx = x0 + (mvx >> 3)
+    out = np.zeros((bh, bw), np.int32)
+    s = refc.astype(np.int32)
+    for y in range(bh):
+        for x in range(bw):
+            out[y, x] = (cA * s[fy + y, fx + x] + cB * s[fy + y, fx + x + 1]
+                         + cC * s[fy + y + 1, fx + x]
+                         + cD * s[fy + y + 1, fx + x + 1] + 32) >> 6
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deblocking (common/deblock.c) — scalar twin of x264_frame_deblock_row
+# ---------------------------------------------------------------------------
+
+from .deblock import ALPHA_TABLE, BETA_TABLE, TC0_TABLE  # noqa: E402
+
+
+def _db_edge_luma(pix, y0, x0, dy, dx, alpha, beta, tc0):
+    """Filter one luma sample position across an edge; (dy,dx) = direction
+    of the p→q axis (xstride)."""
+    def g(k):
+        return int(pix[y0 + dy * k, x0 + dx * k])
+    p3, p2, p1, p0 = g(-4), g(-3), g(-2), g(-1)
+    q0, q1, q2, q3 = g(0), g(1), g(2), g(3)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return
+    tc = tc0
+    if abs(p2 - p0) < beta:
+        if tc0:
+            pix[y0 - dy * 2, x0 - dx * 2] = p1 + np.clip(
+                ((p2 + ((p0 + q0 + 1) >> 1)) >> 1) - p1, -tc0, tc0)
+        tc += 1
+    if abs(q2 - q0) < beta:
+        if tc0:
+            pix[y0 + dy, x0 + dx] = q1 + np.clip(
+                ((q2 + ((p0 + q0 + 1) >> 1)) >> 1) - q1, -tc0, tc0)
+        tc += 1
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    pix[y0 - dy, x0 - dx] = np.clip(p0 + delta, 0, 255)
+    pix[y0, x0] = np.clip(q0 - delta, 0, 255)
+
+
+def _db_edge_luma_intra(pix, y0, x0, dy, dx, alpha, beta):
+    def g(k):
+        return int(pix[y0 + dy * k, x0 + dx * k])
+    p3, p2, p1, p0 = g(-4), g(-3), g(-2), g(-1)
+    q0, q1, q2, q3 = g(0), g(1), g(2), g(3)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return
+    if abs(p0 - q0) < (alpha >> 2) + 2:
+        if abs(p2 - p0) < beta:
+            pix[y0 - dy, x0 - dx] = (p2 + 2*p1 + 2*p0 + 2*q0 + q1 + 4) >> 3
+            pix[y0 - 2*dy, x0 - 2*dx] = (p2 + p1 + p0 + q0 + 2) >> 2
+            pix[y0 - 3*dy, x0 - 3*dx] = (2*p3 + 3*p2 + p1 + p0 + q0 + 4) >> 3
+        else:
+            pix[y0 - dy, x0 - dx] = (2*p1 + p0 + q1 + 2) >> 2
+        if abs(q2 - q0) < beta:
+            pix[y0, x0] = (p1 + 2*p0 + 2*q0 + 2*q1 + q2 + 4) >> 3
+            pix[y0 + dy, x0 + dx] = (p0 + q0 + q1 + q2 + 2) >> 2
+            pix[y0 + 2*dy, x0 + 2*dx] = (2*q3 + 3*q2 + q1 + q0 + p0 + 4) >> 3
+        else:
+            pix[y0, x0] = (2*q1 + q0 + p1 + 2) >> 2
+    else:
+        pix[y0 - dy, x0 - dx] = (2*p1 + p0 + q1 + 2) >> 2
+        pix[y0, x0] = (2*q1 + q0 + p1 + 2) >> 2
+
+
+def _db_edge_chroma(pix, y0, x0, dy, dx, alpha, beta, tc):
+    def g(k):
+        return int(pix[y0 + dy * k, x0 + dx * k])
+    p1, p0, q0, q1 = g(-2), g(-1), g(0), g(1)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    pix[y0 - dy, x0 - dx] = np.clip(p0 + delta, 0, 255)
+    pix[y0, x0] = np.clip(q0 - delta, 0, 255)
+
+
+def _db_edge_chroma_intra(pix, y0, x0, dy, dx, alpha, beta):
+    def g(k):
+        return int(pix[y0 + dy * k, x0 + dx * k])
+    p1, p0, q0, q1 = g(-2), g(-1), g(0), g(1)
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return
+    pix[y0 - dy, x0 - dx] = (2*p1 + p0 + q1 + 2) >> 2
+    pix[y0, x0] = (2*q1 + q0 + p1 + 2) >> 2
+
+
+def deblock_frame_golden(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
+                         a_off=0, b_off=0):
+    """Scalar x264_frame_deblock_row over the whole frame
+    (common/deblock.c:341-430). Arrays are modified copies returned."""
+    y = y.astype(np.int32).copy()
+    u = u.astype(np.int32).copy()
+    v = v.astype(np.int32).copy()
+    mb_h, mb_w = intra_mb.shape
+    idx_a = int(np.clip(qp + a_off, 0, 51))
+    idx_b = int(np.clip(qp + b_off, 0, 51))
+    idx_ac = int(np.clip(qpc + a_off, 0, 51))
+    idx_bc = int(np.clip(qpc + b_off, 0, 51))
+    alpha, beta = int(ALPHA_TABLE[idx_a]), int(BETA_TABLE[idx_b])
+    alphac, betac = int(ALPHA_TABLE[idx_ac]), int(BETA_TABLE[idx_bc])
+
+    def luma_edge(mbx, mby, dirn, edge, use_intra):
+        bss = bs[mby, mbx, dirn, edge]
+        for i in range(4):
+            for d in range(4):
+                k = i * 4 + d
+                if dirn == 0:
+                    yy, xx = mby * 16 + k, mbx * 16 + edge * 4
+                    dy, dx = 0, 1
+                else:
+                    yy, xx = mby * 16 + edge * 4, mbx * 16 + k
+                    dy, dx = 1, 0
+                if use_intra:
+                    _db_edge_luma_intra(y, yy, xx, dy, dx, alpha, beta)
+                else:
+                    tc0 = int(TC0_TABLE[idx_a, bss[i]])
+                    if tc0 < 0:
+                        continue
+                    _db_edge_luma(y, yy, xx, dy, dx, alpha, beta, tc0)
+
+    def chroma_edge(plane, mbx, mby, dirn, edge_c, bs_row, use_intra):
+        bss = bs[mby, mbx, dirn, bs_row]
+        for i in range(4):
+            for d in range(2):
+                k = i * 2 + d
+                if dirn == 0:
+                    yy, xx = mby * 8 + k, mbx * 8 + edge_c
+                    dy, dx = 0, 1
+                else:
+                    yy, xx = mby * 8 + edge_c, mbx * 8 + k
+                    dy, dx = 1, 0
+                if use_intra:
+                    _db_edge_chroma_intra(plane, yy, xx, dy, dx,
+                                          alphac, betac)
+                else:
+                    tc = int(TC0_TABLE[idx_ac, bss[i]]) + 1
+                    if tc <= 0:
+                        continue
+                    _db_edge_chroma(plane, yy, xx, dy, dx, alphac, betac, tc)
+
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            ic = bool(intra_mb[mby, mbx])
+            feo = bool(first_edge_only[mby, mbx])
+            if mbx > 0:
+                uin = ic or bool(intra_mb[mby, mbx - 1])
+                luma_edge(mbx, mby, 0, 0, uin)
+                chroma_edge(u, mbx, mby, 0, 0, 0, uin)
+                chroma_edge(v, mbx, mby, 0, 0, 0, uin)
+            if not feo:
+                for e in (1, 2, 3):
+                    luma_edge(mbx, mby, 0, e, False)
+                chroma_edge(u, mbx, mby, 0, 4, 2, False)
+                chroma_edge(v, mbx, mby, 0, 4, 2, False)
+            if mby > 0:
+                uin = ic or bool(intra_mb[mby - 1, mbx])
+                luma_edge(mbx, mby, 1, 0, uin)
+                chroma_edge(u, mbx, mby, 1, 0, 0, uin)
+                chroma_edge(v, mbx, mby, 1, 0, 0, uin)
+            if not feo:
+                for e in (1, 2, 3):
+                    luma_edge(mbx, mby, 1, e, False)
+                chroma_edge(u, mbx, mby, 1, 4, 2, False)
+                chroma_edge(v, mbx, mby, 1, 4, 2, False)
+    return y, u, v
