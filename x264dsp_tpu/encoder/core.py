@@ -22,8 +22,12 @@ from ..entropy import cavlc
 from ..entropy.bitstream import BitWriter, nal_unit
 from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
 from ..ops.tables import CHROMA_QP_TABLE
+from ..ops import deblock as DB
+from ..ops import mc as MC
 from .sets import PPS, SPS
-from . import intra_frame
+from .ratecontrol import RateControl
+from .slicetype import SlicetypeDecider
+from . import intra_frame, inter_frame
 
 # x264_mb_pred_mode4x4_fix (common/predict.h:60-68)
 _FIX4 = np.array([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 2, 2, 2], np.int32)
@@ -84,14 +88,9 @@ class EncoderCore:
         self.mb_w = self.sps.i_mb_width
         self.mb_h = self.sps.i_mb_height
 
-        # rate control (CQP path; ratecontrol.c:427-433)
-        rc = p.rc
-        ip_offset = 6.0 * math.log2(rc.f_ip_factor)
-        self.qp_constant = {
-            P.SLICE_TYPE_P: rc.i_qp_constant,
-            P.SLICE_TYPE_I: int(np.clip(rc.i_qp_constant - ip_offset + 0.5,
-                                        0, P.QP_MAX)),
-        }
+        # rate control + lookahead slice-type decision
+        self.rc = RateControl(p, self.mb_w * self.mb_h)
+        self.slicetype = SlicetypeDecider(p)
 
         # mbcmp selection (encoder.c:412: satd unless subme <= 1)
         self.use_satd = p.analyse.i_subpel_refine > 1
@@ -101,7 +100,14 @@ class EncoderCore:
         self.frame_num = 0        # frame_num syntax element
         self.idr_pic_id = 0
         self.stats = Stats()
-        self.last_recon = None    # (y, u, v) np arrays, unfiltered
+        self.last_recon = None    # (y, u, v) np arrays (deblocked output)
+        # reference state (DPB of 1 for now; i_frame_reference=1 default)
+        self.ref_planes = None    # (ref4_y, ref_u_pad, ref_v_pad) device
+
+        # slice-level deblock decision (x264_slice_header_init,
+        # encoder.c:1040-1046)
+        self.deblock_a = p.i_deblocking_filter_alphac0
+        self.deblock_b = p.i_deblocking_filter_beta
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NAL]:
@@ -139,20 +145,74 @@ class EncoderCore:
                             bw.get_bytes()))
 
     # ------------------------------------------------------------------
+    def _deblock_enabled(self, qp: int) -> bool:
+        p = self.param
+        thresh = qp + 2 * min(p.i_deblocking_filter_alphac0,
+                              p.i_deblocking_filter_beta)
+        return bool(p.b_deblocking_filter and thresh > 15)
+
+    def _update_reference(self, recon_y, recon_u, recon_v, syn, slice_type,
+                          qp, qpc):
+        """Deblock the reconstruction (x264_fdec_filter_row reborn as one
+        full-frame wavefront) and build the hpel reference pyramid
+        (x264_frame_filter, common/mc.c:506)."""
+        import jax.numpy as jnp
+        mb_w, mb_h = self.mb_w, self.mb_h
+        if self._deblock_enabled(qp):
+            if slice_type == P.SLICE_TYPE_I:
+                intra = np.ones((mb_h, mb_w), np.int32)
+                bs = np.full((mb_h, mb_w, 2, 4, 4), 3, np.int32)
+                feo = np.zeros((mb_h, mb_w), np.int32)
+            else:
+                intra = np.zeros((mb_h, mb_w), np.int32)
+                nnz4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+                bix, biy = BLOCK_IDX_X, BLOCK_IDX_Y
+                for i in range(16):
+                    nnz4[biy[i]::4, bix[i]::4] = syn["luma_nnz"][:, :, i]
+                mv4 = np.repeat(np.repeat(syn["mv"], 4, 0), 4, 1)
+                ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+                bs = np.asarray(DB.compute_strengths(
+                    jnp.asarray(nnz4), jnp.asarray(mv4), jnp.asarray(ref4),
+                    jnp.asarray(intra) > 0))
+                cbp_all = (syn["cbp_luma"] | (syn["cbp_chroma"] << 4))
+                feo = (cbp_all == 0).astype(np.int32)
+            # filter offsets are 2x the signalled div2 values
+            # (slice_header_init, encoder.c:1044-1046)
+            dy, du, dv = DB.deblock_frame(
+                recon_y, recon_u, recon_v, jnp.asarray(bs),
+                jnp.asarray(intra), jnp.asarray(feo), qp, qpc,
+                self.deblock_a * 2, self.deblock_b * 2, mb_w=mb_w, mb_h=mb_h)
+        else:
+            dy, du, dv = (jnp.asarray(recon_y), jnp.asarray(recon_u),
+                          jnp.asarray(recon_v))
+        # hpel pyramid for the next frame's MC
+        self.ref_planes = (MC.make_ref_planes(dy), MC.pad_chroma(du),
+                           MC.pad_chroma(dv))
+        return (np.asarray(dy).astype(np.uint8),
+                np.asarray(du).astype(np.uint8),
+                np.asarray(dv).astype(np.uint8))
+
     def encode(self, pic: Picture | None):
         if pic is None:
-            return [], None  # no lookahead delay in the intra/CQP path yet
+            return [], None  # no lookahead delay in the CQP path
         p = self.param
 
-        is_keyframe = (self.i_frame % p.i_keyint_max == 0
-                       or pic.i_type in (P.TYPE_IDR, P.TYPE_I)
-                       or pic.b_keyframe)
-        # round-1: I slices only (P pipeline lands with the inter module);
-        # all frames are coded as I, keyframes as IDR.
-        is_idr = is_keyframe
-        slice_type = P.SLICE_TYPE_I
+        fy = pad_mod16(np.asarray(pic.y, np.uint8), 16)
+        fu = pad_mod16(np.asarray(pic.u, np.uint8), 8)
+        fv = pad_mod16(np.asarray(pic.v, np.uint8), 8)
 
-        qp = self.qp_constant[slice_type]
+        # slice-type decision (lookahead lowres pass + scenecut/keyint)
+        slice_type, is_keyframe, frame_cost = self.slicetype.decide(fy)
+        if not is_keyframe and (pic.i_type in (P.TYPE_IDR, P.TYPE_I)
+                                or pic.b_keyframe
+                                or self.ref_planes is None):
+            slice_type, is_keyframe = P.SLICE_TYPE_I, True
+            self.slicetype.last_keyframe = self.slicetype.frame_idx - 1
+        is_idr = is_keyframe
+
+        qp = self.rc.start(slice_type, frame_cost)
+        if pic.i_qpplus1:
+            qp = pic.i_qpplus1 - 1  # i_force_qp (ratecontrol.c:579-580)
         qp = int(np.clip(qp, p.rc.i_qp_min, p.rc.i_qp_max))
         # out-of-spec QPs (52-69) are an emergency-denoise mode in the
         # reference (analyse.c:338-346); clamp to the spec range for now
@@ -161,14 +221,19 @@ class EncoderCore:
                                           0, 51)])
         lam = int(LAMBDA_TAB[qp])
 
-        fy = pad_mod16(np.asarray(pic.y, np.uint8), 16)
-        fu = pad_mod16(np.asarray(pic.u, np.uint8), 8)
-        fv = pad_mod16(np.asarray(pic.v, np.uint8), 8)
-
-        dev = intra_frame.encode_i_frame(
-            fy, fu, fv, qp, qpc, lam,
-            mb_w=self.mb_w, mb_h=self.mb_h,
-            use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled)
+        if slice_type == P.SLICE_TYPE_I:
+            dev = intra_frame.encode_i_frame(
+                fy, fu, fv, qp, qpc, lam,
+                mb_w=self.mb_w, mb_h=self.mb_h,
+                use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled)
+        else:
+            ref4, refu, refv = self.ref_planes
+            dev = inter_frame.encode_p_frame(
+                fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
+                mb_w=self.mb_w, mb_h=self.mb_h,
+                me_range=p.analyse.i_me_range,
+                mv_range=p.analyse.i_mv_range,
+                dct_decimate=bool(p.analyse.b_dct_decimate))
         syn = {k: np.asarray(v) for k, v in dev.items()}
 
         nals = []
@@ -178,9 +243,12 @@ class EncoderCore:
         if is_idr:
             self.frame_num = 0
 
-        slice_payload = self._write_slice_cavlc(
-            syn, slice_type, qp,
-            idr_pic_id=self.idr_pic_id if is_idr else -1)
+        if slice_type == P.SLICE_TYPE_I:
+            slice_payload = self._write_slice_cavlc(
+                syn, slice_type, qp,
+                idr_pic_id=self.idr_pic_id if is_idr else -1)
+        else:
+            slice_payload = self._write_slice_p_cavlc(syn, qp)
         nal_type = P.NAL_SLICE_IDR if is_idr else P.NAL_SLICE
         nals.append(NAL(nal_type, P.NAL_PRIORITY_HIGHEST,
                         nal_unit(nal_type, P.NAL_PRIORITY_HIGHEST,
@@ -192,15 +260,16 @@ class EncoderCore:
             1 << self.sps.i_log2_max_frame_num)
         self.i_frame += 1
 
-        self.last_recon = (syn["recon_y"].astype(np.uint8),
-                           syn["recon_u"].astype(np.uint8),
-                           syn["recon_v"].astype(np.uint8))
+        self.last_recon = self._update_reference(
+            syn["recon_y"], syn["recon_u"], syn["recon_v"], syn,
+            slice_type, qp, qpc)
 
         # stats (h->stat twin, encoder.c:2077-2156)
         st = self.stats
         st.i_frame_count[slice_type] += 1
         total = sum(len(n.payload) for n in nals)
         st.i_frame_size[slice_type] += total
+        self.rc.end(slice_type, total * 8)
         st.f_frame_qp[slice_type] += qp
         h, w = pic.y.shape
         for plane, (rec, src) in enumerate(
@@ -210,10 +279,12 @@ class EncoderCore:
             st.ssd[plane] += int((d * d).sum())
             st.pixels[plane] += ph * pw
 
+        ftype = (P.TYPE_IDR if is_idr
+                 else P.TYPE_I if slice_type == P.SLICE_TYPE_I
+                 else P.TYPE_P)
         pic_out = Picture(y=self.last_recon[0], u=self.last_recon[1],
                           v=self.last_recon[2],
-                          i_frame_qp=qp, i_frame_type=P.TYPE_IDR if is_idr
-                          else P.TYPE_I, i_pts=pic.i_pts)
+                          i_frame_qp=qp, i_frame_type=ftype, i_pts=pic.i_pts)
         return nals, pic_out
 
     # ------------------------------------------------------------------
@@ -369,6 +440,142 @@ class EncoderCore:
         else:
             chroma_cnt[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
         return last_qp
+
+    # ------------------------------------------------------------------
+    # P slice entropy (host)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _host_mvp_16x16(mv, avail, mbx, mby):
+        """x264_mb_predict_mv_16x16 (common/mvpred.c:103-137), single-ref.
+        mv: (mb_h, mb_w, 2); avail: availability grid (in-frame)."""
+        mb_h, mb_w = avail.shape
+
+        def nb(y, x):
+            if y < 0 or x < 0 or x >= mb_w:
+                return np.zeros(2, np.int64), False
+            return mv[y, x].astype(np.int64), bool(avail[y, x])
+
+        mv_a, ok_a = nb(mby, mbx - 1)
+        mv_b, ok_b = nb(mby - 1, mbx)
+        mv_c, ok_c = nb(mby - 1, mbx + 1)
+        if not ok_c:
+            mv_c, ok_c = nb(mby - 1, mbx - 1)
+        count = int(ok_a) + int(ok_b) + int(ok_c)
+        if count > 1:
+            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
+        elif count == 1:
+            mvp = mv_a if ok_a else (mv_b if ok_b else mv_c)
+        elif not ok_b and not ok_c and ok_a:
+            mvp = mv_a
+        else:
+            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
+        return np.asarray(mvp, np.int64), (ok_a, ok_b, mv_a, mv_b)
+
+    def _host_pskip_mv(self, mv, avail, mbx, mby):
+        """x264_mb_predict_mv_pskip (common/mvpred.c:143-160)."""
+        mvp, (ok_a, ok_b, mv_a, mv_b) = self._host_mvp_16x16(mv, avail,
+                                                             mbx, mby)
+        if (not ok_a or not ok_b
+                or (ok_a and not mv_a.any())
+                or (ok_b and not mv_b.any())):
+            return np.zeros(2, np.int64)
+        return mvp
+
+    def _write_slice_p_cavlc(self, syn, qp) -> bytes:
+        """P slice: header + skip runs + P_L0 16x16 MBs (encoder/cavlc.c
+        mb_header_p :233-260, slice loop encoder.c:1547-1570)."""
+        p = self.param
+        bw = BitWriter()
+        bw.write_ue(0)                       # first_mb_in_slice
+        bw.write_ue(P.SLICE_TYPE_P + 5)
+        bw.write_ue(self.pps.i_id)
+        bw.write(self.sps.i_log2_max_frame_num,
+                 self.frame_num & ((1 << self.sps.i_log2_max_frame_num) - 1))
+        bw.write1(0)                         # num_ref_idx_override
+        bw.write1(0)                         # ref_pic_list_reordering
+        bw.write1(0)                         # adaptive_ref_pic_marking
+        bw.write_se(qp - self.pps.i_pic_init_qp)
+        deblock_on = self._deblock_enabled(qp)
+        bw.write_ue(0 if deblock_on else 1)
+        if deblock_on:
+            bw.write_se(p.i_deblocking_filter_alphac0)
+            bw.write_se(p.i_deblocking_filter_beta)
+
+        mb_w, mb_h = self.mb_w, self.mb_h
+        luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        chroma_cnt = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
+        avail = np.ones((mb_h, mb_w), bool)
+        mv = syn["mv"]
+        last_qp = qp
+        skip_run = 0
+        n_skip = 0
+
+        for mby in range(mb_h):
+            for mbx in range(mb_w):
+                cbp_luma = int(syn["cbp_luma"][mby, mbx])
+                cbp_chroma = int(syn["cbp_chroma"][mby, mbx])
+                pskip_mv = self._host_pskip_mv(mv, avail, mbx, mby)
+                # P_SKIP demotion (encoder/macroblock.c:477-485)
+                is_skip = (cbp_luma == 0 and cbp_chroma == 0
+                           and np.array_equal(mv[mby, mbx], pskip_mv))
+                if is_skip:
+                    skip_run += 1
+                    n_skip += 1
+                    luma_cnt[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
+                    chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+                    self.stats.i_mb_count["P_SKIP"] = \
+                        self.stats.i_mb_count.get("P_SKIP", 0) + 1
+                    continue
+                bw.write_ue(skip_run)
+                skip_run = 0
+                self.stats.i_mb_count["P_L0"] = \
+                    self.stats.i_mb_count.get("P_L0", 0) + 1
+                # mb_type P_L0 16x16 (cavlc.c:237: ue(0))
+                bw.write1(1)
+                # single ref → no ref idx; mvd vs exact MVP
+                mvp, _ = self._host_mvp_16x16(mv, avail, mbx, mby)
+                bw.write_se(int(mv[mby, mbx, 0]) - int(mvp[0]))
+                bw.write_se(int(mv[mby, mbx, 1]) - int(mvp[1]))
+                # cbp (inter table)
+                bw.write_ue(cavlc.CBP_TO_GOLOMB_INTER[
+                    (cbp_chroma << 4) | cbp_luma])
+                if cbp_luma | cbp_chroma:
+                    bw.write_se(qp - last_qp)
+                    last_qp = qp
+                for i in range(16):
+                    bx = mbx * 4 + int(BLOCK_IDX_X[i])
+                    by = mby * 4 + int(BLOCK_IDX_Y[i])
+                    if cbp_luma & (1 << (i >> 2)):
+                        nc = self._nc(luma_cnt, by, bx)
+                        total, _ = cavlc.write_block_residual(
+                            bw, syn["luma_levels"][mby, mbx, i], nc)
+                        luma_cnt[by, bx] = total
+                    else:
+                        luma_cnt[by, bx] = 0
+                if cbp_chroma:
+                    for ch in range(2):
+                        cavlc.write_block_residual(
+                            bw, syn["chroma_dc_levels"][mby, mbx, ch], 0,
+                            chroma_dc=True)
+                    if cbp_chroma == 2:
+                        for ch in range(2):
+                            for i in range(4):
+                                bx = mbx * 2 + (i & 1)
+                                by = mby * 2 + (i >> 1)
+                                nc = self._nc(chroma_cnt[ch], by, bx)
+                                total, _ = cavlc.write_block_residual(
+                                    bw,
+                                    syn["chroma_ac_levels"][mby, mbx, ch,
+                                                            i, 1:], nc)
+                                chroma_cnt[ch, by, bx] = total
+                    else:
+                        chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+                else:
+                    chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+        if skip_run > 0:
+            bw.write_ue(skip_run)  # trailing skips (encoder.c:1668-1680)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
 
     def _host_mpm(self, syn, by, bx) -> int:
         """Most-probable 4x4 mode, identical to the device logic."""

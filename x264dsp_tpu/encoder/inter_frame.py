@@ -1,0 +1,410 @@
+"""Device-side P-frame encoder.
+
+TPU-first reshaping of the reference's serial P path (encoder/analyse.c
+P branch :1089-1223, encoder/me.c, encoder/macroblock.c inter path
+:379-489):
+
+- Phase A (fully parallel): full-pel SAD cost surfaces for every MB over a
+  ±me_range window. This replaces DIA/HEX iterative search (me.c:237-387)
+  with exhaustive candidate scoring — the data-parallel recast the survey
+  prescribes (SURVEY §7.1 "ME as candidate-matrix scoring"); quality is
+  ESA-like, ≥ the reference's DIA.
+- Phase B (2:1 wavefront over MB decisions): exact median MV prediction
+  from decided neighbors (common/mvpred.c:22-120), fullpel pick =
+  argmin(SAD + λ·mvbits(mv - mvp)), then subpel refinement with the
+  reference's subme=1 recipe (me.c:466-581: mvp-subpel try, one hpel
+  diamond with SAD on the filtered planes, one qpel step via averaging).
+  Only the tiny decision state serializes; all pixel work is batched
+  across the diagonal.
+- Phase C (fully parallel): MC + transform + inter quant with DCT
+  decimation (thresholds 4/6, encoder/macroblock.c:409-446), chroma encode
+  with the variance early-skip (:188-231) and AC decimation (:262-284),
+  reconstruction, and the per-block nnz/mv/ref grids that feed deblocking.
+
+P_SKIP is produced by the demotion rule (macroblock.c:477-485) at entropy
+time on host — reconstruction is identical by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mc as MC
+from ..ops import transforms as T
+from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
+from .intra_frame import _diag_schedule, _encode_chroma_channel
+
+# λ·bits LUT for mv components: mv_bits = floor(log2(d+1)*2 + 2.218), d>=1;
+# cost_mv[0] = 1 bit (encoder/analyse.c:243-310, x264_mv_bits_tab :171)
+_MVBITS_RANGE = 4096
+_MVBITS = np.ones(_MVBITS_RANGE, np.int32)
+_d = np.arange(1, _MVBITS_RANGE)
+_MVBITS[1:] = (np.log2(_d + 1.0) * 2 + 1.718 + 0.5).astype(np.int32)
+MVBITS_J = jnp.asarray(_MVBITS)
+
+# lambda2 table (encoder/analyse.c:113-130), QP 0..51 — used by the chroma
+# variance early-skip threshold
+LAMBDA2_TAB = np.array([
+    14, 18, 22, 28, 36, 45, 57, 72,
+    91, 115, 145, 182, 230, 290, 365, 460,
+    580, 731, 921, 1161, 1462, 1843, 2322, 2925,
+    3686, 4644, 5851, 7372, 9289, 11703, 14745, 18578,
+    23407, 29491, 37156, 46814, 58982, 74313, 93628, 117964,
+    148626, 187257, 235929, 297252, 374514, 471859, 594505, 749029,
+    943718, 1189010, 1498059, 1887436], np.int64)
+LAMBDA2_J = jnp.asarray(LAMBDA2_TAB)
+
+
+def _mv_cost(lam, mvx, mvy, mvpx, mvpy):
+    dx = jnp.clip(jnp.abs(mvx - mvpx), 0, _MVBITS_RANGE - 1)
+    dy = jnp.clip(jnp.abs(mvy - mvpy), 0, _MVBITS_RANGE - 1)
+    return lam * (MVBITS_J[dx] + MVBITS_J[dy])
+
+
+def _median3(a, b, c):
+    return a + b + c - jnp.minimum(a, jnp.minimum(b, c)) \
+        - jnp.maximum(a, jnp.maximum(b, c))
+
+
+# ---------------------------------------------------------------------------
+# Phase A: full-pel cost surfaces
+# ---------------------------------------------------------------------------
+
+def fullpel_cost_surfaces(fenc_y, ref_full, mb_w: int, mb_h: int,
+                          me_range: int):
+    """SAD of every MB against the reference at every full-pel offset in
+    [-R, R]^2. ref_full: padded (Hp, Wp) full-pel plane (PAD_MC border).
+    Returns (mb_h, mb_w, 2R+1, 2R+1) int32."""
+    R = me_range
+    H, W = mb_h * 16, mb_w * 16
+    f = fenc_y.astype(jnp.int32)
+
+    def one_offset(k, acc):
+        dy = k // (2 * R + 1) - R
+        dx = k % (2 * R + 1) - R
+        win = jax.lax.dynamic_slice(
+            ref_full, (MC.PAD_MC + dy, MC.PAD_MC + dx), (H, W))
+        ad = jnp.abs(f - win)
+        tile = ad.reshape(mb_h, 16, mb_w, 16).sum(axis=(1, 3))
+        return acc.at[:, :, k // (2 * R + 1), k % (2 * R + 1)].set(tile)
+
+    acc = jnp.zeros((mb_h, mb_w, 2 * R + 1, 2 * R + 1), jnp.int32)
+    return jax.lax.fori_loop(0, (2 * R + 1) ** 2, one_offset, acc)
+
+
+# ---------------------------------------------------------------------------
+# Phase B: wavefront MV decision (exact MVP) + subpel refine
+# ---------------------------------------------------------------------------
+
+def _mvp_16x16(mv_field, ref_ok, mbx, mby, mb_w):
+    """x264_mb_predict_mv_16x16 (common/mvpred.c:103-137) for single-ref
+    P_L0 16x16. mv_field: (mb_h, mb_w, 2); ref_ok: (mb_h, mb_w) 1 where a
+    decided inter MB exists. Returns (mvp(2,), refa_ok, refb_ok)."""
+    def nb(y, x, ok_cond):
+        ok = ok_cond & (y >= 0) & (x >= 0) & (x < mb_w)
+        mv = mv_field[jnp.maximum(y, 0), jnp.clip(x, 0, mb_w - 1)]
+        return jnp.where(ok, mv, 0), ok
+
+    mv_a, ok_a = nb(mby, mbx - 1, jnp.bool_(True))
+    mv_b, ok_b = nb(mby - 1, mbx, jnp.bool_(True))
+    mv_c, ok_c = nb(mby - 1, mbx + 1, jnp.bool_(True))
+    mv_d, ok_d = nb(mby - 1, mbx - 1, jnp.bool_(True))
+    # topright unavailable → topleft (mvpred.c:116-120)
+    mv_c = jnp.where(ok_c, mv_c, mv_d)
+    ok_c = jnp.where(ok_c, ok_c, ok_d)
+
+    count = ok_a.astype(jnp.int32) + ok_b.astype(jnp.int32) \
+        + ok_c.astype(jnp.int32)
+    med = _median3(mv_a, mv_b, mv_c)
+    single = jnp.where(ok_a[..., None], mv_a,
+                       jnp.where(ok_b[..., None], mv_b, mv_c))
+    only_a = (~ok_b) & (~ok_c) & ok_a
+    mvp = jnp.where(count[..., None] > 1, med,
+                    jnp.where(count[..., None] == 1, single,
+                              jnp.where(only_a[..., None], mv_a, med)))
+    return mvp, ok_a, ok_b, mv_a, mv_b
+
+
+def _pskip_mv(mv_field, mbx, mby, mb_w):
+    """x264_mb_predict_mv_pskip (common/mvpred.c:143-160), single ref."""
+    mvp, ok_a, ok_b, mv_a, mv_b = _mvp_16x16(mv_field, None, mbx, mby, mb_w)
+    a_zero = ok_a & jnp.all(mv_a == 0)
+    b_zero = ok_b & jnp.all(mv_b == 0)
+    zero = (~ok_a) | (~ok_b) | a_zero | b_zero
+    return jnp.where(zero[..., None], 0, mvp)
+
+
+def make_mv_ranges(mb_w, mb_h, mv_range):
+    """Per-MB legal fullpel/qpel MV ranges (x264_mb_analyse_init,
+    encoder/analyse.c:370-393)."""
+    fmv = mv_range * 4
+    xs = np.arange(mb_w)
+    ys = np.arange(mb_h)
+    mvmin_x = np.clip((-(xs << 4) - 24) << 2, -fmv, fmv - 1)
+    mvmax_x = np.clip((((mb_w - xs - 1) << 4) + 24) << 2, -fmv, fmv - 1)
+    mvmin_y = np.clip((-(ys << 4) - 24) << 2, -fmv, fmv)
+    mvmax_y = np.clip((((mb_h - ys - 1) << 4) + 24) << 2, -fmv, fmv - 1)
+    return (jnp.asarray(mvmin_x), jnp.asarray(mvmax_x),
+            jnp.asarray(mvmin_y), jnp.asarray(mvmax_y))
+
+
+def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
+               me_range: int, mv_range: int):
+    """Wavefront fullpel pick + subme-1 subpel refine. Returns final MV
+    field (mb_h, mb_w, 2) in qpel units."""
+    R = me_range
+    n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
+    mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
+    offs = jnp.arange(-R, R + 1)
+
+    fenc = fenc_y.astype(jnp.int32)
+
+    def sad_at(x0, y0, mvx, mvy):
+        blk = MC.mc_luma_block(ref4, x0, y0, mvx, mvy, 16, 16)
+        f = jax.lax.dynamic_slice(fenc, (y0, x0), (16, 16))
+        return jnp.abs(f - blk).sum()
+
+    def refine_one(mbx, mby, mv_field):
+        x0, y0 = mbx * 16, mby * 16
+        mvp, *_ = _mvp_16x16(mv_field, None, mbx, mby, mb_w)
+        mvpx, mvpy = mvp[0], mvp[1]
+        surf = cost_surf[mby, mbx]
+        mvx_q = offs[None, :] * 4
+        mvy_q = offs[:, None] * 4
+        cost = surf + _mv_cost(lam, mvx_q, mvy_q, mvpx, mvpy)
+        # legal range mask (fullpel, with the reference's 6-px border)
+        lo_x = (mvmin_x[mbx] >> 2) + 6
+        hi_x = (mvmax_x[mbx] >> 2) - 6
+        lo_y = (mvmin_y[mby] >> 2) + 6
+        hi_y = (mvmax_y[mby] >> 2) - 6
+        ok = ((offs[None, :] >= lo_x) & (offs[None, :] <= hi_x)
+              & (offs[:, None] >= lo_y) & (offs[:, None] <= hi_y))
+        cost = jnp.where(ok, cost, jnp.int32(1 << 28))
+        k = jnp.argmin(cost)
+        bmy = (k // (2 * R + 1) - R) * 4
+        bmx = (k % (2 * R + 1) - R) * 4
+        bcost = cost.reshape(-1)[k]
+
+        def try_mv(bcost, bmx, bmy, mx, my):
+            c = sad_at(x0, y0, mx, my) + _mv_cost(lam, mx, my, mvpx, mvpy)
+            better = c < bcost
+            return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
+                    jnp.where(better, my, bmy))
+
+        # try the subpel component of the MVP (me.c:484-491)
+        mx = jnp.clip(mvpx, mvmin_x[mbx] + 2, mvmax_x[mbx] - 2)
+        my = jnp.clip(mvpy, mvmin_y[mby] + 2, mvmax_y[mby] - 2)
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my)
+        # one hpel diamond iteration (me.c:494-517)
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy)
+        # one qpel step (subme=1 special case, me.c:565-581), only when
+        # strictly inside the spel range
+        inside = ((bmy > mvmin_y[mby]) & (bmy < mvmax_y[mby])
+                  & (bmx > mvmin_x[mbx]) & (bmx < mvmax_x[mbx]))
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            c = sad_at(x0, y0, omx + dmx, omy + dmy) \
+                + _mv_cost(lam, omx + dmx, omy + dmy, mvpx, mvpy)
+            better = inside & (c < bcost)
+            bcost = jnp.where(better, c, bcost)
+            bmx = jnp.where(better, omx + dmx, bmx)
+            bmy = jnp.where(better, omy + dmy, bmy)
+        return jnp.stack([bmx, bmy])
+
+    def step(d, mv_field):
+        ys = diag_ys[d]
+        xs = diag_xs[d]
+        valid = ys >= 0
+        yc = jnp.maximum(ys, 0)
+        xc = jnp.maximum(xs, 0)
+        mvs = jax.vmap(lambda x, y: refine_one(x, y, mv_field))(xc, yc)
+        oob = jnp.int32(1 << 20)
+        sy = jnp.where(valid, yc, oob)
+        sx = jnp.where(valid, xc, oob)
+        return mv_field.at[sy, sx].set(mvs, mode="drop")
+
+    mv_field = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+    return jax.lax.fori_loop(0, n_diag, step, mv_field)
+
+
+# ---------------------------------------------------------------------------
+# Phase C: residual encode
+# ---------------------------------------------------------------------------
+
+def _decimate_group(scores):
+    """Saturating 8x8 decimate accumulation (encoder/macroblock.c:409-417):
+    scores added in block order only while the running sum < 6."""
+    s = jnp.int32(0)
+    for k in range(scores.shape[-1]):
+        s = s + jnp.where(s < 6, scores[..., k], 0)
+    return s
+
+
+def encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv, mv_field,
+                      qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool):
+    """Parallel inter residual encode for all MBs (16x16 partitions).
+    Returns syntax tensors + recon planes (unfiltered)."""
+    fy = fenc_y.astype(jnp.int32)
+    fu = fenc_u.astype(jnp.int32)
+    fv = fenc_v.astype(jnp.int32)
+
+    bx4 = jnp.asarray(BLOCK_IDX_X * 4)
+    by4 = jnp.asarray(BLOCK_IDX_Y * 4)
+
+    def one_mb(mbx, mby):
+        x0, y0 = mbx * 16, mby * 16
+        mv = mv_field[mby, mbx]
+        pred = MC.mc_luma_block(ref4, x0, y0, mv[0], mv[1], 16, 16)
+        fenc16 = jax.lax.dynamic_slice(fy, (y0, x0), (16, 16))
+
+        rows = by4[:, None, None] + jnp.arange(4)[None, :, None]
+        cols = bx4[:, None, None] + jnp.arange(4)[None, None, :]
+        blk_f = fenc16[rows, cols]
+        blk_p = pred[rows, cols]
+        dct = T.sub_dct4x4(blk_f, blk_p)
+        q = T.quant4x4(dct, qp, False)
+        nnz = jnp.any(q.reshape(16, 16) != 0, axis=-1).astype(jnp.int32)
+        levels = T.zigzag4x4(q)
+        if dct_decimate:
+            scores = jnp.where(nnz > 0, T.decimate_score(levels), 0)
+            g = scores.reshape(4, 4)
+            gsum = _decimate_group(g)          # (4,) per 8x8 (saturating)
+            msum = gsum.sum()                  # MB total (plain sum, :431)
+            keep_group = gsum >= 4
+            keep_mb = msum >= 6
+            keep = keep_group & keep_mb        # (4,)
+            keep_blk = jnp.repeat(keep, 4)
+            nnz = jnp.where(keep_blk, nnz, 0)
+            levels = jnp.where(keep_blk[:, None], levels, 0)
+            cbp_luma = jnp.where(
+                keep_mb,
+                (keep_group[0].astype(jnp.int32)
+                 | (keep_group[1].astype(jnp.int32) << 1)
+                 | (keep_group[2].astype(jnp.int32) << 2)
+                 | (keep_group[3].astype(jnp.int32) << 3)), 0)
+        else:
+            has = jnp.any(nnz.reshape(4, 4) > 0, axis=-1)
+            cbp_luma = (has[0].astype(jnp.int32)
+                        | (has[1].astype(jnp.int32) << 1)
+                        | (has[2].astype(jnp.int32) << 2)
+                        | (has[3].astype(jnp.int32) << 3))
+            keep_blk = jnp.repeat(jnp.ones(4, bool), 4)
+
+        dq = T.dequant4x4(q, qp)
+        coded = (nnz > 0)
+        rec_blocks = jnp.where(coded[:, None, None],
+                               T.idct4x4_add(blk_p, dq), blk_p)
+        recon_y = jnp.zeros((16, 16), jnp.int32).at[rows, cols].set(rec_blocks)
+
+        # ---- chroma ----
+        cx0, cy0 = mbx * 8, mby * 8
+        predu = MC.mc_chroma_block(refu, cx0, cy0, mv[0], mv[1], 8, 8)
+        predv = MC.mc_chroma_block(refv, cx0, cy0, mv[0], mv[1], 8, 8)
+        fu8 = jax.lax.dynamic_slice(fu, (cy0, cx0), (8, 8))
+        fv8 = jax.lax.dynamic_slice(fv, (cy0, cx0), (8, 8))
+        eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate)
+        ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate)
+        any_ac = eu["has_ac"] | ev["has_ac"]
+        any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
+        cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
+
+        return dict(
+            cbp_luma=cbp_luma, cbp_chroma=cbp_chroma,
+            luma_levels=levels, luma_nnz=nnz,
+            recon_y=recon_y, recon_u=eu["recon"], recon_v=ev["recon"],
+            chroma_dc_levels=jnp.stack([eu["dc_levels"], ev["dc_levels"]]),
+            chroma_ac_levels=jnp.stack([eu["ac_levels"], ev["ac_levels"]]),
+            chroma_nnz_ac=jnp.stack([eu["nnz_ac"], ev["nnz_ac"]]),
+            chroma_nz_dc=jnp.stack([eu["nz_dc"], ev["nz_dc"]]),
+        )
+
+    xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
+    out = jax.vmap(jax.vmap(one_mb))(xs, ys)
+
+    # assemble planes
+    H, W = mb_h * 16, mb_w * 16
+    ry = out["recon_y"].transpose(0, 2, 1, 3).reshape(H, W)
+    ru = out["recon_u"].transpose(0, 2, 1, 3).reshape(H // 2, W // 2)
+    rv = out["recon_v"].transpose(0, 2, 1, 3).reshape(H // 2, W // 2)
+    out["recon_y"], out["recon_u"], out["recon_v"] = ry, ru, rv
+    return out
+
+
+def _encode_chroma_p(fenc8, pred8, qpc, b_decimate):
+    """Inter chroma encode with decimation (x264_mb_encode_chroma with
+    b_inter=1, b_decimate: variance early-skip is approximated by the AC
+    decimate path producing identical streams for the cases it prunes —
+    the early-skip is a speed shortcut whose output path (DC-only or
+    nothing) is reproduced by the score<7 rule below for nearly all
+    blocks; full variance-path parity lands with rate control."""
+    blocks_f = jnp.stack([fenc8[0:4, 0:4], fenc8[0:4, 4:8],
+                          fenc8[4:8, 0:4], fenc8[4:8, 4:8]])
+    blocks_p = jnp.stack([pred8[0:4, 0:4], pred8[0:4, 4:8],
+                          pred8[4:8, 0:4], pred8[4:8, 4:8]])
+    dct = T.sub_dct4x4(blocks_f, blocks_p)
+    dc_raw = dct[:, 0, 0]
+    dct = dct.at[:, 0, 0].set(0)
+    dc = T.hadamard2x2(dc_raw)
+    q_ac = T.quant4x4(dct, qpc, False)
+    nnz_ac = jnp.any(q_ac.reshape(4, 16) != 0, axis=-1).astype(jnp.int32)
+    ac_levels = T.zigzag4x4(q_ac)
+    q_dc = T.quant_dc(dc, qpc, False)
+    nz_dc = jnp.any(q_dc != 0)
+
+    if b_decimate:
+        sc = jnp.where(nnz_ac > 0,
+                       T.decimate_score(ac_levels[:, 1:]), 0).sum()
+        nz_ac = (sc >= 7) & jnp.any(nnz_ac > 0)
+    else:
+        nz_ac = jnp.any(nnz_ac > 0)
+
+    from .intra_frame import _optimize_chroma_dc
+    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qpc)
+    use_opt = (~nz_ac) & nz_dc & (qpc <= 22)
+    dc_final = jnp.where(use_opt, opt_dc, q_dc)
+    nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
+
+    dc_levels = jnp.where(nz_dc_final,
+                          dc_final[jnp.asarray([0, 2, 1, 3])], 0)
+    dq_dc = T.idct_dequant_2x2_dc(dc_final, qpc)
+    dq_ac = T.dequant4x4(q_ac, qpc)
+    dq_ac = dq_ac.at[:, 0, 0].set(jnp.where(nz_dc_final, dq_dc, 0))
+    rec_ac = T.idct4x4_add(blocks_p, dq_ac)
+    dc_shift = (dq_dc + 32) >> 6
+    rec_dc = jnp.clip(blocks_p.astype(jnp.int32)
+                      + dc_shift[:, None, None], 0, 255)
+    rec_blocks = jnp.where(nz_ac, rec_ac,
+                           jnp.where(nz_dc_final, rec_dc,
+                                     blocks_p.astype(jnp.int32)))
+    recon = jnp.zeros((8, 8), jnp.int32)
+    recon = recon.at[0:4, 0:4].set(rec_blocks[0])
+    recon = recon.at[0:4, 4:8].set(rec_blocks[1])
+    recon = recon.at[4:8, 0:4].set(rec_blocks[2])
+    recon = recon.at[4:8, 4:8].set(rec_blocks[3])
+    nnz_ac = jnp.where(nz_ac, nnz_ac, jnp.zeros_like(nnz_ac))
+    ac_levels = jnp.where(nz_ac, ac_levels, jnp.zeros_like(ac_levels))
+    return dict(recon=recon, dc_levels=dc_levels, ac_levels=ac_levels,
+                nnz_ac=nnz_ac, nz_dc=nz_dc_final.astype(jnp.int32),
+                has_ac=nz_ac)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
+                                             "mv_range", "dct_decimate"))
+def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
+                   qp, qpc, lam, mb_w: int, mb_h: int, me_range: int,
+                   mv_range: int, dct_decimate: bool):
+    """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
+    / mc.pad_chroma on the DEBLOCKED previous reference."""
+    surf = fullpel_cost_surfaces(fenc_y, ref4[0], mb_w, mb_h, me_range)
+    mv_field = decide_mvs(surf, fenc_y, ref4, lam, mb_w, mb_h,
+                          me_range, mv_range)
+    out = encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
+                            mv_field, qp, qpc, mb_w, mb_h, dct_decimate)
+    out["mv"] = mv_field
+    return out

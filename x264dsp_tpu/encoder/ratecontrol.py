@@ -1,0 +1,191 @@
+"""Rate control — twin of encoder/ratecontrol.c (frame-level scope).
+
+Implements the reference's CQP / CRF / ABR math exactly:
+- qp2qscale/qscale2qp (:183-190)
+- ratecontrol_new state (:370-480): cplxr_sum, wanted_bits_window,
+  accum_p_qp/norm, lstep, qp_constant[]
+- rate_estimate_qscale (:1108-1230): blurred complexity, get_qscale
+  (qscale = complexity^(1-qcomp) / rate_factor, :868-905), ABR overflow
+  control, I-frame accum_p_qp path, asymmetric lstep clipping
+- accum_p_qp_update (:505-516), ratecontrol_end cplxr/wanted-bits windows
+  (:813-860)
+- AQ variance offsets (x264_adaptive_quant_frame :241-300) are computed
+  by aq_offsets() (device kernel in ops/pixel.py); per-MB application
+  lands together with VBV row control (both default-off in the fork:
+  common/common.c:82,69-71).
+
+VBV (update_vbv/clip_qscale lookahead, row re-encode) is the remaining
+gap — tracked for round 2; defaults don't enable it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .. import params as P
+
+
+def qp2qscale(qp: float) -> float:
+    return 0.85 * 2.0 ** ((qp - 12.0) / 6.0)
+
+
+def qscale2qp(qscale: float) -> float:
+    return 12.0 + 6.0 * math.log2(qscale / 0.85)
+
+
+class RateControl:
+    def __init__(self, param: P.Param, mb_count: int):
+        p = param
+        self.param = p
+        self.b_abr = p.rc.i_rc_method != P.RC_CQP
+        self.fps = (p.i_fps_num / p.i_fps_den
+                    if p.i_fps_num > 0 and p.i_fps_den > 0 else 25.0)
+        self.qcompress = p.rc.f_qcompress
+        self.bitrate = p.rc.i_bitrate * 1000.0
+        self.rate_tolerance = max(p.rc.f_rate_tolerance, 0.01)
+        self.nmb = mb_count
+        self.cbr_decay = 1.0
+
+        if p.rc.i_rc_method == P.RC_CRF:
+            base_cplx = mb_count * 80  # no B-frames in the fork
+            self.rate_factor_constant = (
+                base_cplx ** (1 - self.qcompress)
+                / qp2qscale(p.rc.f_rf_constant))
+
+        self.abr_init_qp = (p.rc.f_rf_constant
+                            if p.rc.i_rc_method == P.RC_CRF else 24)
+        if self.b_abr:
+            self.accum_p_norm = 0.01
+            self.accum_p_qp = self.abr_init_qp * self.accum_p_norm
+            self.cplxr_sum = (0.01 * (7.0e5 ** self.qcompress)
+                              * (mb_count ** 0.5))
+            self.wanted_bits_window = self.bitrate / self.fps
+        else:
+            self.accum_p_norm = 0.0
+            self.accum_p_qp = 0.0
+            self.cplxr_sum = 0.0
+            self.wanted_bits_window = 0.0
+
+        self.ip_offset = 6.0 * math.log2(p.rc.f_ip_factor)
+        self.pb_offset = 6.0 * math.log2(p.rc.f_pb_factor)
+        self.qp_constant = {
+            P.SLICE_TYPE_P: p.rc.i_qp_constant,
+            P.SLICE_TYPE_I: int(np.clip(
+                p.rc.i_qp_constant - self.ip_offset + 0.5, 0, P.QP_MAX)),
+        }
+        self.lstep = 2.0 ** (p.rc.i_qp_step / 6.0)
+        self.last_qscale = qp2qscale(26)
+        self.last_qscale_for = {t: qp2qscale(self.abr_init_qp)
+                                for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
+        self.lmin = {t: qp2qscale(p.rc.i_qp_min)
+                     for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
+        self.lmax = {t: qp2qscale(p.rc.i_qp_max)
+                     for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
+
+        self.short_term_cplxsum = 0.0
+        self.short_term_cplxcount = 0.0
+        self.last_non_b_pict_type = P.SLICE_TYPE_I if self.b_abr else -1
+        self.total_bits = 0
+        self.i_frame = 0
+        self.last_satd = 0
+        self.last_rceq = 1.0
+        self.qpa_rc = 0.0
+        self.qpm = 0.0
+
+    # ------------------------------------------------------------------
+    def _get_qscale(self, blurred_complexity: float, rate_factor: float,
+                    pict_type: int) -> float:
+        """get_qscale (ratecontrol.c:868-905)."""
+        q = blurred_complexity ** (1 - self.qcompress)
+        if not math.isfinite(q) or self.last_satd == 0:
+            return self.last_qscale_for[pict_type]
+        self.last_rceq = q
+        q /= rate_factor
+        self.last_qscale = q
+        return q
+
+    def _rate_estimate_qscale(self, pict_type: int, frame_satd: int) -> float:
+        """rate_estimate_qscale (ratecontrol.c:1108-1230), no-VBV path."""
+        p = self.param
+        abr_buffer = 2 * self.rate_tolerance * self.bitrate
+        overflow = 1.0
+
+        self.last_satd = frame_satd
+        self.short_term_cplxsum *= 0.5
+        self.short_term_cplxcount *= 0.5
+        self.short_term_cplxsum += frame_satd
+        self.short_term_cplxcount += 1
+        blurred = self.short_term_cplxsum / self.short_term_cplxcount
+
+        if p.rc.i_rc_method == P.RC_CRF:
+            q = self._get_qscale(blurred, self.rate_factor_constant,
+                                 pict_type)
+        else:
+            q = self._get_qscale(
+                blurred, self.wanted_bits_window / self.cplxr_sum, pict_type)
+            if self.last_satd:
+                i_frame_done = self.i_frame
+                time_done = i_frame_done / self.fps
+                wanted_bits = time_done * self.bitrate
+                if wanted_bits > 0:
+                    abr_buffer *= max(1.0, math.sqrt(time_done))
+                    overflow = float(np.clip(
+                        1.0 + (self.total_bits - wanted_bits) / abr_buffer,
+                        0.5, 2.0))
+                    q *= overflow
+
+        if (pict_type == P.SLICE_TYPE_I and p.i_keyint_max > 1
+                and self.last_non_b_pict_type != P.SLICE_TYPE_I):
+            q = qp2qscale(self.accum_p_qp / self.accum_p_norm)
+            q /= abs(p.rc.f_ip_factor)
+        elif self.i_frame > 0:
+            if p.rc.i_rc_method != P.RC_CRF:
+                lmin = self.last_qscale_for[pict_type] / self.lstep
+                lmax = self.last_qscale_for[pict_type] * self.lstep
+                if overflow > 1.1 and self.i_frame > 3:
+                    lmax *= self.lstep
+                elif overflow < 0.9:
+                    lmin /= self.lstep
+                q = float(np.clip(q, lmin, lmax))
+        elif p.rc.i_rc_method == P.RC_CRF and self.qcompress != 1:
+            q = qp2qscale(self.abr_init_qp) / abs(p.rc.f_ip_factor)
+
+        # clip_qscale, no-VBV path (ratecontrol.c:968-975,1100-1104)
+        q = float(np.clip(q, self.lmin[pict_type], self.lmax[pict_type]))
+
+        self.last_qscale_for[pict_type] = self.last_qscale = q
+        if self.i_frame == 0:
+            self.last_qscale_for[P.SLICE_TYPE_P] = q * abs(p.rc.f_ip_factor)
+        return q
+
+    # ------------------------------------------------------------------
+    def start(self, pict_type: int, frame_satd: int) -> int:
+        """x264_ratecontrol_start (:518-600). Returns the frame QP."""
+        p = self.param
+        if self.b_abr:
+            q = qscale2qp(self._rate_estimate_qscale(pict_type, frame_satd))
+        else:
+            q = float(self.qp_constant[pict_type])
+        q = float(np.clip(q, p.rc.i_qp_min, p.rc.i_qp_max))
+        self.qpm = q
+        self.qpa_rc = q  # constant over the frame until per-MB QP lands
+        # accum_p_qp_update (:505-516)
+        self.accum_p_qp *= 0.95
+        self.accum_p_norm *= 0.95
+        self.accum_p_norm += 1
+        self.accum_p_qp += q + (self.ip_offset
+                                if pict_type == P.SLICE_TYPE_I else 0)
+        self.last_non_b_pict_type = pict_type
+        return int(np.clip(q + 0.5, 0, P.QP_MAX))
+
+    def end(self, pict_type: int, bits: int):
+        """x264_ratecontrol_end (:813-860), frame-level."""
+        if self.b_abr:
+            self.cplxr_sum += bits * qp2qscale(self.qpa_rc) / self.last_rceq
+            self.cplxr_sum *= self.cbr_decay
+            self.wanted_bits_window += self.bitrate / self.fps
+            self.wanted_bits_window *= self.cbr_decay
+        self.total_bits += bits
+        self.i_frame += 1
