@@ -202,6 +202,75 @@ def read_block_residual(br: BitReader, nC: int, max_coeffs: int,
     return out
 
 
+class CabacDecoder:
+    """Arithmetic decoding engine (H.264 9.3.3.2); mirrors the encoder in
+    x264dsp_tpu/entropy/cabac.py."""
+
+    def __init__(self, data: bytes, bitpos: int, slice_is_i: bool, qp: int):
+        from x264dsp_tpu.entropy.cabac_tables import (CONTEXTS, RANGE_LPS,
+                                                      TRANSITION)
+        self._lps = RANGE_LPS
+        self._trans = TRANSITION
+        self.state = list(CONTEXTS[0 if slice_is_i else 1][
+            int(np.clip(qp, 0, 51))])
+        self.data = data
+        self.pos = bitpos
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
+
+    def _bit(self) -> int:
+        if self.pos >= len(self.data) * 8:
+            return 0
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def decision(self, ctx: int) -> int:
+        s = self.state[ctx]
+        lps = self._lps[s >> 1][(self.range >> 6) - 4]
+        self.range -= lps
+        if self.offset >= self.range:
+            self.offset -= self.range
+            self.range = lps
+            b = (s & 1) ^ 1
+        else:
+            b = s & 1
+        self.state[ctx] = self._trans[s][b]
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return b
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminal(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return 0
+
+    def ue_bypass(self, exp_bits: int) -> int:
+        k = exp_bits
+        val = 0
+        while self.bypass():
+            val += 1 << k
+            k += 1
+        suffix = 0
+        for _ in range(k):
+            suffix = (suffix << 1) | self.bypass()
+        return val + suffix
+
+
 class SPSInfo:
     pass
 
@@ -247,7 +316,6 @@ def parse_pps(rbsp: bytes) -> PPSInfo:
     p.id = br.ue()
     p.sps_id = br.ue()
     p.cabac = br.bit()
-    assert p.cabac == 0, "CABAC decode not yet supported"
     p.pic_order_present = br.bit()
     assert br.ue() == 0  # slice groups
     p.num_ref_l0 = br.ue() + 1
@@ -345,6 +413,9 @@ class Decoder:
             # nal_ref_idc != 0 for all our slices → dec_ref_pic_marking
             if br.bit():
                 raise NotImplementedError("MMCO")
+        if pps.cabac and slice_type != 2:
+            cabac_init_idc = br.ue()
+            assert cabac_init_idc == 0, "only cabac_init_idc 0 supported"
         qp = pps.pic_init_qp + br.se()
         disable_deblock = 1
         a_off = b_off = 0
@@ -368,7 +439,14 @@ class Decoder:
         cbp_all = np.zeros((mb_h, mb_w), np.int32)
         last_qp = qp
 
-        if slice_type == 2:
+        if self.pps.cabac:
+            # cabac_alignment_one_bit
+            while br.pos & 7:
+                assert br.bit() == 1
+            last_qp = self._decode_mbs_cabac(
+                br, slice_type, qp, y, u, v, luma_cnt, chroma_cnt,
+                i4_modes, mv_field, cbp_all, intra_mb)
+        elif slice_type == 2:
             intra_mb[:] = True
             for mby in range(mb_h):
                 for mbx in range(mb_w):
@@ -542,6 +620,316 @@ class Decoder:
             if idx < n_mbs:
                 skip_run = br.ue()
         return last_qp
+
+    # ------------------------------------------------------------------
+    # CABAC slice data (mirrors x264dsp_tpu/encoder/core.py CABAC writer
+    # and encoder/cabac.c)
+    # ------------------------------------------------------------------
+    def _decode_mbs_cabac(self, br, slice_type, slice_qp, y, u, v,
+                          luma_cnt, chroma_cnt, i4_modes, mv_field,
+                          cbp_all, intra_mb):
+        from x264dsp_tpu.entropy.cabac import (CAT_CHROMA_AC, CAT_CHROMA_DC,
+                                               CAT_LUMA_4x4, CAT_LUMA_AC,
+                                               CAT_LUMA_DC, CBF_BASE,
+                                               COUNT_M1, LAST_OFFSET,
+                                               LEVEL_OFFSET, SIG_OFFSET,
+                                               _LEVEL1_CTX, _LEVELGT1_CTX,
+                                               _LEVEL_TRANS)
+        sps, pps = self.sps, self.pps
+        mb_w, mb_h = sps.mb_w, sps.mb_h
+        is_p = slice_type == 0
+        cd = CabacDecoder(br.data, br.pos, slice_type == 2, slice_qp)
+        qp = slice_qp
+
+        if is_p:
+            from x264dsp_tpu.ops import mc as MCJ
+            ry, ru, rv = self.ref
+            ref4 = np.asarray(MCJ.make_ref_planes(ry))
+            refu = np.asarray(MCJ.pad_chroma(ru))
+            refv = np.asarray(MCJ.pad_chroma(rv))
+            avail = np.ones((mb_h, mb_w), bool)
+
+        nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        cnnz = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
+        cbp_ext = np.full((mb_h, mb_w), -1, np.int32)
+        mb_types = np.full((mb_h, mb_w), -1, np.int32)
+        chroma_modes = np.zeros((mb_h, mb_w), np.int32)
+        mvd_cache = np.zeros((mb_h, mb_w, 2), np.int32)
+
+        def read_residual(cat):
+            count_m1 = COUNT_M1[cat]
+            n = count_m1 + 1
+            out = np.zeros(n, np.int32)
+            sig = []
+            i = 0
+            while True:
+                if cd.decision(SIG_OFFSET[cat] + i):
+                    sig.append(i)
+                    if cd.decision(LAST_OFFSET[cat] + i):
+                        break
+                i += 1
+                if i == count_m1:
+                    sig.append(i)
+                    break
+            node_ctx = 0
+            for idx in reversed(sig):
+                ctx = _LEVEL1_CTX[node_ctx] + LEVEL_OFFSET[cat]
+                if cd.decision(ctx):
+                    ctx = _LEVELGT1_CTX[node_ctx] + LEVEL_OFFSET[cat]
+                    k = 0
+                    while k < 13 and cd.decision(ctx):
+                        k += 1
+                    abs_c = (15 + cd.ue_bypass(0)) if k == 13 else k + 2
+                    node_ctx = _LEVEL_TRANS[1][node_ctx]
+                else:
+                    abs_c = 1
+                    node_ctx = _LEVEL_TRANS[0][node_ctx]
+                out[idx] = -abs_c if cd.bypass() else abs_c
+            return out
+
+        def cbf_dc(cat, mby, mbx, bit, b_intra):
+            la = cbp_ext[mby, mbx - 1] if mbx > 0 else -1
+            ta = cbp_ext[mby - 1, mbx] if mby > 0 else -1
+            nza = (la >> bit) & 1 if la != -1 else b_intra
+            nzb = (ta >> bit) & 1 if ta != -1 else b_intra
+            return CBF_BASE[cat] + (nzb << 1) + nza
+
+        def cbf_ac(cat, grid, by, bx, b_intra):
+            nza = grid[by, bx - 1] if bx > 0 else b_intra
+            nzb = grid[by - 1, bx] if by > 0 else b_intra
+            return CBF_BASE[cat] + ((1 if nzb else 0) << 1) + (1 if nza else 0)
+
+        for idx_mb in range(mb_w * mb_h):
+            mby, mbx = divmod(idx_mb, mb_w)
+            if idx_mb > 0:
+                assert cd.terminal() == 0, "premature end_of_slice"
+
+            if is_p:
+                nsk = 0
+                if mbx > 0 and mb_types[mby, mbx - 1] != 3:
+                    nsk += 1
+                if mby > 0 and mb_types[mby - 1, mbx] != 3:
+                    nsk += 1
+                if cd.decision(11 + nsk):
+                    mv = self._pskip_mv(mv_field, avail, mbx, mby)
+                    self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby, mv,
+                                   None, 0, qp)
+                    mv_field[mby, mbx] = mv
+                    mb_types[mby, mbx] = 3
+                    cbp_ext[mby, mbx] = 0
+                    i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+                    continue
+
+            if is_p:
+                assert cd.decision(14) == 0, "intra/other in P unsupported"
+                assert cd.decision(15) == 0 and cd.decision(16) == 0, \
+                    "P partitions unsupported"
+                mvp, _ = self._mvp_16x16(mv_field, avail, mbx, mby)
+                la = mvd_cache[mby, mbx - 1] if mbx > 0 else (0, 0)
+                ta = mvd_cache[mby - 1, mbx] if mby > 0 else (0, 0)
+                mvd = []
+                for axis in range(2):
+                    amvd = int(la[axis]) + int(ta[axis])
+                    ctx = (1 if amvd > 2 else 0) + (1 if amvd > 32 else 0)
+                    ctxbase = 47 if axis else 40
+                    ctxes = [3, 4, 5, 6, 6, 6, 6, 6]
+                    if not cd.decision(ctxbase + ctx):
+                        mvd.append(0)
+                        continue
+                    k = 1
+                    while k < 9 and cd.decision(ctxbase + ctxes[k - 1]):
+                        k += 1
+                    i_abs = k if k < 9 else 9 + cd.ue_bypass(3)
+                    if cd.bypass():
+                        i_abs = -i_abs
+                    mvd.append(i_abs)
+                mvd_cache[mby, mbx] = (min(abs(mvd[0]), 66),
+                                       min(abs(mvd[1]), 66))
+                mv = mvp + np.asarray(mvd, np.int64)
+                mv_field[mby, mbx] = mv
+                mb_types[mby, mbx] = 2
+                b_intra = 0
+                is_i16 = False
+                is_i4 = False
+                i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+            else:
+                intra_mb[mby, mbx] = True
+                b_intra = 1
+                ctx = 0
+                if mbx > 0 and mb_types[mby, mbx - 1] != 1:
+                    ctx += 1
+                if mby > 0 and mb_types[mby - 1, mbx] != 1:
+                    ctx += 1
+                if cd.decision(3 + ctx) == 0:
+                    is_i4, is_i16 = True, False
+                    mb_types[mby, mbx] = 1
+                else:
+                    is_i4, is_i16 = False, True
+                    mb_types[mby, mbx] = 0
+                    assert cd.terminal() == 0, "I_PCM unsupported"
+                    i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+                modes = np.zeros(16, np.int32)
+                i16_mode = 0
+                cbp_luma = cbp_chroma = 0
+                if is_i16:
+                    cbp_luma = 15 if cd.decision(6) else 0
+                    if cd.decision(7):
+                        cbp_chroma = 2 if cd.decision(8) else 1
+                    i16_mode = (cd.decision(9) << 1) | cd.decision(10)
+                else:
+                    for i in range(16):
+                        bx = mbx * 4 + int(BIX[i])
+                        by = mby * 4 + int(BIY[i])
+                        ma = i4_modes[by, bx - 1] if bx > 0 else -1
+                        mb_ = i4_modes[by - 1, bx] if by > 0 else -1
+                        pred = min(ma, mb_)
+                        pred = 2 if pred < 0 else pred
+                        if cd.decision(68):
+                            mode = pred
+                        else:
+                            rem = (cd.decision(69) | (cd.decision(69) << 1)
+                                   | (cd.decision(69) << 2))
+                            mode = rem + (1 if rem >= pred else 0)
+                        modes[i] = mode
+                        i4_modes[by, bx] = mode
+                # chroma pred mode
+                ctx = 0
+                if mbx > 0 and chroma_modes[mby, mbx - 1] != 0:
+                    ctx += 1
+                if mby > 0 and chroma_modes[mby - 1, mbx] != 0:
+                    ctx += 1
+                cm = 0
+                if cd.decision(64 + ctx):
+                    cm = 1
+                    if cd.decision(64 + 3):
+                        cm = 2
+                        if cd.decision(64 + 3):
+                            cm = 3
+                chroma_modes[mby, mbx] = cm
+
+            if not is_i16:
+                cl = cbp_ext[mby, mbx - 1] if mbx > 0 else -1
+                ct = cbp_ext[mby - 1, mbx] if mby > 0 else -1
+                cbp = 0
+                cbp |= cd.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2))
+                cbp |= cd.decision(76 - ((cbp >> 0) & 1)
+                                   - ((ct >> 2) & 2)) << 1
+                cbp |= cd.decision(76 - ((cl >> 3) & 1)
+                                   - ((cbp << 1) & 2)) << 2
+                cbp |= cd.decision(76 - ((cbp >> 2) & 1)
+                                   - ((cbp >> 0) & 2)) << 3
+                cbp_luma = cbp
+                ctx = 0
+                if (cl & 0x30) and cl != -1:
+                    ctx += 1
+                if (ct & 0x30) and ct != -1:
+                    ctx += 2
+                cbp_chroma = 0
+                if cd.decision(77 + ctx):
+                    ctx = 4
+                    if (cl & 0x30) == 0x20:
+                        ctx += 1
+                    if (ct & 0x30) == 0x20:
+                        ctx += 2
+                    cbp_chroma = 2 if cd.decision(77 + ctx) else 1
+
+            cbp_all[mby, mbx] = (cbp_chroma << 4) | cbp_luma
+            nz_dc = 0
+            cnz_dc = [0, 0]
+            luma_dc = np.zeros(16, np.int32)
+            luma_levels = np.zeros((16, 16), np.int32)
+            chroma_dc = np.zeros((2, 4), np.int32)
+            chroma_ac = np.zeros((2, 4, 16), np.int32)
+
+            if cbp_luma or cbp_chroma or is_i16:
+                # qp_delta
+                ctxq = 0  # constant-QP streams: last_dqp always 0
+                dq = 0
+                if cd.decision(60 + ctxq):
+                    ctxq = 2 + (ctxq >> 1)
+                    val = 1
+                    while cd.decision(60 + ctxq):
+                        ctxq = 2 + (ctxq >> 1)
+                        val += 1
+                    dq = (val + 1) // 2 if val % 2 else -(val // 2)
+                qp = qp + dq
+                if is_i16:
+                    ctx = cbf_dc(CAT_LUMA_DC, mby, mbx, 8, b_intra)
+                    if cd.decision(ctx):
+                        nz_dc = 1
+                        luma_dc = read_residual(CAT_LUMA_DC)
+                    if cbp_luma:
+                        for i in range(16):
+                            bx = mbx * 4 + int(BIX[i])
+                            by = mby * 4 + int(BIY[i])
+                            ctx = cbf_ac(CAT_LUMA_AC, nnz, by, bx, b_intra)
+                            if cd.decision(ctx):
+                                luma_levels[i, 1:] = read_residual(
+                                    CAT_LUMA_AC)
+                                nnz[by, bx] = 1
+                elif cbp_luma:
+                    for i in range(16):
+                        if not (cbp_luma & (1 << (i >> 2))):
+                            continue
+                        bx = mbx * 4 + int(BIX[i])
+                        by = mby * 4 + int(BIY[i])
+                        ctx = cbf_ac(CAT_LUMA_4x4, nnz, by, bx, b_intra)
+                        if cd.decision(ctx):
+                            luma_levels[i] = read_residual(CAT_LUMA_4x4)
+                            nnz[by, bx] = 1
+                if cbp_chroma:
+                    for ch in range(2):
+                        ctx = cbf_dc(CAT_CHROMA_DC, mby, mbx, 9 + ch,
+                                     b_intra)
+                        if cd.decision(ctx):
+                            cnz_dc[ch] = 1
+                            chroma_dc[ch] = read_residual(CAT_CHROMA_DC)
+                    if cbp_chroma == 2:
+                        for ch in range(2):
+                            for i in range(4):
+                                bx = mbx * 2 + (i & 1)
+                                by = mby * 2 + (i >> 1)
+                                ctx = cbf_ac(CAT_CHROMA_AC, cnnz[ch],
+                                             by, bx, b_intra)
+                                if cd.decision(ctx):
+                                    chroma_ac[ch, i, 1:] = read_residual(
+                                        CAT_CHROMA_AC)
+                                    cnnz[ch, by, bx] = 1
+
+            cbp_ext[mby, mbx] = ((cbp_chroma << 4) | cbp_luma | (nz_dc << 8)
+                                 | (cnz_dc[0] << 9) | (cnz_dc[1] << 10))
+            # nnz context state for luma/chroma counts used by deblock
+            for i in range(16):
+                bx = mbx * 4 + int(BIX[i])
+                by = mby * 4 + int(BIY[i])
+                luma_cnt[by, bx] = int(np.count_nonzero(luma_levels[i]))
+
+            # ---- reconstruction ----
+            if is_p:
+                self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby,
+                               mv_field[mby, mbx],
+                               (luma_levels, cbp_luma, chroma_dc, chroma_ac,
+                                cbp_chroma), cbp_all[mby, mbx], qp)
+            else:
+                x0, y0 = mbx * 16, mby * 16
+                avail_l, avail_t = mbx > 0, mby > 0
+                if is_i4:
+                    self._recon_i4(y, x0, y0, modes, luma_levels, qp,
+                                   avail_l, avail_t, mbx, mby)
+                else:
+                    # reconstruct zigzagged DC into _recon_i16's format
+                    self._recon_i16(y, x0, y0, i16_mode, luma_dc,
+                                    luma_levels, cbp_luma, qp,
+                                    avail_l, avail_t, avail_l and avail_t)
+                qpc = int(CHROMA_QP_TABLE[np.clip(
+                    qp + pps.chroma_qp_offset, 0, 51)])
+                for ch, plane in ((0, u), (1, v)):
+                    self._recon_chroma(plane, mbx * 8, mby * 8, cm,
+                                       chroma_dc[ch], chroma_ac[ch],
+                                       cbp_chroma, qpc, avail_l, avail_t,
+                                       avail_l and avail_t)
+        assert cd.terminal() == 1, "missing end_of_slice"
+        return qp
 
     def _mc_recon(self, y, u, v, ref4, refu, refv, mbx, mby, mv,
                   residual, cbp, qp):

@@ -243,7 +243,11 @@ class EncoderCore:
         if is_idr:
             self.frame_num = 0
 
-        if slice_type == P.SLICE_TYPE_I:
+        if p.b_cabac:
+            slice_payload = self._write_slice_cabac(
+                syn, slice_type, qp,
+                idr_pic_id=self.idr_pic_id if is_idr else -1)
+        elif slice_type == P.SLICE_TYPE_I:
             slice_payload = self._write_slice_cavlc(
                 syn, slice_type, qp,
                 idr_pic_id=self.idr_pic_id if is_idr else -1)
@@ -442,8 +446,271 @@ class EncoderCore:
         return last_qp
 
     # ------------------------------------------------------------------
-    # P slice entropy (host)
+    # CABAC slice entropy (host) — encoder/cabac.c + slice framing
+    # (encoder.c:1470-1480, 1532-1546, 1668-1672)
     # ------------------------------------------------------------------
+    def _write_slice_header_common(self, bw, slice_type, qp, idr_pic_id):
+        p = self.param
+        bw.write_ue(0)
+        bw.write_ue(slice_type + 5)
+        bw.write_ue(self.pps.i_id)
+        bw.write(self.sps.i_log2_max_frame_num,
+                 self.frame_num & ((1 << self.sps.i_log2_max_frame_num) - 1))
+        if idr_pic_id >= 0:
+            bw.write_ue(idr_pic_id)
+        if slice_type == P.SLICE_TYPE_P:
+            bw.write1(0)                     # num_ref_idx_override
+            bw.write1(0)                     # ref_pic_list_reordering
+        if idr_pic_id >= 0:
+            bw.write1(0)
+            bw.write1(0)
+        else:
+            bw.write1(0)                     # adaptive_ref_pic_marking
+        if p.b_cabac and slice_type != P.SLICE_TYPE_I:
+            bw.write_ue(p.i_cabac_init_idc)
+        bw.write_se(qp - self.pps.i_pic_init_qp)
+        deblock_on = self._deblock_enabled(qp)
+        bw.write_ue(0 if deblock_on else 1)
+        if deblock_on:
+            bw.write_se(p.i_deblocking_filter_alphac0)
+            bw.write_se(p.i_deblocking_filter_beta)
+
+    def _write_slice_cabac(self, syn, slice_type, qp, idr_pic_id) -> bytes:
+        from ..entropy import cabac as CB
+        p = self.param
+        mb_w, mb_h = self.mb_w, self.mb_h
+        bw = BitWriter()
+        self._write_slice_header_common(bw, slice_type, qp, idr_pic_id)
+        bw.align_1()
+        header = bw.get_bytes()
+
+        cb = CB.CabacEncoder(slice_type == P.SLICE_TYPE_I,
+                             qp, frame_idx=self.i_frame)
+        is_p = slice_type == P.SLICE_TYPE_P
+
+        # frame-level context state
+        nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)      # luma nnz flags
+        cnnz = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)  # chroma AC flags
+        cbp_ext = np.full((mb_h, mb_w), -1, np.int32)
+        mb_types = np.full((mb_h, mb_w), -1, np.int32)      # 0 i16,1 i4,2 pl0,3 skip
+        chroma_modes = np.zeros((mb_h, mb_w), np.int32)
+        mvd_cache = np.zeros((mb_h, mb_w, 2), np.int32)
+        avail = np.ones((mb_h, mb_w), bool)
+        mv = syn.get("mv")
+
+        def write_residual_cbf(cat, mby, mbx, nz, levels, ctxidx):
+            cb.decision(ctxidx, 1 if nz else 0)
+            if nz:
+                CB.write_block_residual(cb, cat, levels)
+
+        def cbf_ctx_dc(cat, mby, mbx, bit, b_intra):
+            la = cbp_ext[mby, mbx - 1] if mbx > 0 else -1
+            ta = cbp_ext[mby - 1, mbx] if mby > 0 else -1
+            nza = (la >> bit) & 1 if la != -1 else b_intra
+            nzb = (ta >> bit) & 1 if ta != -1 else b_intra
+            return CB.CBF_BASE[cat] + (nzb << 1) + nza
+
+        def cbf_ctx_ac(cat, grid, by, bx, b_intra):
+            # unavailable neighbor: intra → 1, inter → 0 (cabac.c:437-449)
+            nza = grid[by, bx - 1] if bx > 0 else b_intra
+            nzb = grid[by - 1, bx] if by > 0 else b_intra
+            return CB.CBF_BASE[cat] + ((1 if nzb else 0) << 1) + (1 if nza else 0)
+
+        for mby in range(mb_h):
+            for mbx in range(mb_w):
+                first = mby == 0 and mbx == 0
+                if not first:
+                    cb.terminal()
+                cbp_luma = int(syn["cbp_luma"][mby, mbx])
+                cbp_chroma = int(syn["cbp_chroma"][mby, mbx])
+
+                if is_p:
+                    pskip_mv = self._host_pskip_mv(mv, avail, mbx, mby)
+                    is_skip = (cbp_luma == 0 and cbp_chroma == 0
+                               and np.array_equal(mv[mby, mbx], pskip_mv))
+                    # skip flag (x264_cabac_mb_skip, cabac.c:203-209)
+                    nsk = 0
+                    if mbx > 0 and mb_types[mby, mbx - 1] != 3:
+                        nsk += 1
+                    if mby > 0 and mb_types[mby - 1, mbx] != 3:
+                        nsk += 1
+                    cb.decision(11 + nsk, 1 if is_skip else 0)
+                    if is_skip:
+                        mb_types[mby, mbx] = 3
+                        cbp_ext[mby, mbx] = 0
+                        nnz[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
+                        cnnz[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+                        self.stats.i_mb_count["P_SKIP"] = \
+                            self.stats.i_mb_count.get("P_SKIP", 0) + 1
+                        continue
+
+                if is_p:
+                    # P_L0 16x16: bins 0,0,0 on ctx 14/15/16 (cabac.c:349-357)
+                    cb.decision(14, 0)
+                    cb.decision(15, 0)
+                    cb.decision(16, 0)
+                    mvp, _ = self._host_mvp_16x16(mv, avail, mbx, mby)
+                    mdx = int(mv[mby, mbx, 0]) - int(mvp[0])
+                    mdy = int(mv[mby, mbx, 1]) - int(mvp[1])
+                    la = mvd_cache[mby, mbx - 1] if mbx > 0 else (0, 0)
+                    ta = mvd_cache[mby - 1, mbx] if mby > 0 else (0, 0)
+                    amvd0 = int(la[0]) + int(ta[0])
+                    amvd1 = int(la[1]) + int(ta[1])
+                    c0 = (1 if amvd0 > 2 else 0) + (1 if amvd0 > 32 else 0)
+                    c1 = (1 if amvd1 > 2 else 0) + (1 if amvd1 > 32 else 0)
+                    a0 = CB.write_mvd_component(cb, 0, mdx, c0)
+                    a1 = CB.write_mvd_component(cb, 1, mdy, c1)
+                    mvd_cache[mby, mbx] = (a0, a1)
+                    mb_types[mby, mbx] = 2
+                    b_intra = 0
+                    self.stats.i_mb_count["P_L0"] = \
+                        self.stats.i_mb_count.get("P_L0", 0) + 1
+                else:
+                    is_i4 = syn["mb_type"][mby, mbx] == 1
+                    b_intra = 1
+                    # mb_type ctx (cabac.c:305-311): neighbor != I_4x4
+                    ctx = 0
+                    if mbx > 0 and mb_types[mby, mbx - 1] != 1:
+                        ctx += 1
+                    if mby > 0 and mb_types[mby - 1, mbx] != 1:
+                        ctx += 1
+                    mode_fix = int(_FIX16[syn["i16_mode"][mby, mbx]])
+                    CB.write_mb_type_intra(cb, is_i4, mode_fix, cbp_luma,
+                                           cbp_chroma, 3 + ctx, 6, 7, 8, 9, 10)
+                    if is_i4:
+                        modes = syn["i4_modes"][mby, mbx]
+                        for i in range(16):
+                            bx = mbx * 4 + int(BLOCK_IDX_X[i])
+                            by = mby * 4 + int(BLOCK_IDX_Y[i])
+                            pred = self._host_mpm(syn, by, bx)
+                            CB.write_intra4x4_pred_mode(
+                                cb, pred, int(_FIX4[modes[i] + 1]))
+                    # chroma pred mode (cabac.c:84-103)
+                    cm = int(_FIXC[syn["chroma_mode"][mby, mbx]])
+                    ctx = 0
+                    if mbx > 0 and chroma_modes[mby, mbx - 1] != 0:
+                        ctx += 1
+                    if mby > 0 and chroma_modes[mby - 1, mbx] != 0:
+                        ctx += 1
+                    cb.decision(64 + ctx, 1 if cm > 0 else 0)
+                    if cm > 0:
+                        cb.decision(64 + 3, 1 if cm > 1 else 0)
+                        if cm > 1:
+                            cb.decision(64 + 3, 1 if cm > 2 else 0)
+                    chroma_modes[mby, mbx] = cm
+                    mb_types[mby, mbx] = 1 if is_i4 else 0
+                    self.stats.i_mb_count["I_4x4" if is_i4 else "I_16x16"] = \
+                        self.stats.i_mb_count.get(
+                            "I_4x4" if is_i4 else "I_16x16", 0) + 1
+
+                is_i16 = (not is_p) and syn["mb_type"][mby, mbx] == 0
+                nz_dc = int(syn["nz_luma_dc"][mby, mbx]) if is_i16 else 0
+                cnz_dc = syn["chroma_nz_dc"][mby, mbx] if "chroma_nz_dc" in syn \
+                    else np.zeros(2, np.int32)
+                this_cbp_ext = ((cbp_chroma << 4) | cbp_luma | (nz_dc << 8)
+                                | (int(cnz_dc[0]) << 9)
+                                | (int(cnz_dc[1]) << 10))
+
+                if not is_i16:
+                    # cbp (cabac.c:111-164)
+                    cl = cbp_ext[mby, mbx - 1] if mbx > 0 else -1
+                    ct = cbp_ext[mby - 1, mbx] if mby > 0 else -1
+                    cbp = cbp_luma
+                    cb.decision(76 - ((cl >> 1) & 1) - ((ct >> 1) & 2),
+                                (cbp >> 0) & 1)
+                    cb.decision(76 - ((cbp >> 0) & 1) - ((ct >> 2) & 2),
+                                (cbp >> 1) & 1)
+                    cb.decision(76 - ((cl >> 3) & 1) - ((cbp << 1) & 2),
+                                (cbp >> 2) & 1)
+                    cb.decision(76 - ((cbp >> 2) & 1) - ((cbp >> 0) & 2),
+                                (cbp >> 3) & 1)
+                    ctx = 0
+                    if (cl & 0x30) and cl != -1:
+                        ctx += 1
+                    if (ct & 0x30) and ct != -1:
+                        ctx += 2
+                    if cbp_chroma == 0:
+                        cb.decision(77 + ctx, 0)
+                    else:
+                        cb.decision(77 + ctx, 1)
+                        ctx = 4
+                        if (cl & 0x30) == 0x20:
+                            ctx += 1
+                        if (ct & 0x30) == 0x20:
+                            ctx += 2
+                        cb.decision(77 + ctx, cbp_chroma >> 1)
+
+                cbp_ext[mby, mbx] = this_cbp_ext
+
+                if cbp_luma or cbp_chroma or is_i16:
+                    # qp_delta: constant-QP → dqp 0, ctx 0
+                    CB.write_qp_delta(cb, 0, False)
+                    if is_i16:
+                        ctx = cbf_ctx_dc(CB.CAT_LUMA_DC, mby, mbx, 8, b_intra)
+                        write_residual_cbf(
+                            CB.CAT_LUMA_DC, mby, mbx, nz_dc,
+                            syn["luma_dc_levels"][mby, mbx], ctx)
+                        if cbp_luma:
+                            for i in range(16):
+                                bx = mbx * 4 + int(BLOCK_IDX_X[i])
+                                by = mby * 4 + int(BLOCK_IDX_Y[i])
+                                nzf = int(syn["luma_nnz"][mby, mbx, i])
+                                ctx = cbf_ctx_ac(CB.CAT_LUMA_AC, nnz, by, bx,
+                                                 b_intra)
+                                write_residual_cbf(
+                                    CB.CAT_LUMA_AC, mby, mbx, nzf,
+                                    syn["luma_levels"][mby, mbx, i, 1:], ctx)
+                                nnz[by, bx] = nzf
+                    else:
+                        for i in range(16):
+                            if not (cbp_luma & (1 << (i >> 2))):
+                                continue
+                            bx = mbx * 4 + int(BLOCK_IDX_X[i])
+                            by = mby * 4 + int(BLOCK_IDX_Y[i])
+                            nzf = int(syn["luma_nnz"][mby, mbx, i])
+                            ctx = cbf_ctx_ac(CB.CAT_LUMA_4x4, nnz, by, bx,
+                                             b_intra)
+                            write_residual_cbf(
+                                CB.CAT_LUMA_4x4, mby, mbx, nzf,
+                                syn["luma_levels"][mby, mbx, i], ctx)
+                            nnz[by, bx] = nzf
+                    if cbp_chroma:
+                        for ch in range(2):
+                            ctx = cbf_ctx_dc(CB.CAT_CHROMA_DC, mby, mbx,
+                                             9 + ch, b_intra)
+                            write_residual_cbf(
+                                CB.CAT_CHROMA_DC, mby, mbx, int(cnz_dc[ch]),
+                                syn["chroma_dc_levels"][mby, mbx, ch], ctx)
+                        if cbp_chroma == 2:
+                            for ch in range(2):
+                                for i in range(4):
+                                    bx = mbx * 2 + (i & 1)
+                                    by = mby * 2 + (i >> 1)
+                                    nzf = int(syn["chroma_nnz_ac"][mby, mbx,
+                                                                   ch, i])
+                                    ctx = cbf_ctx_ac(CB.CAT_CHROMA_AC,
+                                                     cnnz[ch], by, bx,
+                                                     b_intra)
+                                    write_residual_cbf(
+                                        CB.CAT_CHROMA_AC, mby, mbx, nzf,
+                                        syn["chroma_ac_levels"][mby, mbx,
+                                                                ch, i, 1:],
+                                        ctx)
+                                    cnnz[ch, by, bx] = nzf
+
+                # zero nnz state for uncoded blocks
+                if not (cbp_luma or is_i16):
+                    nnz[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
+                elif not is_i16:
+                    for i in range(16):
+                        if not (cbp_luma & (1 << (i >> 2))):
+                            bx = mbx * 4 + int(BLOCK_IDX_X[i])
+                            by = mby * 4 + int(BLOCK_IDX_Y[i])
+                            nnz[by, bx] = 0
+                if cbp_chroma != 2:
+                    cnnz[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+
+        return header + cb.flush()
     @staticmethod
     def _host_mvp_16x16(mv, avail, mbx, mby):
         """x264_mb_predict_mv_16x16 (common/mvpred.c:103-137), single-ref.

@@ -81,6 +81,11 @@ class BitWriter:
         if self._nbits:
             self.write(8 - self._nbits, 0)
 
+    def align_1(self) -> None:
+        """cabac_alignment_one_bit padding (bs_align_1)."""
+        if self._nbits:
+            self.write(8 - self._nbits, (1 << (8 - self._nbits)) - 1)
+
     # -- state ----------------------------------------------------------------
     @property
     def bit_pos(self) -> int:
