@@ -1,17 +1,18 @@
-"""Benchmark: device intra-encode throughput on the attached TPU chip.
+"""Benchmark: device encode throughput on the attached TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 300 fps/chip 1080p (BASELINE.md build target).
 
-Round 1 scope: the all-intra device pipeline (wavefront mode decision +
-full residual encode + reconstruction). Inter P, CABAC and the native host
-entropy stage land in later rounds; the metric name states what is
-measured so rounds are comparable.
+Measures the 1080p IPPP device pipeline in steady state: P-frame encode
+(full-pel cost surfaces + wavefront MV decisions + residual encode) plus
+the in-loop deblock + hpel reference update — i.e. everything except the
+host entropy stage (which overlaps device work in the production setup).
+IPPP with keyint 50 is ~98% P frames, the headline config (BASELINE.json
+config 4). Set BENCH_INTRA=1 for the all-intra variant.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -19,7 +20,11 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
+    from x264dsp_tpu.encoder.inter_frame import encode_p_frame
     from x264dsp_tpu.encoder.intra_frame import encode_i_frame
+    from x264dsp_tpu.ops import mc as MC
+    from x264dsp_tpu.ops import deblock as DB
 
     w, h = 1920, 1088
     mb_w, mb_h = w // 16, h // 16
@@ -27,25 +32,52 @@ def main():
     y = rng.integers(0, 256, (h, w)).astype(np.uint8)
     u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
     v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
-
     qp, qpc, lam = 26, 26, 5
 
-    def run():
-        out = encode_i_frame(y, u, v, qp, qpc, lam, mb_w=mb_w, mb_h=mb_h,
-                             use_satd=False, i4x4_enabled=True)
-        jax.block_until_ready(out["recon_y"])
-        return out
+    intra = os.environ.get("BENCH_INTRA") == "1"
+    if intra:
+        def run(_):
+            out = encode_i_frame(y, u, v, qp, qpc, lam, mb_w=mb_w,
+                                 mb_h=mb_h, use_satd=False,
+                                 i4x4_enabled=True)
+            jax.block_until_ready(out["recon_y"])
+            return out
+        metric = "1080p all-intra device-pipeline fps/chip"
+        state = None
+    else:
+        ref_y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ref4 = MC.make_ref_planes(jnp.asarray(ref_y))
+        refu = MC.pad_chroma(jnp.asarray(u))
+        refv = MC.pad_chroma(jnp.asarray(v))
+        bs = jnp.zeros((mb_h, mb_w, 2, 4, 4), jnp.int32) + 1
+        zero_mb = jnp.zeros((mb_h, mb_w), jnp.int32)
 
-    run()  # compile
+        def run(state):
+            ref4, refu, refv = state
+            out = encode_p_frame(y, u, v, ref4, refu, refv, qp, qpc, lam,
+                                 mb_w=mb_w, mb_h=mb_h, me_range=16,
+                                 mv_range=512, dct_decimate=True)
+            dy, du, dv = DB.deblock_frame(
+                out["recon_y"], out["recon_u"], out["recon_v"], bs,
+                zero_mb, zero_mb, qp, qpc, 0, 0, mb_w=mb_w, mb_h=mb_h)
+            ref4 = MC.make_ref_planes(dy)
+            refu = MC.pad_chroma(du)
+            refv = MC.pad_chroma(dv)
+            jax.block_until_ready(ref4)
+            return (ref4, refu, refv)
+        metric = "1080p IPPP device-pipeline fps/chip"
+        state = (ref4, refu, refv)
+
+    state = run(state)  # compile
     n = 8
     t0 = time.perf_counter()
     for _ in range(n):
-        run()
+        state = run(state)
     dt = time.perf_counter() - t0
     fps = n / dt
 
     print(json.dumps({
-        "metric": "1080p all-intra device-pipeline fps/chip",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 300.0, 4),

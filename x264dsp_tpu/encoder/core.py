@@ -294,35 +294,28 @@ class EncoderCore:
     # ------------------------------------------------------------------
     def _write_slice_cavlc(self, syn, slice_type, qp, idr_pic_id) -> bytes:
         """Slice header (x264_slice_header_write, encoder.c:1047-1196) +
-        I-slice MB loop of x264_slice_write (:1503-1664), CAVLC."""
+        I-slice MB loop of x264_slice_write (:1503-1664), CAVLC.
+
+        The MB loop runs in the native C++ entropy stage when available
+        (entropy/native/entropy.cpp); this Python path is its behavioral
+        twin and fallback."""
         p = self.param
         bw = BitWriter()
-        # -- slice header --
-        bw.write_ue(0)                       # first_mb_in_slice
-        bw.write_ue(slice_type + 5)          # slice_type (+5 = "all slices")
-        bw.write_ue(self.pps.i_id)
-        bw.write(self.sps.i_log2_max_frame_num,
-                 self.frame_num & ((1 << self.sps.i_log2_max_frame_num) - 1))
-        if idr_pic_id >= 0:
-            bw.write_ue(idr_pic_id)
-        # poc_type == 2 → nothing
-        if idr_pic_id >= 0:
-            bw.write1(0)                     # no_output_of_prior_pics
-            bw.write1(0)                     # long_term_reference_flag
-        else:
-            bw.write1(0)                     # adaptive_ref_pic_marking
-        bw.write_se(qp - self.pps.i_pic_init_qp)   # slice_qp_delta
-        # deblocking control (slice_header_init, encoder.c:1040-1046)
-        deblock_thresh = qp + 2 * min(p.i_deblocking_filter_alphac0,
-                                      p.i_deblocking_filter_beta)
-        disable_deblock = 0 if (p.b_deblocking_filter
-                                and deblock_thresh > 15) else 1
-        bw.write_ue(disable_deblock)
-        if disable_deblock != 1:
-            bw.write_se(p.i_deblocking_filter_alphac0)
-            bw.write_se(p.i_deblocking_filter_beta)
+        self._write_slice_header_common(bw, slice_type, qp, idr_pic_id)
 
-        # -- MB loop --
+        from ..entropy import native
+        payload = native.write_slice_i(bw.get_unaligned(), self.mb_w,
+                                       self.mb_h, qp, syn)
+        if payload is not None:
+            n_i4 = int((syn["mb_type"] == 1).sum())
+            self.stats.i_mb_count["I_4x4"] = \
+                self.stats.i_mb_count.get("I_4x4", 0) + n_i4
+            self.stats.i_mb_count["I_16x16"] = \
+                self.stats.i_mb_count.get("I_16x16", 0) \
+                + self.mb_w * self.mb_h - n_i4
+            return payload
+
+        # -- MB loop (Python fallback) --
         mb_w, mb_h = self.mb_w, self.mb_h
         luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int32)
         chroma_cnt = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
@@ -750,23 +743,22 @@ class EncoderCore:
 
     def _write_slice_p_cavlc(self, syn, qp) -> bytes:
         """P slice: header + skip runs + P_L0 16x16 MBs (encoder/cavlc.c
-        mb_header_p :233-260, slice loop encoder.c:1547-1570)."""
-        p = self.param
+        mb_header_p :233-260, slice loop encoder.c:1547-1570). Native C++
+        fast path with this Python twin as fallback."""
         bw = BitWriter()
-        bw.write_ue(0)                       # first_mb_in_slice
-        bw.write_ue(P.SLICE_TYPE_P + 5)
-        bw.write_ue(self.pps.i_id)
-        bw.write(self.sps.i_log2_max_frame_num,
-                 self.frame_num & ((1 << self.sps.i_log2_max_frame_num) - 1))
-        bw.write1(0)                         # num_ref_idx_override
-        bw.write1(0)                         # ref_pic_list_reordering
-        bw.write1(0)                         # adaptive_ref_pic_marking
-        bw.write_se(qp - self.pps.i_pic_init_qp)
-        deblock_on = self._deblock_enabled(qp)
-        bw.write_ue(0 if deblock_on else 1)
-        if deblock_on:
-            bw.write_se(p.i_deblocking_filter_alphac0)
-            bw.write_se(p.i_deblocking_filter_beta)
+        self._write_slice_header_common(bw, P.SLICE_TYPE_P, qp, -1)
+
+        from ..entropy import native
+        res = native.write_slice_p(bw.get_unaligned(), self.mb_w, self.mb_h,
+                                   qp, syn)
+        if res is not None:
+            payload, n_skip = res
+            self.stats.i_mb_count["P_SKIP"] = \
+                self.stats.i_mb_count.get("P_SKIP", 0) + n_skip
+            self.stats.i_mb_count["P_L0"] = \
+                self.stats.i_mb_count.get("P_L0", 0) \
+                + self.mb_w * self.mb_h - n_skip
+            return payload
 
         mb_w, mb_h = self.mb_w, self.mb_h
         luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int32)

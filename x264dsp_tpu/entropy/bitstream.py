@@ -99,6 +99,13 @@ class BitWriter:
         assert self._nbits == 0, "bitstream not byte-aligned"
         return bytes(self._buf)
 
+    def get_unaligned(self) -> tuple:
+        """Returns (bytes including a trailing partial byte, n_partial_bits).
+        The partial bits are MSB-aligned in the final byte."""
+        partial = ((self._cur << (8 - self._nbits)) & 0xFF
+                   if self._nbits else 0)
+        return bytes(self._buf) + bytes([partial]), self._nbits
+
     def append_bytes(self, data: bytes) -> None:
         assert self._nbits == 0
         self._buf.extend(data)

@@ -1,0 +1,137 @@
+"""ctypes loader for the native entropy stage (entropy/native/entropy.cpp).
+
+Builds the shared library on first use (g++, no external deps) and injects
+the CAVLC code tables. Falls back to None if the toolchain is unavailable;
+callers then use the pure-Python writers (identical output, slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "native" / "entropy.cpp"
+_LIB_DIR = Path(os.environ.get("X264TPU_NATIVE_DIR",
+                               "/tmp/x264tpu_native"))
+_LIB = _LIB_DIR / "libx264tpu_entropy.so"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    _LIB_DIR.mkdir(parents=True, exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(_LIB)],
+            check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Returns the loaded library or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src_mtime = _SRC.stat().st_mtime
+    if not _LIB.exists() or _LIB.stat().st_mtime < src_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return None
+
+    lib.x264tpu_write_slice_i.restype = ctypes.c_int64
+    lib.x264tpu_write_slice_p.restype = ctypes.c_int64
+    lib.x264tpu_nal_escape.restype = ctypes.c_int64
+
+    from .cavlc_tables import (COEFF0_TOKEN, COEFF_TOKEN, TOTAL_ZEROS,
+                               TOTAL_ZEROS_2x2_DC)
+    coeff0 = np.array(COEFF0_TOKEN, np.uint16)
+    ct = np.array(COEFF_TOKEN, np.uint16)
+    tz = np.array(TOTAL_ZEROS, np.uint16)
+    tzdc = np.array(TOTAL_ZEROS_2x2_DC, np.uint16)
+    lib.x264tpu_set_cavlc_tables(
+        coeff0.ctypes.data_as(ctypes.c_void_p),
+        ct.ctypes.data_as(ctypes.c_void_p),
+        tz.ctypes.data_as(ctypes.c_void_p),
+        tzdc.ctypes.data_as(ctypes.c_void_p))
+    _lib = lib
+    return _lib
+
+
+def _i32(a):
+    return np.ascontiguousarray(a, np.int32)
+
+
+def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
+                  syn: dict) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    header, nbits = header_bits          # header includes a partial byte
+    full = len(header) - 1
+    cap = mb_w * mb_h * 1024 + full + 4096
+    out = np.zeros(cap, np.uint8)
+    hdr = np.frombuffer(header, np.uint8)
+    keep = []
+    args = [out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+            hdr.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(full), ctypes.c_int(nbits),
+            ctypes.c_int(mb_w), ctypes.c_int(mb_h), ctypes.c_int(qp)]
+    for k in ("mb_type", "i16_mode", "i4_modes", "chroma_mode", "cbp_luma",
+              "cbp_chroma", "nz_luma_dc", "luma_levels", "luma_dc_levels",
+              "chroma_dc_levels", "chroma_ac_levels"):
+        arr = _i32(syn[k])
+        keep.append(arr)
+        args.append(arr.ctypes.data_as(ctypes.c_void_p))
+    n = lib.x264tpu_write_slice_i(*args)
+    return out[:n].tobytes()
+
+
+def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
+                  syn: dict):
+    lib = get_lib()
+    if lib is None:
+        return None
+    header, nbits = header_bits          # header includes a partial byte
+    full = len(header) - 1
+    cap = mb_w * mb_h * 1024 + full + 4096
+    out = np.zeros(cap, np.uint8)
+    hdr = np.frombuffer(header, np.uint8)
+    skip_count = ctypes.c_int32(0)
+    keep = []
+    args = [out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+            hdr.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(full), ctypes.c_int(nbits),
+            ctypes.c_int(mb_w), ctypes.c_int(mb_h), ctypes.c_int(qp)]
+    for k in ("mv", "cbp_luma", "cbp_chroma", "luma_levels",
+              "chroma_dc_levels", "chroma_ac_levels"):
+        arr = _i32(syn[k])
+        keep.append(arr)
+        args.append(arr.ctypes.data_as(ctypes.c_void_p))
+    args.append(ctypes.byref(skip_count))
+    n = lib.x264tpu_write_slice_p(*args)
+    return out[:n].tobytes(), int(skip_count.value)
+
+
+def nal_escape(payload: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(payload, np.uint8)
+    dst = np.zeros(len(payload) * 3 // 2 + 16, np.uint8)
+    n = lib.x264tpu_nal_escape(dst.ctypes.data_as(ctypes.c_void_p),
+                               src.ctypes.data_as(ctypes.c_void_p),
+                               ctypes.c_int64(len(payload)))
+    return dst[:n].tobytes()
