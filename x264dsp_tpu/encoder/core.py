@@ -233,7 +233,10 @@ class EncoderCore:
                 mb_w=self.mb_w, mb_h=self.mb_h,
                 me_range=p.analyse.i_me_range,
                 mv_range=p.analyse.i_mv_range,
-                dct_decimate=bool(p.analyse.b_dct_decimate))
+                dct_decimate=bool(p.analyse.b_dct_decimate),
+                # UMH/ESA map to the fully parallel candidate scoring;
+                # DIA/HEX keep the exact sequential-MVP wavefront
+                me_parallel=p.analyse.i_me_method >= P.ME_UMH)
         syn = {k: np.asarray(v) for k, v in dev.items()}
 
         nals = []

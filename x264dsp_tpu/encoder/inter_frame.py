@@ -78,7 +78,16 @@ def fullpel_cost_surfaces(fenc_y, ref_full, mb_w: int, mb_h: int,
                           me_range: int):
     """SAD of every MB against the reference at every full-pel offset in
     [-R, R]^2. ref_full: padded (Hp, Wp) full-pel plane (PAD_MC border).
-    Returns (mb_h, mb_w, 2R+1, 2R+1) int32."""
+    Returns (mb_h, mb_w, 2R+1, 2R+1) int32.
+
+    On TPU this dispatches to the Pallas strip-resident kernel
+    (ops/pallas/me_sad.py); this XLA formulation is the twin/fallback."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        from ..ops.pallas.me_sad import make_ref_strips, sad_cost_surfaces
+        strips = make_ref_strips(ref_full, MC.PAD_MC, mb_w, mb_h, me_range)
+        return sad_cost_surfaces(fenc_y.astype(jnp.int32), strips,
+                                 mb_w=mb_w, mb_h=mb_h, R=me_range)
     R = me_range
     H, W = mb_h * 16, mb_w * 16
     f = fenc_y.astype(jnp.int32)
@@ -154,8 +163,18 @@ def make_mv_ranges(mb_w, mb_h, mv_range):
 
 def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
                me_range: int, mv_range: int):
-    """Wavefront fullpel pick + subme-1 subpel refine. Returns final MV
-    field (mb_h, mb_w, 2) in qpel units."""
+    """MV decisions in two stages:
+
+    1. Full-pel wavefront: exact median-MVP chain over the 2:1 diagonals,
+       each step pure arithmetic on the precomputed cost surfaces (no
+       pixel gathers — the latency-critical path stays tiny).
+    2. Parallel subpel refinement (subme-1 recipe, me.c:466-581) for all
+       MBs at once, with MVP taken from the completed full-pel field (a
+       deliberate decoupling: the entropy stage recomputes the exact MVP
+       from final MVs, so the bitstream stays exact; only the λ·mvbits
+       bias during refinement is approximate).
+
+    Returns the final MV field (mb_h, mb_w, 2) in qpel units."""
     R = me_range
     n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
     mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
@@ -163,13 +182,7 @@ def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
 
     fenc = fenc_y.astype(jnp.int32)
 
-    def sad_at(x0, y0, mvx, mvy):
-        blk = MC.mc_luma_block(ref4, x0, y0, mvx, mvy, 16, 16)
-        f = jax.lax.dynamic_slice(fenc, (y0, x0), (16, 16))
-        return jnp.abs(f - blk).sum()
-
-    def refine_one(mbx, mby, mv_field):
-        x0, y0 = mbx * 16, mby * 16
+    def fullpel_one(mbx, mby, mv_field):
         mvp, *_ = _mvp_16x16(mv_field, None, mbx, mby, mb_w)
         mvpx, mvpy = mvp[0], mvp[1]
         surf = cost_surf[mby, mbx]
@@ -187,50 +200,177 @@ def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
         k = jnp.argmin(cost)
         bmy = (k // (2 * R + 1) - R) * 4
         bmx = (k % (2 * R + 1) - R) * 4
-        bcost = cost.reshape(-1)[k]
+        return jnp.stack([bmx, bmy]), cost.reshape(-1)[k]
 
-        def try_mv(bcost, bmx, bmy, mx, my):
-            c = sad_at(x0, y0, mx, my) + _mv_cost(lam, mx, my, mvpx, mvpy)
-            better = c < bcost
-            return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
-                    jnp.where(better, my, bmy))
-
-        # try the subpel component of the MVP (me.c:484-491)
-        mx = jnp.clip(mvpx, mvmin_x[mbx] + 2, mvmax_x[mbx] - 2)
-        my = jnp.clip(mvpy, mvmin_y[mby] + 2, mvmax_y[mby] - 2)
-        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my)
-        # one hpel diamond iteration (me.c:494-517)
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy)
-        # one qpel step (subme=1 special case, me.c:565-581), only when
-        # strictly inside the spel range
-        inside = ((bmy > mvmin_y[mby]) & (bmy < mvmax_y[mby])
-                  & (bmx > mvmin_x[mbx]) & (bmx < mvmax_x[mbx]))
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-            c = sad_at(x0, y0, omx + dmx, omy + dmy) \
-                + _mv_cost(lam, omx + dmx, omy + dmy, mvpx, mvpy)
-            better = inside & (c < bcost)
-            bcost = jnp.where(better, c, bcost)
-            bmx = jnp.where(better, omx + dmx, bmx)
-            bmy = jnp.where(better, omy + dmy, bmy)
-        return jnp.stack([bmx, bmy])
-
-    def step(d, mv_field):
+    def step(d, state):
+        mv_field, cost_field = state
         ys = diag_ys[d]
         xs = diag_xs[d]
         valid = ys >= 0
         yc = jnp.maximum(ys, 0)
         xc = jnp.maximum(xs, 0)
-        mvs = jax.vmap(lambda x, y: refine_one(x, y, mv_field))(xc, yc)
+        mvs, costs = jax.vmap(
+            lambda x, y: fullpel_one(x, y, mv_field))(xc, yc)
         oob = jnp.int32(1 << 20)
         sy = jnp.where(valid, yc, oob)
         sx = jnp.where(valid, xc, oob)
-        return mv_field.at[sy, sx].set(mvs, mode="drop")
+        return (mv_field.at[sy, sx].set(mvs, mode="drop"),
+                cost_field.at[sy, sx].set(costs, mode="drop"))
 
-    mv_field = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
-    return jax.lax.fori_loop(0, n_diag, step, mv_field)
+    mv0 = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+    c0 = jnp.zeros((mb_h, mb_w), jnp.int32)
+    mv_field, cost_field = jax.lax.fori_loop(0, n_diag, step, (mv0, c0))
+
+    # ---- stage 2: batched subpel refinement ----
+    def refine_one(mbx, mby):
+        x0, y0 = mbx * 16, mby * 16
+        mvp, *_ = _mvp_16x16(mv_field, None, mbx, mby, mb_w)
+        mvpx, mvpy = mvp[0], mvp[1]
+        bmx = mv_field[mby, mbx, 0]
+        bmy = mv_field[mby, mbx, 1]
+        bcost = cost_field[mby, mbx]
+        f = jax.lax.dynamic_slice(fenc, (y0, x0), (16, 16))
+
+        def sad_at(mvx, mvy):
+            blk = MC.mc_luma_block(ref4, x0, y0, mvx, mvy, 16, 16)
+            return jnp.abs(f - blk).sum()
+
+        def try_mv(bcost, bmx, bmy, mx, my, gate):
+            c = sad_at(mx, my) + _mv_cost(lam, mx, my, mvpx, mvpy)
+            better = gate & (c < bcost)
+            return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
+                    jnp.where(better, my, bmy))
+
+        tt = jnp.bool_(True)
+        # try the subpel component of the MVP (me.c:484-491)
+        mx = jnp.clip(mvpx, mvmin_x[mbx] + 2, mvmax_x[mbx] - 2)
+        my = jnp.clip(mvpy, mvmin_y[mby] + 2, mvmax_y[mby] - 2)
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
+        # one hpel diamond iteration (me.c:494-517)
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     tt)
+        # one qpel step (subme=1 special case, me.c:565-581)
+        inside = ((bmy > mvmin_y[mby]) & (bmy < mvmax_y[mby])
+                  & (bmx > mvmin_x[mbx]) & (bmx < mvmax_x[mbx]))
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     inside)
+        return jnp.stack([bmx, bmy])
+
+    xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
+    return jax.vmap(jax.vmap(refine_one))(xs, ys)
+
+
+def _mvp_field_parallel(mv_field, mb_w: int, mb_h: int):
+    """Vectorized median-MVP over the whole grid from a *given* MV field
+    (one shifted-neighbor pass — no wavefront)."""
+    def shift(dy, dx):
+        m = jnp.roll(mv_field, (dy, dx), axis=(0, 1))
+        ys, xs = jnp.mgrid[0:mb_h, 0:mb_w]
+        ok = ((ys - dy >= 0) & (ys - dy < mb_h)
+              & (xs - dx >= 0) & (xs - dx < mb_w))
+        return jnp.where(ok[..., None], m, 0), ok
+
+    mv_a, ok_a = shift(0, 1)
+    mv_b, ok_b = shift(1, 0)
+    mv_c, ok_c = shift(1, -1)
+    mv_d, ok_d = shift(1, 1)
+    mv_c = jnp.where(ok_c[..., None], mv_c, mv_d)
+    ok_c = ok_c | ok_d
+    count = ok_a.astype(jnp.int32) + ok_b.astype(jnp.int32) \
+        + ok_c.astype(jnp.int32)
+    med = _median3(mv_a, mv_b, mv_c)
+    single = jnp.where(ok_a[..., None], mv_a,
+                       jnp.where(ok_b[..., None], mv_b, mv_c))
+    return jnp.where(count[..., None] == 1, single, med)
+
+
+def decide_mvs_parallel(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
+                        me_range: int, mv_range: int):
+    """Fully parallel MV decision (no wavefront) — the ESA/UMH-mapped mode:
+    pass 1 picks pure-SAD argmin MVs everywhere, pass 2 derives an MVP
+    estimate field from them with one shifted-median step, pass 3 re-picks
+    with the λ·mvbits bias and runs the batched subpel refine. ~W+2H×
+    lower sequential depth than the exact chain at a small bitrate cost
+    (the entropy MVP stays exact either way)."""
+    R = me_range
+    n = 2 * R + 1
+    mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
+    offs = jnp.arange(-R, R + 1)
+
+    lo_x = (mvmin_x >> 2) + 6
+    hi_x = (mvmax_x >> 2) - 6
+    lo_y = (mvmin_y >> 2) + 6
+    hi_y = (mvmax_y >> 2) - 6
+    ok = ((offs[None, None, :] >= lo_x[:, None, None])
+          & (offs[None, None, :] <= hi_x[:, None, None]))   # (mb_w, 1, n)
+    ok = ok[None, :, :, :] & \
+        ((offs[None, :, None] >= lo_y[:, None, None])
+         & (offs[None, :, None] <= hi_y[:, None, None]))[:, None, :, :]
+    # ok: (mb_h, mb_w, n, n)
+    masked0 = jnp.where(ok, cost_surf, 1 << 28)
+    k0 = jnp.argmin(masked0.reshape(mb_h, mb_w, -1), axis=-1)
+    mv0 = jnp.stack([(k0 % n - R) * 4, (k0 // n - R) * 4], axis=-1)
+
+    mvp = _mvp_field_parallel(mv0, mb_w, mb_h)
+    mvx_q = offs[None, None, None, :] * 4
+    mvy_q = offs[None, None, :, None] * 4
+    mvpx = mvp[..., 0][..., None, None]
+    mvpy = mvp[..., 1][..., None, None]
+    bias = _mv_cost(lam, mvx_q, mvy_q, mvpx, mvpy)
+    cost = jnp.where(ok, cost_surf + bias, 1 << 28)
+    k = jnp.argmin(cost.reshape(mb_h, mb_w, -1), axis=-1)
+    mv_field = jnp.stack([(k % n - R) * 4, (k // n - R) * 4], axis=-1)
+    cost_field = jnp.take_along_axis(cost.reshape(mb_h, mb_w, -1),
+                                     k[..., None], axis=-1)[..., 0]
+
+    return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, ref4,
+                                lam, mb_w, mb_h, mvmin_x, mvmax_x,
+                                mvmin_y, mvmax_y)
+
+
+def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, ref4,
+                         lam, mb_w, mb_h, mvmin_x, mvmax_x, mvmin_y,
+                         mvmax_y):
+    fenc = fenc_y.astype(jnp.int32)
+
+    def refine_one(mbx, mby):
+        x0, y0 = mbx * 16, mby * 16
+        mvpx = mvp_field[mby, mbx, 0]
+        mvpy = mvp_field[mby, mbx, 1]
+        bmx = mv_field[mby, mbx, 0]
+        bmy = mv_field[mby, mbx, 1]
+        bcost = cost_field[mby, mbx]
+        f = jax.lax.dynamic_slice(fenc, (y0, x0), (16, 16))
+
+        def try_mv(bcost, bmx, bmy, mx, my, gate):
+            blk = MC.mc_luma_block(ref4, x0, y0, mx, my, 16, 16)
+            c = jnp.abs(f - blk).sum() + _mv_cost(lam, mx, my, mvpx, mvpy)
+            better = gate & (c < bcost)
+            return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
+                    jnp.where(better, my, bmy))
+
+        tt = jnp.bool_(True)
+        mx = jnp.clip(mvpx, mvmin_x[mbx] + 2, mvmax_x[mbx] - 2)
+        my = jnp.clip(mvpy, mvmin_y[mby] + 2, mvmax_y[mby] - 2)
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     tt)
+        inside = ((bmy > mvmin_y[mby]) & (bmy < mvmax_y[mby])
+                  & (bmx > mvmin_x[mbx]) & (bmx < mvmax_x[mbx]))
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     inside)
+        return jnp.stack([bmx, bmy])
+
+    xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
+    return jax.vmap(jax.vmap(refine_one))(xs, ys)
 
 
 # ---------------------------------------------------------------------------
@@ -395,15 +535,20 @@ def _encode_chroma_p(fenc8, pred8, qpc, b_decimate):
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
-                                             "mv_range", "dct_decimate"))
+                                             "mv_range", "dct_decimate",
+                                             "me_parallel"))
 def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                    qp, qpc, lam, mb_w: int, mb_h: int, me_range: int,
-                   mv_range: int, dct_decimate: bool):
+                   mv_range: int, dct_decimate: bool,
+                   me_parallel: bool = False):
     """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
-    / mc.pad_chroma on the DEBLOCKED previous reference."""
+    / mc.pad_chroma on the DEBLOCKED previous reference. me_parallel picks
+    the fully-parallel MV decision (the UMH/ESA me_method mapping) over the
+    exact sequential-MVP wavefront (DIA/HEX)."""
     surf = fullpel_cost_surfaces(fenc_y, ref4[0], mb_w, mb_h, me_range)
-    mv_field = decide_mvs(surf, fenc_y, ref4, lam, mb_w, mb_h,
-                          me_range, mv_range)
+    decide = decide_mvs_parallel if me_parallel else decide_mvs
+    mv_field = decide(surf, fenc_y, ref4, lam, mb_w, mb_h,
+                      me_range, mv_range)
     out = encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                             mv_field, qp, qpc, mb_w, mb_h, dct_decimate)
     out["mv"] = mv_field

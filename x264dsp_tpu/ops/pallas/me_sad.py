@@ -1,0 +1,87 @@
+"""Pallas kernel: full-pel SAD cost surfaces for motion estimation.
+
+Replaces the XLA formulation in encoder/inter_frame.fullpel_cost_surfaces
+(which re-reads the reference plane from HBM once per offset — ~6.5 GB of
+traffic per 1080p frame). Here each grid program pins one MB row's fenc
+strip (16 x W) and its search window strip ((16+2R) x (W+2R)) in VMEM and
+sweeps all (2R+1)^2 offsets on the VPU, writing the (mb_w, 2R+1, 2R+1)
+cost tile. HBM traffic drops to one read of each strip.
+
+This is the pixel-a.sa sad_x4/ESA role on TPU (SURVEY §2.5/§7.1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
+    W = mb_w * 16
+    n = 2 * R + 1
+    f = f_ref[0]  # (16, W)
+
+    # 16-column segment sums as a matmul with a 0/1 selection matrix (the
+    # (W,)→(mb_w,16) reshape isn't lowerable in Mosaic; the MXU does this
+    # for free, and values < 2^17 are exact in f32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, mb_w), 0)
+    mbi = jax.lax.broadcasted_iota(jnp.int32, (W, mb_w), 1)
+    sel = ((col >> 4) == mbi).astype(jnp.float32)
+
+    # Mosaic requires dynamic sublane/lane offsets to be 8/128-aligned, so
+    # both offsets are static unrolls; the compiler lowers the misaligned
+    # static slices to vector shifts.
+    for dy in range(n):
+        rows = r_ref[0, dy:dy + 16, :]
+        for dx in range(n):
+            win = rows[:, dx:dx + W]
+            ad = jnp.abs(f - win)                # (16, W) int32
+            rowsum = ad.sum(axis=0, keepdims=True).astype(jnp.float32)
+            tile = jnp.dot(rowsum, sel,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            k = dy * n + dx
+            o_ref[0, k:k + 1, :] = tile.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "R",
+                                             "interpret"))
+def sad_cost_surfaces(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
+                      interpret: bool = False):
+    """fenc_y: (mb_h*16, mb_w*16) int32; ref_strips: (mb_h, 16+2R,
+    mb_w*16+2R) int32 (per-MB-row search windows). Returns
+    (mb_h, mb_w, 2R+1, 2R+1) int32 SADs."""
+    W = mb_w * 16
+    n = 2 * R + 1
+    kernel = functools.partial(_kernel, R, mb_w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(mb_h,),
+        in_specs=[
+            pl.BlockSpec((1, 16, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16 + 2 * R, W + 2 * R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n * n, mb_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mb_h, n * n, mb_w), jnp.int32),
+        interpret=interpret,
+    )(fenc_y.reshape(mb_h, 16, W), ref_strips)
+    return out.transpose(0, 2, 1).reshape(mb_h, mb_w, n, n)
+
+
+def make_ref_strips(ref_full_pad, pad: int, mb_w: int, mb_h: int, R: int):
+    """Gather per-MB-row search-window strips from the padded full-pel
+    reference plane: strip i covers rows i*16 - R .. i*16 + 15 + R."""
+    W = mb_w * 16
+    idx = jnp.arange(mb_h) * 16 + pad - R
+
+    def one(i0):
+        return jax.lax.dynamic_slice(ref_full_pad, (i0, pad - R),
+                                     (16 + 2 * R, W + 2 * R))
+    return jax.vmap(one)(idx)

@@ -39,6 +39,27 @@ def encode_i_frames_batched(fy, fu, fv, qp, qpc, lam,
     return jax.vmap(lambda y, u, v: fn(y, u, v, qp, qpc, lam))(fy, fu, fv)
 
 
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
+                                             "mv_range", "dct_decimate",
+                                             "me_parallel"))
+def encode_p_frames_batched(fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
+                            mb_w: int, mb_h: int, me_range: int,
+                            mv_range: int, dct_decimate: bool,
+                            me_parallel: bool = False):
+    """Batched P-frame encode over a leading stream axis. The wavefront
+    steps are shared across streams, so per-step work scales with S while
+    the sequential depth stays constant — the main throughput lever for
+    the latency-bound decision wavefronts (BASELINE config 5)."""
+    from ..encoder import inter_frame
+    fn = functools.partial(inter_frame.encode_p_frame.__wrapped__,
+                           mb_w=mb_w, mb_h=mb_h, me_range=me_range,
+                           mv_range=mv_range, dct_decimate=dct_decimate,
+                           me_parallel=me_parallel)
+    return jax.vmap(lambda a, b, c, r4, ru, rv: fn(a, b, c, r4, ru, rv,
+                                                   qp, qpc, lam))(
+        fy, fu, fv, ref4, refu, refv)
+
+
 def shard_streams(mesh: Mesh, *arrays):
     """Place stream-batched arrays with the stream axis sharded over the
     mesh."""
