@@ -14,7 +14,7 @@ from pathlib import Path
 # "axon" TPU platform via a config hook that overrides JAX_PLATFORMS, so we
 # pin the platform through jax.config directly.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/x264tpu_jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import jax  # noqa: E402

@@ -84,3 +84,20 @@ def test_scenecut_inserts_keyframe():
     assert types[6] in (P.TYPE_IDR, P.TYPE_I), types
     assert all(t == P.TYPE_P or i in (0, 6)
                for i, t in enumerate(types) if i not in (0, 6)) or True
+
+
+def test_aq_offsets_shape_and_flatness():
+    import jax.numpy as jnp
+    from x264dsp_tpu.encoder.ratecontrol import aq_offsets
+    rng = np.random.default_rng(2)
+    # flat block → minimal energy → strongly negative offset;
+    # noisy block → positive offset
+    y = np.full((32, 32), 128, np.uint8)
+    y[16:, 16:] = rng.integers(0, 256, (16, 16))
+    u = np.full((16, 16), 128, np.uint8)
+    v = u.copy()
+    off = np.asarray(aq_offsets(jnp.asarray(y), jnp.asarray(u),
+                                jnp.asarray(v), 1.0, 2, 2))
+    assert off.shape == (2, 2)
+    assert off[0, 0] < -10        # flat MB
+    assert off[1, 1] > 0          # noisy MB

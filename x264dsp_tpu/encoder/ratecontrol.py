@@ -189,3 +189,31 @@ class RateControl:
             self.wanted_bits_window *= self.cbr_decay
         self.total_bits += bits
         self.i_frame += 1
+
+
+def aq_offsets(fenc_y, fenc_u, fenc_v, strength: float,
+               mb_w: int, mb_h: int):
+    """Variance-AQ per-MB QP offsets (x264_adaptive_quant_frame,
+    ratecontrol.c:192-300): energy = AC energy of the 16x16 luma block
+    (shift 8) + both 8x8 chroma blocks (shift 6); offset =
+    strength·1.0397·(log2(max(energy,1)) − 14.427).
+
+    One batched kernel over the MB grid; per-MB QP application in the
+    device pipelines is the remaining wiring (AQ defaults off in the
+    fork, common/common.c:82)."""
+    import jax.numpy as jnp
+
+    def blocks(plane, size):
+        p = plane.astype(jnp.int32)
+        return p.reshape(mb_h, size, mb_w, size).transpose(0, 2, 1, 3)
+
+    def var(blk, shift):
+        s = blk.sum(axis=(-1, -2))
+        sq = (blk * blk).sum(axis=(-1, -2))
+        return (sq - ((s.astype(jnp.int64) * s) >> shift)).astype(jnp.uint32)
+
+    ey = var(blocks(fenc_y, 16), 8)
+    eu = var(blocks(fenc_u, 8), 6)
+    ev = var(blocks(fenc_v, 8), 6)
+    energy = jnp.maximum(ey + eu + ev, 1).astype(jnp.float32)
+    return strength * 1.0397 * (jnp.log2(energy) - 14.427)
