@@ -187,3 +187,45 @@ class TestPixel:
         for i in range(3):
             vg, sg = G.var2_8x8(a[i], b[i])
             assert int(v[i]) == vg and int(s[i]) == sg
+
+
+def test_ssim_wxh_matches_scalar_reference():
+    """ssim_wxh vs a direct scalar transcription of pixel.c:565-658."""
+    import numpy as np
+    from x264dsp_tpu.ops.pixel import ssim_wxh
+
+    rng = np.random.default_rng(11)
+    h, w = 36, 52
+    a = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    b = np.clip(a.astype(np.int32)
+                + rng.integers(-12, 13, (h, w)), 0, 255).astype(np.uint8)
+
+    def scalar(p1, p2):
+        c1 = int(.01 * .01 * 255 * 255 * 64 + .5)
+        c2 = int(.03 * .03 * 255 * 255 * 64 * 63 + .5)
+        h4, w4 = h // 4, w // 4
+        sums = np.zeros((h4, w4, 4), np.int64)
+        for by in range(h4):
+            for bx in range(w4):
+                x = p1[by*4:by*4+4, bx*4:bx*4+4].astype(np.int64)
+                y = p2[by*4:by*4+4, bx*4:bx*4+4].astype(np.int64)
+                sums[by, bx] = [x.sum(), y.sum(),
+                                (x*x).sum() + (y*y).sum(), (x*y).sum()]
+        total = 0.0
+        for by in range(h4 - 1):
+            for bx in range(w4 - 1):
+                s1, s2, ss, s12 = (sums[by, bx] + sums[by, bx+1]
+                                   + sums[by+1, bx] + sums[by+1, bx+1])
+                v = ss*64 - s1*s1 - s2*s2
+                cv = s12*64 - s1*s2
+                total += (float(2*s1*s2 + c1) * float(2*cv + c2)
+                          / (float(s1*s1 + s2*s2 + c1) * float(v + c2)))
+        return total, (h4-1)*(w4-1)
+
+    got, cnt = ssim_wxh(a, b)
+    want, wcnt = scalar(a, b)
+    assert cnt == wcnt
+    assert abs(float(got) - want) < 1e-3 * wcnt
+    # identical planes → ssim 1.0 per window
+    same, cnt2 = ssim_wxh(a, a)
+    assert abs(float(same) / cnt2 - 1.0) < 1e-6

@@ -86,6 +86,63 @@ def test_scenecut_inserts_keyframe():
                for i, t in enumerate(types) if i not in (0, 6)) or True
 
 
+def _encode_sizes(frames, **rc):
+    h, w = frames[0][0].shape
+    p = xt.param_default()
+    p.i_width, p.i_height = w, h
+    p.b_cabac = 0
+    for k, v in rc.items():
+        setattr(p.rc, k, v) if hasattr(p.rc, k) else setattr(p, k, v)
+    enc = xt.Encoder(p)
+    sizes = []
+    for (y, u, v) in frames:
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        sizes.append(sum(len(n.payload) for n in nals))
+    return sizes, enc
+
+
+def test_vbv_clip_qscale_raises_q_when_buffer_low():
+    p = xt.param_default()
+    p.i_width, p.i_height = 64, 48
+    p.rc.i_rc_method = P.RC_ABR
+    p.rc.i_bitrate = 100
+    p.rc.i_vbv_max_bitrate = 100
+    p.rc.i_vbv_buffer_size = 50
+    P.validate_parameters(p)
+    rc = RateControl(p, (64 // 16) * (48 // 16))
+    assert rc.b_vbv and rc.b_vbv_min_rate
+    rc.last_satd = 10000
+    full = rc.buffer_size
+    rc.buffer_fill = full
+    q_full = rc._clip_qscale(P.SLICE_TYPE_P, qp2qscale(26))
+    rc.buffer_fill = full * 0.1
+    q_low = rc._clip_qscale(P.SLICE_TYPE_P, qp2qscale(26))
+    assert q_low > q_full  # low buffer → coarser quantizer
+
+
+def test_vbv_caps_frame_sizes():
+    # CBR with a one-frame-ish buffer: VBV must cap the spikes that
+    # unconstrained ABR produces (the IDR + the scenecut frame)
+    frames = _clip(64, 48, 14, seed=5, cut_at=8)
+    kb = 200
+    free, enc_f = _encode_sizes(frames, i_rc_method=P.RC_ABR, i_bitrate=kb)
+    vbv, enc_v = _encode_sizes(frames, i_rc_method=P.RC_ABR, i_bitrate=kb,
+                               i_vbv_max_bitrate=kb, i_vbv_buffer_size=kb // 5)
+    assert enc_v._core.rc.b_vbv and not enc_f._core.rc.b_vbv
+    assert max(vbv[1:]) < max(free[1:]), (vbv, free)
+    # decoder-buffer simulation never goes hugely negative once the
+    # predictors have warmed up (first frames predict blind)
+    fill = enc_v._core.rc.buffer_size
+    rate = enc_v._core.rc.buffer_rate
+    worst = 0.0
+    for i, s in enumerate(vbv):
+        fill -= s * 8
+        if i >= 2:
+            worst = min(worst, fill)
+        fill = min(max(fill, 0.0) + rate, enc_v._core.rc.buffer_size)
+    assert worst > -enc_v._core.rc.buffer_size, (worst, vbv)
+
+
 def test_aq_offsets_shape_and_flatness():
     import jax.numpy as jnp
     from x264dsp_tpu.encoder.ratecontrol import aq_offsets

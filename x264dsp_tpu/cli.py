@@ -28,9 +28,14 @@ def main(argv=None):
                     help="constant QP (switches RC to CQP)")
     ap.add_argument("--crf", type=float, default=None)
     ap.add_argument("--bitrate", type=int, default=None, help="ABR kbps")
+    ap.add_argument("--vbv-maxrate", type=int, default=None,
+                    help="VBV max bitrate (kbps)")
+    ap.add_argument("--vbv-bufsize", type=int, default=None,
+                    help="VBV buffer size (kbit)")
     ap.add_argument("--cavlc", action="store_true")
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--ssim", action="store_true")
     args = ap.parse_args(argv)
 
     param = param_default()
@@ -44,10 +49,16 @@ def main(argv=None):
         param.rc.i_bitrate = args.bitrate
     elif args.crf is not None:
         param.rc.f_rf_constant = args.crf
+    if args.vbv_maxrate is not None:
+        param.rc.i_vbv_max_bitrate = args.vbv_maxrate
+    if args.vbv_bufsize is not None:
+        param.rc.i_vbv_buffer_size = args.vbv_bufsize
     if args.cavlc:
         param.b_cabac = 0
     if args.keyint is not None:
         param.i_keyint_max = args.keyint
+    if args.ssim:
+        param.analyse.b_ssim = 1
 
     n_frames = reader.num_frames
     if args.frames:

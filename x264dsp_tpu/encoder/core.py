@@ -67,6 +67,8 @@ class Stats:
         self.i_mb_count = {}       # mb type histogram
         self.ssd = np.zeros(3, np.int64)
         self.pixels = np.zeros(3, np.int64)
+        self.f_ssim = 0.0
+        self.i_ssim_cnt = 0
 
     def summary(self) -> dict:
         out = {"frames": dict(self.i_frame_count),
@@ -76,6 +78,8 @@ class Stats:
             psnr = [float(10 * np.log10(255.0 ** 2 * p / s)) if s else float("inf")
                     for s, p in zip(self.ssd, self.pixels)]
         out["psnr_yuv"] = psnr
+        if self.i_ssim_cnt:
+            out["ssim_y"] = self.f_ssim / self.i_ssim_cnt
         return out
 
 
@@ -285,6 +289,14 @@ class EncoderCore:
             d = rec[:ph, :pw].astype(np.int64) - src.astype(np.int64)
             st.ssd[plane] += int((d * d).sum())
             st.pixels[plane] += ph * pw
+        if self.param.analyse.b_ssim:
+            # offset (2,2) so ssim blocks don't align with dct blocks
+            # (encoder.c:1416-1427)
+            from ..ops.pixel import ssim_wxh
+            s, cnt = ssim_wxh(np.asarray(self.last_recon[0])[2:h, 2:w],
+                              pic.y[2:, 2:])
+            st.f_ssim += float(s)
+            st.i_ssim_cnt += cnt
 
         ftype = (P.TYPE_IDR if is_idr
                  else P.TYPE_I if slice_type == P.SLICE_TYPE_I

@@ -393,15 +393,18 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv, mv_field,
     fy = fenc_y.astype(jnp.int32)
     fu = fenc_u.astype(jnp.int32)
     fv = fenc_v.astype(jnp.int32)
+    H, W = mb_h * 16, mb_w * 16
+    # MB-aligned tiles are pure layout changes, not gathers
+    fy_t = fy.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
+    fu_t = fu.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+    fv_t = fv.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
 
     bx4 = jnp.asarray(BLOCK_IDX_X * 4)
     by4 = jnp.asarray(BLOCK_IDX_Y * 4)
 
-    def one_mb(mbx, mby):
+    def one_mb(mbx, mby, fenc16, fu8, fv8, mv):
         x0, y0 = mbx * 16, mby * 16
-        mv = mv_field[mby, mbx]
         pred = MC.mc_luma_block(ref4, x0, y0, mv[0], mv[1], 16, 16)
-        fenc16 = jax.lax.dynamic_slice(fy, (y0, x0), (16, 16))
 
         rows = by4[:, None, None] + jnp.arange(4)[None, :, None]
         cols = bx4[:, None, None] + jnp.arange(4)[None, None, :]
@@ -446,8 +449,6 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv, mv_field,
         cx0, cy0 = mbx * 8, mby * 8
         predu = MC.mc_chroma_block(refu, cx0, cy0, mv[0], mv[1], 8, 8)
         predv = MC.mc_chroma_block(refv, cx0, cy0, mv[0], mv[1], 8, 8)
-        fu8 = jax.lax.dynamic_slice(fu, (cy0, cx0), (8, 8))
-        fv8 = jax.lax.dynamic_slice(fv, (cy0, cx0), (8, 8))
         eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate)
         ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate)
         any_ac = eu["has_ac"] | ev["has_ac"]
@@ -465,10 +466,9 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv, mv_field,
         )
 
     xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
-    out = jax.vmap(jax.vmap(one_mb))(xs, ys)
+    out = jax.vmap(jax.vmap(one_mb))(xs, ys, fy_t, fu_t, fv_t, mv_field)
 
     # assemble planes
-    H, W = mb_h * 16, mb_w * 16
     ry = out["recon_y"].transpose(0, 2, 1, 3).reshape(H, W)
     ru = out["recon_u"].transpose(0, 2, 1, 3).reshape(H // 2, W // 2)
     rv = out["recon_v"].transpose(0, 2, 1, 3).reshape(H // 2, W // 2)

@@ -13,9 +13,14 @@ Implements the reference's CQP / CRF / ABR math exactly:
   by aq_offsets() (device kernel in ops/pixel.py); per-MB application
   lands together with VBV row control (both default-off in the fork:
   common/common.c:82,69-71).
+- Frame-level VBV: init_reconfigurable (:319-369), size predictors
+  (predict_size/update_predictor :444-456,897-921), clip_qscale's
+  reactive no-lookahead path (:1040-1060 — the fork defaults
+  rc_lookahead=0, common/common.c:84), MinCR frame_size_maximum
+  (:536-562), update_vbv (:924-957), update_vbv_plan (:959-966).
 
-VBV (update_vbv/clip_qscale lookahead, row re-encode) is the remaining
-gap — tracked for round 2; defaults don't enable it.
+Per-row VBV re-encode (i_row_bits / row_pred / x264_ratecontrol_mb)
+is the remaining gap — tracked for round 2.
 """
 
 from __future__ import annotations
@@ -33,6 +38,41 @@ def qp2qscale(qp: float) -> float:
 
 def qscale2qp(qscale: float) -> float:
     return 12.0 + 6.0 * math.log2(qscale / 0.85)
+
+
+class _Predictor:
+    """Frame-size predictor: bits ≈ (coeff·satd + offset)/(q·count)
+    (ratecontrol.c:444-448 init, :897-921 update)."""
+
+    def __init__(self, coeff=2.0, coeff_min=0.5):
+        self.coeff = coeff
+        self.coeff_min = coeff_min
+        self.count = 1.0
+        self.decay = 0.5
+        self.offset = 0.0
+
+    def predict(self, q: float, var: float) -> float:
+        return (self.coeff * var + self.offset) / (q * self.count)
+
+    def update(self, q: float, var: float, bits: float):
+        if var < 10:
+            return
+        rng = 1.5
+        old_coeff = self.coeff / self.count
+        new_coeff = max(bits * q / var, self.coeff_min)
+        new_coeff_clipped = float(np.clip(new_coeff, old_coeff / rng,
+                                          old_coeff * rng))
+        new_offset = bits * q - new_coeff_clipped * var
+        if new_offset >= 0:
+            new_coeff = new_coeff_clipped
+        else:
+            new_offset = 0.0
+        self.count *= self.decay
+        self.coeff *= self.decay
+        self.offset *= self.decay
+        self.count += 1
+        self.coeff += new_coeff
+        self.offset += new_offset
 
 
 class RateControl:
@@ -84,6 +124,45 @@ class RateControl:
         self.lmax = {t: qp2qscale(p.rc.i_qp_max)
                      for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
 
+        # ---- VBV (init_reconfigurable, ratecontrol.c:319-369) ----
+        self.b_vbv = False
+        self.b_vbv_min_rate = False
+        self.single_frame_vbv = False
+        self.buffer_size = 0.0
+        self.buffer_rate = 0.0
+        self.vbv_max_rate = 0.0
+        self.buffer_fill_final = 0.0   # bits (the C stores ×time_scale)
+        self.buffer_fill = 0.0
+        self.qp_novbv = 0.0
+        self.frame_size_maximum = 1e9
+        self.frame_size_planned = 0.0
+        self.pred = {t: _Predictor()
+                     for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
+        if p.rc.i_vbv_max_bitrate > 0 and p.rc.i_vbv_buffer_size > 0:
+            vbv_buffer_size = p.rc.i_vbv_buffer_size
+            if vbv_buffer_size < int(p.rc.i_vbv_max_bitrate / self.fps):
+                vbv_buffer_size = int(p.rc.i_vbv_max_bitrate / self.fps)
+            self.buffer_size = vbv_buffer_size * 1000.0
+            self.vbv_max_rate = p.rc.i_vbv_max_bitrate * 1000.0
+            self.buffer_rate = self.vbv_max_rate / self.fps
+            self.single_frame_vbv = self.buffer_rate * 1.1 > self.buffer_size
+            self.cbr_decay = (1.0 - self.buffer_rate / self.buffer_size
+                              * 0.5 * max(0.0, 1.5 - self.buffer_rate
+                                          * self.fps / max(self.bitrate, 1.0)))
+            binit = p.rc.f_vbv_buffer_init
+            if binit > 1.0:
+                binit = float(np.clip(binit / p.rc.i_vbv_buffer_size, 0, 1))
+            binit = float(np.clip(max(binit,
+                                      self.buffer_rate / self.buffer_size),
+                                  0, 1))
+            self.buffer_fill_final = self.buffer_size * binit
+            self.b_vbv = True
+            self.b_vbv_min_rate = (
+                p.rc.i_rc_method == P.RC_ABR
+                and p.rc.i_vbv_max_bitrate <= p.rc.i_bitrate)
+        self._mincr_level = next(
+            (l for l in P.LEVELS if l.level_idc == p.i_level_idc), None)
+
         self.short_term_cplxsum = 0.0
         self.short_term_cplxcount = 0.0
         self.last_non_b_pict_type = P.SLICE_TYPE_I if self.b_abr else -1
@@ -125,7 +204,8 @@ class RateControl:
         else:
             q = self._get_qscale(
                 blurred, self.wanted_bits_window / self.cplxr_sum, pict_type)
-            if self.last_satd:
+            # ABR overflow control is counterproductive in CBR (:1165)
+            if self.last_satd and not self.b_vbv_min_rate:
                 i_frame_done = self.i_frame
                 time_done = i_frame_done / self.fps
                 wanted_bits = time_done * self.bitrate
@@ -152,18 +232,109 @@ class RateControl:
         elif p.rc.i_rc_method == P.RC_CRF and self.qcompress != 1:
             q = qp2qscale(self.abr_init_qp) / abs(p.rc.f_ip_factor)
 
-        # clip_qscale, no-VBV path (ratecontrol.c:968-975,1100-1104)
-        q = float(np.clip(q, self.lmin[pict_type], self.lmax[pict_type]))
+        self.qp_novbv = qscale2qp(q) if q > 0 else 0.0
+        q = self._clip_qscale(pict_type, q)
 
         self.last_qscale_for[pict_type] = self.last_qscale = q
         if self.i_frame == 0:
             self.last_qscale_for[P.SLICE_TYPE_P] = q * abs(p.rc.f_ip_factor)
+
+        # frame_size_planned (:1220-1228)
+        self.frame_size_planned = self.pred[pict_type].predict(
+            q, self.last_satd)
+        if self.single_frame_vbv:
+            self.frame_size_planned = self.buffer_rate
+        if self.b_vbv:
+            self.frame_size_planned = min(self.frame_size_planned,
+                                          self.frame_size_maximum)
         return q
 
+    def _clip_qscale(self, pict_type: int, q: float) -> float:
+        """clip_qscale (ratecontrol.c:968-1106): lmin/lmax plus the
+        reactive no-lookahead VBV path (:1040-1060; the fork defaults
+        rc_lookahead=0, common/common.c:84)."""
+        lmin = self.lmin[pict_type]
+        lmax = self.lmax[pict_type]
+        q0 = q
+        if self.b_vbv and self.last_satd > 0:
+            # purely-reactive algorithm, no lookahead
+            if ((pict_type == P.SLICE_TYPE_P
+                 or (pict_type == P.SLICE_TYPE_I
+                     and self.last_non_b_pict_type == P.SLICE_TYPE_I))
+                    and self.buffer_fill / self.buffer_size < 0.5):
+                q /= float(np.clip(2.0 * self.buffer_fill / self.buffer_size,
+                                   0.5, 1.0))
+            bits = self.pred[pict_type].predict(q, self.last_satd)
+            # hard threshold so the frame fits in VBV (mostly I frames)
+            max_fill_factor = (
+                2.0 if self.buffer_size >= 5 * self.buffer_rate else 1.0)
+            min_fill_factor = 1.0 if self.single_frame_vbv else 2.0
+            if bits > self.buffer_fill / max_fill_factor:
+                qf = float(np.clip(
+                    self.buffer_fill / (max_fill_factor * bits), 0.2, 1.0))
+                q /= qf
+                bits *= qf
+            if bits < self.buffer_rate / min_fill_factor:
+                q *= bits * min_fill_factor / self.buffer_rate
+            q = max(q0, q)
+
+            # MinCR restriction (:1064-1067)
+            bits = self.pred[pict_type].predict(q, self.last_satd)
+            if bits > self.frame_size_maximum:
+                q *= bits / self.frame_size_maximum
+            bits = self.pred[pict_type].predict(q, self.last_satd)
+
+            # use up bits that would overflow before the next P (:1072-1096,
+            # nb=0 without B-frames)
+            if pict_type == P.SLICE_TYPE_P and not self.single_frame_vbv:
+                space = (self.buffer_fill + self.buffer_rate
+                         - self.buffer_size)
+                if bits < space:
+                    q *= max(bits / space, bits / (0.5 * self.buffer_size))
+                q = max(q0 / 2, q)
+
+            if not self.b_vbv_min_rate:
+                q = max(q0, q)
+
+        if lmin == lmax:
+            return lmin
+        return float(np.clip(q, lmin, lmax))
+
+    def _update_vbv_plan(self, overhead: float):
+        """update_vbv_plan (ratecontrol.c:959-966)."""
+        self.buffer_fill = min(self.buffer_fill_final, self.buffer_size)
+        self.buffer_fill -= overhead
+
+    def _update_vbv(self, pict_type: int, bits: int):
+        """update_vbv (ratecontrol.c:924-957); CBR-HRD filler is not
+        wired (the fork never sets b_cbr_hrd: no i_nal_hrd param)."""
+        if self.last_satd >= self.nmb:
+            self.pred[pict_type].update(qp2qscale(self.qpa_rc),
+                                        self.last_satd, bits)
+        if not self.b_vbv:
+            return
+        self.buffer_fill_final -= bits
+        self.buffer_fill_final = max(self.buffer_fill_final, 0.0)
+        self.buffer_fill_final = min(self.buffer_fill_final
+                                     + self.buffer_rate, self.buffer_size)
+
     # ------------------------------------------------------------------
-    def start(self, pict_type: int, frame_satd: int) -> int:
+    def start(self, pict_type: int, frame_satd: int,
+              overhead: float = 0.0) -> int:
         """x264_ratecontrol_start (:518-600). Returns the frame QP."""
         p = self.param
+        if self.b_vbv:
+            self._update_vbv_plan(overhead)
+            # MinCR frame-size ceiling from the H.264 level (:536-562)
+            l = self._mincr_level
+            if l is not None:
+                if self.i_frame == 0:
+                    pic_mbs = self.nmb
+                    self.frame_size_maximum = (
+                        384 * 8 * max(pic_mbs, l.mbps / 172.0) / l.mincr)
+                else:
+                    self.frame_size_maximum = (
+                        384 * 8 * (1.0 / self.fps) * l.mbps / l.mincr)
         if self.b_abr:
             q = qscale2qp(self._rate_estimate_qscale(pict_type, frame_satd))
         else:
@@ -181,12 +352,13 @@ class RateControl:
         return int(np.clip(q + 0.5, 0, P.QP_MAX))
 
     def end(self, pict_type: int, bits: int):
-        """x264_ratecontrol_end (:813-860), frame-level."""
+        """x264_ratecontrol_end (:813-860) + update_vbv, frame-level."""
         if self.b_abr:
             self.cplxr_sum += bits * qp2qscale(self.qpa_rc) / self.last_rceq
             self.cplxr_sum *= self.cbr_decay
             self.wanted_bits_window += self.bitrate / self.fps
             self.wanted_bits_window *= self.cbr_decay
+        self._update_vbv(pict_type, bits)
         self.total_bits += bits
         self.i_frame += 1
 

@@ -170,53 +170,39 @@ def _deblock_mb_luma(region, bs_mb, intra_cur, intra_left, intra_top,
     rows = jnp.arange(16)
     grp = rows >> 2  # tc0 group per row
 
-    def v_edge(reg, edge_i, use_intra, enabled):
-        c = 4 + edge_i * 4
-        cols = [reg[4:20, c + o] for o in range(-4, 4)]
-        p3, p2, p1, p0, q0, q1, q2, q3 = cols
-        bs = bs_mb[0, edge_i]               # (4,)
+    def _edge_out(p3, p2, p1, p0, q0, q1, q2, q3, bs, use_intra, enabled):
+        """Filter one 8-sample-deep edge; returns the replacement 6-slot
+        stack [p2,p1,p0,q0,q1,q2] with enabled/intra selection applied."""
         tc0 = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp]
         p1n, p0n, q0n, q1n = _filter_normal_luma(
             p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0)
         p2i, p1i, p0i, q0i, q1i, q2i = _filter_intra_luma(
             p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta)
         sel = use_intra
-        outs = {
-            c - 3: jnp.where(sel, p2i, p2),
-            c - 2: jnp.where(sel, p1i, p1n),
-            c - 1: jnp.where(sel, p0i, p0n),
-            c + 0: jnp.where(sel, q0i, q0n),
-            c + 1: jnp.where(sel, q1i, q1n),
-            c + 2: jnp.where(sel, q2i, q2),
-        }
-        for cc, vv in outs.items():
-            vv = jnp.where(enabled, vv, reg[4:20, cc])
-            reg = reg.at[4:20, cc].set(vv)
-        return reg
+        out = jnp.stack([
+            jnp.where(sel, p2i, p2),
+            jnp.where(sel, p1i, p1n),
+            jnp.where(sel, p0i, p0n),
+            jnp.where(sel, q0i, q0n),
+            jnp.where(sel, q1i, q1n),
+            jnp.where(sel, q2i, q2),
+        ])                                    # (6, 16)
+        old = jnp.stack([p2, p1, p0, q0, q1, q2])
+        return jnp.where(enabled, out, old)
+
+    def v_edge(reg, edge_i, use_intra, enabled):
+        c = 4 + edge_i * 4
+        blk = reg[4:20, c - 4:c + 4]          # (16, 8) p3..q3 columns
+        out = _edge_out(*[blk[:, i] for i in range(8)],
+                        bs_mb[0, edge_i], use_intra, enabled)
+        return reg.at[4:20, c - 3:c + 3].set(out.T)
 
     def h_edge(reg, edge_i, use_intra, enabled):
         r = 4 + edge_i * 4
-        rws = [reg[r + o, 4:20] for o in range(-4, 4)]
-        p3, p2, p1, p0, q0, q1, q2, q3 = rws
-        bs = bs_mb[1, edge_i]
-        tc0 = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp]
-        p1n, p0n, q0n, q1n = _filter_normal_luma(
-            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0)
-        p2i, p1i, p0i, q0i, q1i, q2i = _filter_intra_luma(
-            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta)
-        sel = use_intra
-        outs = {
-            r - 3: jnp.where(sel, p2i, p2),
-            r - 2: jnp.where(sel, p1i, p1n),
-            r - 1: jnp.where(sel, p0i, p0n),
-            r + 0: jnp.where(sel, q0i, q0n),
-            r + 1: jnp.where(sel, q1i, q1n),
-            r + 2: jnp.where(sel, q2i, q2),
-        }
-        for rr, vv in outs.items():
-            vv = jnp.where(enabled, vv, reg[rr, 4:20])
-            reg = reg.at[rr, 4:20].set(vv)
-        return reg
+        blk = reg[r - 4:r + 4, 4:20]          # (8, 16) p3..q3 rows
+        out = _edge_out(*[blk[i] for i in range(8)],
+                        bs_mb[1, edge_i], use_intra, enabled)
+        return reg.at[r - 3:r + 3, 4:20].set(out)
 
     f = jnp.bool_(False)
     # vertical edges first (x264_frame_deblock_row order, deblock.c:379-398)

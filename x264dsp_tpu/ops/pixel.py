@@ -73,3 +73,35 @@ def var_blocks(p: jnp.ndarray, shift: int):
     s = p.sum(axis=(-1, -2))
     sq = (p * p).sum(axis=(-1, -2))
     return sq - ((s * s) >> shift)
+
+
+def ssim_wxh(pix1: jnp.ndarray, pix2: jnp.ndarray):
+    """Structural similarity of two planes — x264_pixel_ssim_wxh
+    (common/pixel.c:565-658): per-4x4-block integer sums, aggregated
+    over overlapping 8x8 windows (2x2 neighboring 4x4 blocks), with
+    x264's integer ssim_end1 constants. Returns (ssim_sum, cnt) with
+    cnt = (h//4 - 1) * (w//4 - 1); mean SSIM = ssim_sum / cnt."""
+    h4, w4 = pix1.shape[0] // 4, pix1.shape[1] // 4
+    a = pix1[:h4 * 4, :w4 * 4].astype(jnp.int32)
+    b = pix2[:h4 * 4, :w4 * 4].astype(jnp.int32)
+    a = a.reshape(h4, 4, w4, 4)
+    b = b.reshape(h4, 4, w4, 4)
+    s1 = a.sum(axis=(1, 3))
+    s2 = b.sum(axis=(1, 3))
+    ss = (a * a).sum(axis=(1, 3)) + (b * b).sum(axis=(1, 3))
+    s12 = (a * b).sum(axis=(1, 3))
+
+    def win(x):  # 2x2 block-window sums → (h4-1, w4-1)
+        return x[:-1, :-1] + x[:-1, 1:] + x[1:, :-1] + x[1:, 1:]
+
+    fs1, fs2 = win(s1), win(s2)
+    fss, fs12 = win(ss), win(s12)
+    ssim_c1 = int(.01 * .01 * 255 * 255 * 64 + .5)
+    ssim_c2 = int(.03 * .03 * 255 * 255 * 64 * 63 + .5)
+    vars_ = fss * 64 - fs1 * fs1 - fs2 * fs2
+    covar = fs12 * 64 - fs1 * fs2
+    num = ((2 * fs1 * fs2 + ssim_c1).astype(jnp.float32)
+           * (2 * covar + ssim_c2).astype(jnp.float32))
+    den = ((fs1 * fs1 + fs2 * fs2 + ssim_c1).astype(jnp.float32)
+           * (vars_ + ssim_c2).astype(jnp.float32))
+    return (num / den).sum(), (h4 - 1) * (w4 - 1)
