@@ -53,3 +53,29 @@ def test_deblock_identity_when_bs_zero():
                                  mb_w=mb_w, mb_h=mb_h)
     np.testing.assert_array_equal(np.asarray(dy), y)
     np.testing.assert_array_equal(np.asarray(du), u)
+
+
+def test_deblock_pallas_path_matches_xla():
+    """The Pallas region-filter path must be bit-exact with the XLA
+    vmapped path (and hence with the golden scalar deblock)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from x264dsp_tpu.ops import deblock as DB
+
+    rng = np.random.default_rng(4)
+    mb_w, mb_h = 5, 4
+    h, w = mb_h * 16, mb_w * 16
+    y = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    u = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+    v = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2)), jnp.int32)
+    bs = jnp.asarray(rng.integers(0, 3, (mb_h, mb_w, 2, 4, 4)), jnp.int32)
+    intra = jnp.asarray(rng.integers(0, 2, (mb_h, mb_w)), jnp.int32)
+    feo = jnp.zeros((mb_h, mb_w), jnp.int32)
+    for qp in (20, 30, 44):
+        a = DB.deblock_frame(y, u, v, bs, intra, feo, qp, qp, 0, 0,
+                             mb_w=mb_w, mb_h=mb_h, use_pallas=False)
+        b = DB.deblock_frame(y, u, v, bs, intra, feo, qp, qp, 0, 0,
+                             mb_w=mb_w, mb_h=mb_h, use_pallas=True)
+        for pa, pb, name in zip(a, b, "yuv"):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb)), \
+                (qp, name)

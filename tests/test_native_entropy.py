@@ -60,3 +60,35 @@ def test_slice_writer_byte_parity(lib):
     a = _encode_with(frames, use_native=True)
     b = _encode_with(frames, use_native=False)
     assert a == b, (len(a), len(b))
+
+
+def _encode_cabac_with(frames, use_native):
+    p = xt.param_default()
+    p.i_width = frames[0][0].shape[1]
+    p.i_height = frames[0][0].shape[0]
+    p.b_cabac = 1
+    p.rc.i_rc_method = P.RC_CQP
+    p.rc.i_qp_constant = 26
+    p.i_keyint_max = 50
+    enc = xt.Encoder(p)
+    if not use_native:
+        import x264dsp_tpu.entropy.native as nat
+        orig = nat.write_slice_cabac
+        nat.write_slice_cabac = lambda *a, **k: None
+    try:
+        stream = b""
+        for (y, u, v) in frames:
+            nals, _ = enc.encode(xt.Picture.from_planes(y, u, v))
+            stream += b"".join(n.payload for n in nals)
+    finally:
+        if not use_native:
+            nat.write_slice_cabac = orig
+    return stream
+
+
+def test_cabac_writer_byte_parity(lib):
+    frames = _moving_clip(64, 48, 4, seed=17)
+    a = _encode_cabac_with(frames, use_native=True)
+    b = _encode_cabac_with(frames, use_native=False)
+    assert a == b
+    assert len(a) > 400

@@ -491,10 +491,24 @@ class EncoderCore:
         self._write_slice_header_common(bw, slice_type, qp, idr_pic_id)
         bw.align_1()
         header = bw.get_bytes()
+        is_p = slice_type == P.SLICE_TYPE_P
+
+        # native C++ fast path (entropy/native/entropy.cpp); the Python
+        # writer below is the behavioral twin (byte-identical, tested)
+        from ..entropy import native
+        res = native.write_slice_cabac(header, mb_w, mb_h, qp,
+                                       self.i_frame, is_p, syn)
+        if res is not None:
+            payload, counts = res
+            for name, n in zip(("I_16x16", "I_4x4", "P_L0", "P_SKIP"),
+                               counts):
+                if n:
+                    self.stats.i_mb_count[name] = \
+                        self.stats.i_mb_count.get(name, 0) + int(n)
+            return payload
 
         cb = CB.CabacEncoder(slice_type == P.SLICE_TYPE_I,
                              qp, frame_idx=self.i_frame)
-        is_p = slice_type == P.SLICE_TYPE_P
 
         # frame-level context state
         nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)      # luma nnz flags

@@ -53,6 +53,7 @@ def get_lib():
 
     lib.x264tpu_write_slice_i.restype = ctypes.c_int64
     lib.x264tpu_write_slice_p.restype = ctypes.c_int64
+    lib.x264tpu_write_slice_cabac.restype = ctypes.c_int64
     lib.x264tpu_nal_escape.restype = ctypes.c_int64
 
     from .cavlc_tables import (COEFF0_TOKEN, COEFF_TOKEN, TOTAL_ZEROS,
@@ -66,6 +67,17 @@ def get_lib():
         ct.ctypes.data_as(ctypes.c_void_p),
         tz.ctypes.data_as(ctypes.c_void_p),
         tzdc.ctypes.data_as(ctypes.c_void_p))
+
+    from .cabac_tables import CONTEXTS, RANGE_LPS, RENORM_SHIFT, TRANSITION
+    cx = np.ascontiguousarray(CONTEXTS, np.uint8)
+    rl = np.ascontiguousarray(RANGE_LPS, np.uint8)
+    rs = np.ascontiguousarray(RENORM_SHIFT, np.uint8)
+    tr = np.ascontiguousarray(TRANSITION, np.uint8)
+    lib.x264tpu_set_cabac_tables(
+        cx.ctypes.data_as(ctypes.c_void_p),
+        rl.ctypes.data_as(ctypes.c_void_p),
+        rs.ctypes.data_as(ctypes.c_void_p),
+        tr.ctypes.data_as(ctypes.c_void_p))
     _lib = lib
     return _lib
 
@@ -135,3 +147,47 @@ def nal_escape(payload: bytes) -> bytes | None:
                                src.ctypes.data_as(ctypes.c_void_p),
                                ctypes.c_int64(len(payload)))
     return dst[:n].tobytes()
+
+
+def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
+                      frame_idx: int, is_p: bool, syn: dict):
+    """C++ CABAC slice body. header must be byte-aligned (the
+    cabac_alignment_one_bit already written). Returns (payload, counts)
+    with counts = [I_16x16, I_4x4, P_L0, P_SKIP], or None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = mb_w * mb_h * 1024 + len(header) + 4096
+    out = np.zeros(cap, np.uint8)
+    hdr = np.frombuffer(header, np.uint8)
+    counts = np.zeros(4, np.int32)
+    zeros16 = np.zeros((mb_h, mb_w, 16), np.int32)
+    zeros1 = np.zeros((mb_h, mb_w), np.int32)
+    zeros2 = np.zeros((mb_h, mb_w, 2), np.int32)
+    zeros24 = np.zeros((mb_h, mb_w, 2, 4), np.int32)
+
+    def get(k, fb):
+        return _i32(syn[k]) if k in syn and syn[k] is not None else fb
+
+    keep = []
+    args = [out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
+            hdr.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(len(header)),
+            ctypes.c_int(1 if is_p else 0),
+            ctypes.c_int(mb_w), ctypes.c_int(mb_h), ctypes.c_int(qp),
+            ctypes.c_int(frame_idx)]
+    for k, fb in (("mb_type", zeros1), ("i16_mode", zeros1),
+                  ("i4_modes", zeros16), ("chroma_mode", zeros1),
+                  ("cbp_luma", None), ("cbp_chroma", None),
+                  ("nz_luma_dc", zeros1), ("chroma_nz_dc", zeros2),
+                  ("luma_nnz", zeros16), ("chroma_nnz_ac", zeros24),
+                  ("luma_levels", None), ("luma_dc_levels", zeros16),
+                  ("chroma_dc_levels", None), ("chroma_ac_levels", None),
+                  ("mv", zeros2)):
+        arr = get(k, fb)
+        keep.append(arr)
+        args.append(arr.ctypes.data_as(ctypes.c_void_p))
+    args.append(counts.ctypes.data_as(ctypes.c_void_p))
+    n = lib.x264tpu_write_slice_cabac(*args)
+    return out[:n].tobytes(), counts

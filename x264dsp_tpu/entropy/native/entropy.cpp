@@ -360,9 +360,489 @@ static void pskip_mv(const int32_t *mv, const uint8_t *avail, int mb_w,
     median_mvp(mv, avail, mb_w, mbx, mby, out);
 }
 
+// ---------------------------------------------------------------------
+// CABAC engine — twin of common/cabac.c:517-631 and the Python
+// entropy/cabac.py (byte-identical output is test-enforced). Probability
+// tables are injected from Python (x264tpu_set_cabac_tables) so the
+// generated spec constants have one source of truth.
+// ---------------------------------------------------------------------
+
+static uint8_t g_cabac_ctx[2][52][276];
+static uint8_t g_range_lps[64][4];
+static uint8_t g_renorm[64];
+static uint8_t g_transition[128][2];
+
+struct Cabac {
+    uint8_t state[276];
+    uint64_t low = 0;
+    int range = 0x01FE;
+    int queue = -9;      // first bit shifted away, never written
+    int outstanding = 0;
+    uint8_t *buf;
+    size_t len = 0;
+    int frame_idx;
+
+    Cabac(bool is_i, int qp, int fidx, uint8_t *b) : buf(b), frame_idx(fidx) {
+        if (qp < 0) qp = 0;
+        if (qp > 51) qp = 51;
+        memcpy(state, g_cabac_ctx[is_i ? 0 : 1][qp], 276);
+    }
+    void putbyte() {
+        if (queue >= 0) {
+            uint32_t out = (uint32_t)(low >> (queue + 10));
+            low &= ((uint64_t)0x400 << queue) - 1;
+            queue -= 8;
+            if ((out & 0xFF) == 0xFF) {
+                outstanding++;
+            } else {
+                uint32_t carry = out >> 8;
+                if (carry) buf[len - 1] = (buf[len - 1] + carry) & 0xFF;
+                while (outstanding > 0) {
+                    buf[len++] = (carry - 1) & 0xFF;
+                    outstanding--;
+                }
+                buf[len++] = out & 0xFF;
+            }
+        }
+    }
+    void renorm() {
+        int shift = g_renorm[range >> 3];
+        range <<= shift;
+        low <<= shift;
+        queue += shift;
+        putbyte();
+    }
+    void decision(int ctx, int b) {
+        int s = state[ctx];
+        int lps = g_range_lps[s >> 1][(range >> 6) - 4];
+        range -= lps;
+        if (b != (s & 1)) {
+            low += range;
+            range = lps;
+        }
+        state[ctx] = g_transition[s][b];
+        renorm();
+    }
+    void bypass(int b) {  // b is 0 or -1 (all-ones), cabac.c:576-582
+        low <<= 1;
+        low += (uint32_t)(b & range);
+        queue += 1;
+        putbyte();
+    }
+    void ue_bypass(int exp_bits, int val) {
+        int k = exp_bits;
+        while (val >= (1 << k)) {
+            bypass(-1);
+            val -= 1 << k;
+            k++;
+        }
+        bypass(0);
+        while (k > 0) {
+            k--;
+            bypass(-((val >> k) & 1));
+        }
+    }
+    void terminal() {
+        range -= 2;
+        renorm();
+    }
+    void flush() {
+        low += range - 2;
+        low |= 1;
+        low <<= 9;
+        queue += 9;
+        putbyte();
+        putbyte();
+        low <<= -queue;
+        low |= (uint64_t)(((0x35A4E4F5u >> (frame_idx & 31)) & 1)) << 10;
+        queue = 0;
+        putbyte();
+        while (outstanding > 0) {
+            buf[len++] = 0xFF;
+            outstanding--;
+        }
+    }
+};
+
+// residual tables (encoder/cabac.c:458-487); cat: 0 luma-DC, 1 luma-AC,
+// 2 luma-4x4, 3 chroma-DC, 4 chroma-AC
+static const int SIG_OFF[5] = {105, 120, 134, 149, 152};
+static const int LAST_OFF[5] = {166, 181, 195, 210, 213};
+static const int LEVEL_OFF[5] = {227, 237, 247, 257, 266};
+static const int COUNT_M1[5] = {15, 14, 15, 3, 14};
+static const int CBF_BASE_T[5] = {85, 89, 93, 97, 101};
+static const int LEVEL1_CTX[8] = {1, 2, 3, 4, 0, 0, 0, 0};
+static const int LEVELGT1_CTX[8] = {5, 5, 5, 5, 6, 7, 8, 9};
+static const int LEVEL_TRANS[2][8] = {{1, 2, 3, 3, 4, 5, 6, 7},
+                                      {4, 4, 4, 4, 5, 6, 7, 7}};
+
+static void cabac_block_residual(Cabac &cb, int cat, const int32_t *levels,
+                                 int n) {
+    int last = -1;
+    for (int i = 0; i < n; i++)
+        if (levels[i]) last = i;
+    int count_m1 = COUNT_M1[cat];
+    int coeffs[16], nco = 0;
+    int i = 0;
+    for (;;) {
+        if (levels[i]) {
+            coeffs[nco++] = levels[i];
+            cb.decision(SIG_OFF[cat] + i, 1);
+            if (i == last) {
+                cb.decision(LAST_OFF[cat] + i, 1);
+                break;
+            }
+            cb.decision(LAST_OFF[cat] + i, 0);
+        } else {
+            cb.decision(SIG_OFF[cat] + i, 0);
+        }
+        i++;
+        if (i == count_m1) {
+            coeffs[nco++] = levels[i];
+            break;
+        }
+    }
+    int node_ctx = 0;
+    for (int k = nco - 1; k >= 0; k--) {
+        int coeff = coeffs[k];
+        int abs_coeff = coeff < 0 ? -coeff : coeff;
+        int ctx = LEVEL1_CTX[node_ctx] + LEVEL_OFF[cat];
+        if (abs_coeff > 1) {
+            cb.decision(ctx, 1);
+            ctx = LEVELGT1_CTX[node_ctx] + LEVEL_OFF[cat];
+            int reps = (abs_coeff < 15 ? abs_coeff : 15) - 2;
+            for (int r = 0; r < reps; r++) cb.decision(ctx, 1);
+            if (abs_coeff < 15) cb.decision(ctx, 0);
+            else cb.ue_bypass(0, abs_coeff - 15);
+            node_ctx = LEVEL_TRANS[1][node_ctx];
+        } else {
+            cb.decision(ctx, 0);
+            node_ctx = LEVEL_TRANS[0][node_ctx];
+        }
+        cb.bypass(coeff < 0 ? -1 : 0);
+    }
+}
+
+static int cabac_mvd_cpn(Cabac &cb, int axis, int mvd, int ctx) {
+    int ctxbase = axis ? 47 : 40;
+    static const int ctxes[8] = {3, 4, 5, 6, 6, 6, 6, 6};
+    if (mvd == 0) {
+        cb.decision(ctxbase + ctx, 0);
+        return 0;
+    }
+    int i_abs = mvd < 0 ? -mvd : mvd;
+    cb.decision(ctxbase + ctx, 1);
+    if (i_abs < 9) {
+        for (int i = 1; i < i_abs; i++)
+            cb.decision(ctxbase + ctxes[i - 1], 1);
+        cb.decision(ctxbase + ctxes[i_abs - 1], 0);
+    } else {
+        for (int i = 1; i < 9; i++)
+            cb.decision(ctxbase + ctxes[i - 1], 1);
+        cb.ue_bypass(3, i_abs - 9);
+    }
+    cb.bypass(mvd < 0 ? -1 : 0);
+    return i_abs < 66 ? i_abs : 66;
+}
+
 } // namespace
 
 extern "C" {
+
+void x264tpu_set_cabac_tables(const uint8_t *contexts,   // (2,52,276)
+                              const uint8_t *range_lps,  // (64,4)
+                              const uint8_t *renorm,     // (64,)
+                              const uint8_t *transition) // (128,2)
+{
+    memcpy(g_cabac_ctx, contexts, sizeof(g_cabac_ctx));
+    memcpy(g_range_lps, range_lps, sizeof(g_range_lps));
+    memcpy(g_renorm, renorm, sizeof(g_renorm));
+    memcpy(g_transition, transition, sizeof(g_transition));
+}
+
+// CABAC slice body (I or P) — twin of EncoderCore._write_slice_cabac
+// (encoder/core.py) / encoder/cabac.c:38-632. header must be byte-aligned
+// (cabac_alignment_one_bit already written). Returns payload length.
+// mb_count_out: {I_16x16, I_4x4, P_L0, P_SKIP}.
+int64_t x264tpu_write_slice_cabac(
+    uint8_t *out, int64_t cap, const uint8_t *header, int64_t header_bytes,
+    int is_p, int mb_w, int mb_h, int qp, int frame_idx,
+    const int32_t *mb_type, const int32_t *i16_mode, const int32_t *i4_modes,
+    const int32_t *chroma_mode, const int32_t *cbp_luma,
+    const int32_t *cbp_chroma, const int32_t *nz_luma_dc,
+    const int32_t *chroma_nz_dc, const int32_t *luma_nnz,
+    const int32_t *chroma_nnz_ac, const int32_t *luma_levels,
+    const int32_t *luma_dc_levels, const int32_t *chroma_dc_levels,
+    const int32_t *chroma_ac_levels, const int32_t *mv,
+    int32_t *mb_count_out) {
+    (void)cap;
+    memcpy(out, header, header_bytes);
+    Cabac cb(!is_p, qp, frame_idx, out + header_bytes);
+    int w4 = mb_w * 4, w2 = mb_w * 2;
+    int *nnz = (int *)calloc((size_t)mb_w * mb_h * 16, sizeof(int));
+    int *cnnz = (int *)calloc((size_t)mb_w * mb_h * 8, sizeof(int));
+    int *cbp_ext = (int *)malloc((size_t)mb_w * mb_h * sizeof(int));
+    int *mbt = (int *)malloc((size_t)mb_w * mb_h * sizeof(int));
+    int *cmodes = (int *)calloc((size_t)mb_w * mb_h, sizeof(int));
+    int *mvdc = (int *)calloc((size_t)mb_w * mb_h * 2, sizeof(int));
+    uint8_t *avail = (uint8_t *)malloc((size_t)mb_w * mb_h);
+    memset(avail, 1, (size_t)mb_w * mb_h);
+    for (int i = 0; i < mb_w * mb_h; i++) { cbp_ext[i] = -1; mbt[i] = -1; }
+    int counts[4] = {0, 0, 0, 0};
+
+    // i4_modes indexed via the CAVLC Ctx-compatible view for host_mpm
+    SynI si{mb_type, nullptr, i4_modes, nullptr, nullptr, nullptr,
+            nullptr, nullptr, nullptr, nullptr, nullptr, nullptr};
+    Ctx mpm_ctx{mb_w, mb_h, nullptr, nullptr, &si};
+
+    auto cbf_ctx_dc = [&](int cat, int mby, int mbx, int bit, int b_intra) {
+        int la = mbx > 0 ? cbp_ext[mby * mb_w + mbx - 1] : -1;
+        int ta = mby > 0 ? cbp_ext[(mby - 1) * mb_w + mbx] : -1;
+        int nza = la != -1 ? ((la >> bit) & 1) : b_intra;
+        int nzb = ta != -1 ? ((ta >> bit) & 1) : b_intra;
+        return CBF_BASE_T[cat] + (nzb << 1) + nza;
+    };
+    auto cbf_ctx_ac = [&](int cat, const int *grid, int gw, int by, int bx,
+                          int b_intra) {
+        int nza = bx > 0 ? grid[by * gw + bx - 1] : b_intra;
+        int nzb = by > 0 ? grid[(by - 1) * gw + bx] : b_intra;
+        return CBF_BASE_T[cat] + ((nzb ? 1 : 0) << 1) + (nza ? 1 : 0);
+    };
+
+    for (int mby = 0; mby < mb_h; mby++)
+        for (int mbx = 0; mbx < mb_w; mbx++) {
+            int mb = mby * mb_w + mbx;
+            if (mb != 0) cb.terminal();
+            int cl = cbp_luma[mb];
+            int cch = cbp_chroma[mb];
+
+            if (is_p) {
+                int64_t psk[2];
+                pskip_mv(mv, avail, mb_w, mbx, mby, psk);
+                bool is_skip = cl == 0 && cch == 0 && mv[mb * 2] == psk[0] &&
+                               mv[mb * 2 + 1] == psk[1];
+                int nsk = 0;
+                if (mbx > 0 && mbt[mb - 1] != 3) nsk++;
+                if (mby > 0 && mbt[mb - mb_w] != 3) nsk++;
+                cb.decision(11 + nsk, is_skip ? 1 : 0);
+                if (is_skip) {
+                    mbt[mb] = 3;
+                    cbp_ext[mb] = 0;
+                    for (int i = 0; i < 16; i++)
+                        nnz[(mby * 4 + BIY[i]) * w4 + mbx * 4 + BIX[i]] = 0;
+                    for (int ch = 0; ch < 2; ch++)
+                        for (int d = 0; d < 4; d++)
+                            cnnz[(ch * 2 * mb_h + mby * 2 + (d >> 1)) * w2 +
+                                 mbx * 2 + (d & 1)] = 0;
+                    counts[3]++;
+                    continue;
+                }
+            }
+
+            int b_intra;
+            bool is_i16 = false;
+            if (is_p) {
+                // P_L0 16x16: bins 0,0,0 on ctx 14/15/16 (cabac.c:349-357)
+                cb.decision(14, 0);
+                cb.decision(15, 0);
+                cb.decision(16, 0);
+                int64_t mvp[2];
+                median_mvp(mv, avail, mb_w, mbx, mby, mvp);
+                int mdx = (int)(mv[mb * 2] - mvp[0]);
+                int mdy = (int)(mv[mb * 2 + 1] - mvp[1]);
+                int la0 = mbx > 0 ? mvdc[(mb - 1) * 2] : 0;
+                int la1 = mbx > 0 ? mvdc[(mb - 1) * 2 + 1] : 0;
+                int ta0 = mby > 0 ? mvdc[(mb - mb_w) * 2] : 0;
+                int ta1 = mby > 0 ? mvdc[(mb - mb_w) * 2 + 1] : 0;
+                int amvd0 = la0 + ta0, amvd1 = la1 + ta1;
+                int c0 = (amvd0 > 2 ? 1 : 0) + (amvd0 > 32 ? 1 : 0);
+                int c1 = (amvd1 > 2 ? 1 : 0) + (amvd1 > 32 ? 1 : 0);
+                mvdc[mb * 2] = cabac_mvd_cpn(cb, 0, mdx, c0);
+                mvdc[mb * 2 + 1] = cabac_mvd_cpn(cb, 1, mdy, c1);
+                mbt[mb] = 2;
+                b_intra = 0;
+                counts[2]++;
+            } else {
+                bool is_i4 = mb_type[mb] == 1;
+                b_intra = 1;
+                int ctx = 0;
+                if (mbx > 0 && mbt[mb - 1] != 1) ctx++;
+                if (mby > 0 && mbt[mb - mb_w] != 1) ctx++;
+                // mb_type intra (cabac.c:38-64)
+                if (is_i4) {
+                    cb.decision(3 + ctx, 0);
+                } else {
+                    int mode_fix = FIX16[i16_mode[mb]];
+                    cb.decision(3 + ctx, 1);
+                    cb.terminal();
+                    cb.decision(6, cl ? 1 : 0);
+                    if (cch == 0) {
+                        cb.decision(7, 0);
+                    } else {
+                        cb.decision(7, 1);
+                        cb.decision(8, cch >> 1);
+                    }
+                    cb.decision(9, mode_fix >> 1);
+                    cb.decision(10, mode_fix & 1);
+                }
+                if (is_i4) {
+                    for (int i = 0; i < 16; i++) {
+                        int bx = mbx * 4 + BIX[i];
+                        int by = mby * 4 + BIY[i];
+                        int pred = host_mpm(mpm_ctx, by, bx);
+                        int mode = FIX4[i4_modes[mb * 16 + i] + 1];
+                        if (pred == mode) {
+                            cb.decision(68, 1);
+                        } else {
+                            cb.decision(68, 0);
+                            if (mode > pred) mode--;
+                            cb.decision(69, mode & 1);
+                            cb.decision(69, (mode >> 1) & 1);
+                            cb.decision(69, mode >> 2);
+                        }
+                    }
+                }
+                // chroma pred mode (cabac.c:84-103)
+                int cm = FIXC[chroma_mode[mb]];
+                ctx = 0;
+                if (mbx > 0 && cmodes[mb - 1] != 0) ctx++;
+                if (mby > 0 && cmodes[mb - mb_w] != 0) ctx++;
+                cb.decision(64 + ctx, cm > 0 ? 1 : 0);
+                if (cm > 0) {
+                    cb.decision(64 + 3, cm > 1 ? 1 : 0);
+                    if (cm > 1) cb.decision(64 + 3, cm > 2 ? 1 : 0);
+                }
+                cmodes[mb] = cm;
+                mbt[mb] = is_i4 ? 1 : 0;
+                counts[is_i4 ? 1 : 0]++;
+                is_i16 = !is_i4;
+            }
+
+            int nz_dc = is_i16 ? nz_luma_dc[mb] : 0;
+            int cnz0 = chroma_nz_dc ? chroma_nz_dc[mb * 2] : 0;
+            int cnz1 = chroma_nz_dc ? chroma_nz_dc[mb * 2 + 1] : 0;
+            int this_ext = (cch << 4) | cl | (nz_dc << 8) | (cnz0 << 9) |
+                           (cnz1 << 10);
+
+            if (!is_i16) {
+                // cbp (cabac.c:111-164)
+                int cleft = mbx > 0 ? cbp_ext[mb - 1] : -1;
+                int ctop = mby > 0 ? cbp_ext[mb - mb_w] : -1;
+                cb.decision(76 - ((cleft >> 1) & 1) - ((ctop >> 1) & 2),
+                            (cl >> 0) & 1);
+                cb.decision(76 - ((cl >> 0) & 1) - ((ctop >> 2) & 2),
+                            (cl >> 1) & 1);
+                cb.decision(76 - ((cleft >> 3) & 1) - ((cl << 1) & 2),
+                            (cl >> 2) & 1);
+                cb.decision(76 - ((cl >> 2) & 1) - ((cl >> 0) & 2),
+                            (cl >> 3) & 1);
+                int ctx = 0;
+                if ((cleft & 0x30) && cleft != -1) ctx += 1;
+                if ((ctop & 0x30) && ctop != -1) ctx += 2;
+                if (cch == 0) {
+                    cb.decision(77 + ctx, 0);
+                } else {
+                    cb.decision(77 + ctx, 1);
+                    ctx = 4;
+                    if ((cleft & 0x30) == 0x20) ctx += 1;
+                    if ((ctop & 0x30) == 0x20) ctx += 2;
+                    cb.decision(77 + ctx, cch >> 1);
+                }
+            }
+            cbp_ext[mb] = this_ext;
+
+            if (cl || cch || is_i16) {
+                // qp_delta 0, ctx 0 (constant-QP frame)
+                cb.decision(60, 0);
+                if (is_i16) {
+                    int ctx = cbf_ctx_dc(0, mby, mbx, 8, b_intra);
+                    cb.decision(ctx, nz_dc ? 1 : 0);
+                    if (nz_dc)
+                        cabac_block_residual(cb, 0, luma_dc_levels + mb * 16,
+                                             16);
+                    if (cl) {
+                        for (int i = 0; i < 16; i++) {
+                            int bx = mbx * 4 + BIX[i];
+                            int by = mby * 4 + BIY[i];
+                            int nzf = luma_nnz[mb * 16 + i];
+                            int c2 = cbf_ctx_ac(1, nnz, w4, by, bx, b_intra);
+                            cb.decision(c2, nzf ? 1 : 0);
+                            if (nzf)
+                                cabac_block_residual(
+                                    cb, 1, luma_levels + (mb * 16 + i) * 16
+                                           + 1, 15);
+                            nnz[by * w4 + bx] = nzf;
+                        }
+                    }
+                } else {
+                    for (int i = 0; i < 16; i++) {
+                        if (!(cl & (1 << (i >> 2)))) continue;
+                        int bx = mbx * 4 + BIX[i];
+                        int by = mby * 4 + BIY[i];
+                        int nzf = luma_nnz[mb * 16 + i];
+                        int c2 = cbf_ctx_ac(2, nnz, w4, by, bx, b_intra);
+                        cb.decision(c2, nzf ? 1 : 0);
+                        if (nzf)
+                            cabac_block_residual(
+                                cb, 2, luma_levels + (mb * 16 + i) * 16, 16);
+                        nnz[by * w4 + bx] = nzf;
+                    }
+                }
+                if (cch) {
+                    for (int ch = 0; ch < 2; ch++) {
+                        int ctx = cbf_ctx_dc(3, mby, mbx, 9 + ch, b_intra);
+                        int nzf = ch == 0 ? cnz0 : cnz1;
+                        cb.decision(ctx, nzf ? 1 : 0);
+                        if (nzf)
+                            cabac_block_residual(
+                                cb, 3, chroma_dc_levels + (mb * 2 + ch) * 4,
+                                4);
+                    }
+                    if (cch == 2) {
+                        for (int ch = 0; ch < 2; ch++)
+                            for (int i = 0; i < 4; i++) {
+                                int bx = mbx * 2 + (i & 1);
+                                int by = mby * 2 + (i >> 1);
+                                const int *grid = cnnz + ch * 2 * mb_h * w2;
+                                int nzf = chroma_nnz_ac[(mb * 2 + ch) * 4 + i];
+                                int c2 = cbf_ctx_ac(4, grid, w2, by, bx,
+                                                    b_intra);
+                                cb.decision(c2, nzf ? 1 : 0);
+                                if (nzf)
+                                    cabac_block_residual(
+                                        cb, 4,
+                                        chroma_ac_levels +
+                                            ((mb * 2 + ch) * 4 + i) * 16 + 1,
+                                        15);
+                                cnnz[(ch * 2 * mb_h + by) * w2 + bx] = nzf;
+                            }
+                    }
+                }
+            }
+
+            // zero nnz state for uncoded blocks
+            if (!(cl || is_i16)) {
+                for (int i = 0; i < 16; i++)
+                    nnz[(mby * 4 + BIY[i]) * w4 + mbx * 4 + BIX[i]] = 0;
+            } else if (!is_i16) {
+                for (int i = 0; i < 16; i++)
+                    if (!(cl & (1 << (i >> 2))))
+                        nnz[(mby * 4 + BIY[i]) * w4 + mbx * 4 + BIX[i]] = 0;
+            }
+            if (cch != 2)
+                for (int ch = 0; ch < 2; ch++)
+                    for (int d = 0; d < 4; d++)
+                        cnnz[(ch * 2 * mb_h + mby * 2 + (d >> 1)) * w2 +
+                             mbx * 2 + (d & 1)] = 0;
+        }
+
+    cb.flush();
+    if (mb_count_out)
+        for (int i = 0; i < 4; i++) mb_count_out[i] = counts[i];
+    free(nnz); free(cnnz); free(cbp_ext); free(mbt); free(cmodes);
+    free(mvdc); free(avail);
+    return header_bytes + (int64_t)cb.len;
+}
 
 void x264tpu_set_cavlc_tables(const uint16_t *coeff0,      // (6,2)
                               const uint16_t *coeff_token, // (6,16,4,2)

@@ -235,11 +235,10 @@ def _deblock_mb_chroma(region, bs_mb, intra_cur, intra_left, intra_top,
         # reference skips groups with tc0 <= 0 (tc0 == -1 → tc == 0)
         p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
         p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
-        p0o = jnp.where(use_intra, p0i, p0n)
-        q0o = jnp.where(use_intra, q0i, q0n)
-        reg = reg.at[4:12, c - 1].set(jnp.where(enabled, p0o, p0))
-        reg = reg.at[4:12, c].set(jnp.where(enabled, q0o, q0))
-        return reg
+        out = jnp.stack([jnp.where(use_intra, p0i, p0n),
+                         jnp.where(use_intra, q0i, q0n)], axis=1)  # (8, 2)
+        old = jnp.stack([p0, q0], axis=1)
+        return reg.at[4:12, c - 1:c + 1].set(jnp.where(enabled, out, old))
 
     def h_edge(reg, edge_c, bs_row, use_intra, enabled):
         r = 4 + edge_c
@@ -249,11 +248,10 @@ def _deblock_mb_chroma(region, bs_mb, intra_cur, intra_left, intra_top,
         tc = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp] + 1
         p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
         p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
-        p0o = jnp.where(use_intra, p0i, p0n)
-        q0o = jnp.where(use_intra, q0i, q0n)
-        reg = reg.at[r - 1, 4:12].set(jnp.where(enabled, p0o, p0))
-        reg = reg.at[r, 4:12].set(jnp.where(enabled, q0o, q0))
-        return reg
+        out = jnp.stack([jnp.where(use_intra, p0i, p0n),
+                         jnp.where(use_intra, q0i, q0n)])           # (2, 8)
+        old = jnp.stack([p0, q0])
+        return reg.at[r - 1:r + 1, 4:12].set(jnp.where(enabled, out, old))
 
     f = jnp.bool_(False)
     internal = ~first_edge_only
@@ -283,14 +281,74 @@ def _diag_schedule(mb_w, mb_h):
 PAD_DB = 8
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def _onehot_cols(col0, rsize, n_cols):
+    """B[k, j, c] = (c == col0[k]+j), bf16."""
+    K = col0.shape[0]
+    tgt = col0[:, None, None] + jnp.arange(rsize)[None, :, None]
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, rsize, n_cols), 2)
+    return (c == tgt).astype(jnp.bfloat16)
+
+
+def _band_windows(plane, r0, K, mbsize, rsize):
+    """One contiguous band slice → K overlapping row windows.
+
+    MBs on one 2:1 wavefront diagonal have CONSECUTIVE y, so window k
+    (rows r0 + k*mbsize .. + rsize) is a pure relayout of the band
+    starting at r0 — no gather. Returns (band, wins) with wins
+    (K, rsize, W)."""
+    W = plane.shape[1]
+    bandH = K * mbsize + (rsize - mbsize)
+    band = jax.lax.dynamic_slice(plane, (r0, 0), (bandH, W))
+    core = band[:K * mbsize].reshape(K, mbsize, W)
+    halo = rsize - mbsize
+    tails = jnp.concatenate([core[1:, :halo], band[None, K * mbsize:]], 0)
+    wins = jnp.concatenate([core, tails], axis=1)        # (K, rsize, W)
+    return band, wins
+
+
+def _cols_gather(wins, B):
+    """regs[k,i,j] = Σ_w wins[k,i,w]·B[k,j,w] — one-hot column selection
+    on the MXU (values ≤ 255 and 0/1 selectors are exact in bf16 with
+    f32 accumulation)."""
+    regs = jax.lax.dot_general(
+        wins.astype(jnp.bfloat16), B, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return regs.astype(jnp.int32)
+
+
+def _band_scatter_delta(plane, band, regs_new, regs_old, valid, B, r0,
+                        K, mbsize, rsize):
+    """plane band += per-window deltas placed by B. Regions on a diagonal
+    are disjoint (same rows only at disjoint columns), so summing the
+    window overlaps is exact; deltas are in [-255, 255] (exact bf16)."""
+    W = plane.shape[1]
+    halo = rsize - mbsize
+    delta = jnp.where(valid[:, None, None], regs_new - regs_old, 0)
+    wide = jax.lax.dot_general(
+        delta.astype(jnp.bfloat16), B, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (K, rsize, W)
+    wide = wide.astype(jnp.int32)
+    core_d = wide[:, :mbsize]
+    shift = jnp.concatenate(
+        [jnp.zeros((1, halo, W), jnp.int32), wide[:-1, mbsize:]], 0)
+    core_d = jnp.concatenate([core_d[:, :halo] + shift, core_d[:, halo:]],
+                             axis=1)
+    band_d = jnp.concatenate([core_d.reshape(K * mbsize, W),
+                              wide[-1, mbsize:]], 0)
+    return jax.lax.dynamic_update_slice(plane, band + band_d, (r0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_pallas"))
 def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
-                  alpha_off, beta_off, mb_w: int, mb_h: int):
+                  alpha_off, beta_off, mb_w: int, mb_h: int,
+                  use_pallas: bool | None = None):
     """Deblock a full frame in place (wavefront). y/u/v: recon planes
     int32; bs: (mb_h, mb_w, 2, 4, 4); intra_mb/first_edge_only:
     (mb_h, mb_w); qp/qpc scalars (per-slice, constant-QP round 1);
     alpha_off/beta_off: slice offsets (already <<1 removed — raw offsets).
     Returns filtered (y, u, v)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     index_a = jnp.clip(qp + alpha_off, 0, 51)
     index_b = jnp.clip(qp + beta_off, 0, 51)
     index_ac = jnp.clip(qpc + alpha_off, 0, 51)
@@ -301,11 +359,23 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
     betac = _BETA_J[index_bc]
 
     H, W = mb_h * 16, mb_w * 16
-    yp = jnp.pad(y.astype(jnp.int32), PAD_DB)
-    up = jnp.pad(u.astype(jnp.int32), PAD_DB)
-    vp = jnp.pad(v.astype(jnp.int32), PAD_DB)
-
     n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
+
+    if use_pallas:
+        # bands of the longest diagonal may run past the frame bottom
+        # (invalid slots write zero deltas there) — pad accordingly
+        yp = jnp.pad(y.astype(jnp.int32),
+                     ((PAD_DB, PAD_DB + dmax * 16 + 16), (PAD_DB, PAD_DB)))
+        Hcp = H // 2 + 2 * PAD_DB
+        cp = jnp.concatenate([
+            jnp.pad(u.astype(jnp.int32), PAD_DB),
+            jnp.pad(v.astype(jnp.int32), PAD_DB),
+            jnp.zeros((dmax * 8 + 16, W // 2 + 2 * PAD_DB), jnp.int32)])
+    else:
+        yp = jnp.pad(y.astype(jnp.int32), PAD_DB)
+        # u and v share every filter parameter → one stacked (2,...) plane
+        cp = jnp.stack([jnp.pad(u.astype(jnp.int32), PAD_DB),
+                        jnp.pad(v.astype(jnp.int32), PAD_DB)])
 
     def gather(plane, ys, xs, mbsize, rsize):
         def one(yy, xx):
@@ -315,16 +385,38 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
         return jax.vmap(one)(ys, xs)
 
     def step(d, state):
-        yp, up, vp = state
+        yp, cp = state
         ys = diag_ys[d]
         xs = diag_xs[d]
         valid = ys >= 0
         yc = jnp.maximum(ys, 0)
         xc = jnp.maximum(xs, 0)
+        K = ys.shape[0]
 
-        regy = gather(yp, yc, xc, 16, 24)[:, :20, :20]
-        regu = gather(up, yc, xc, 8, 16)[:, :12, :12]
-        regv = gather(vp, yc, xc, 8, 16)[:, :12, :12]
+        if use_pallas:
+            # one contiguous band slice per plane + one-hot column
+            # selection on the MXU (XLA gather/scatter are per-element
+            # on TPU; this is exact for pixel-range values)
+            Wp = yp.shape[1]
+            Wcp = cp.shape[1]
+            y0 = diag_ys[d, 0]                 # first slot always valid
+            r0y = y0 * 16 + PAD_DB - 4
+            r0c = y0 * 8 + PAD_DB - 4
+            bandy, winsy = _band_windows(yp, r0y, K, 16, 20)
+            By = _onehot_cols(xc * 16 + PAD_DB - 4, 20, Wp)
+            regy = _cols_gather(winsy, By)
+            bandu, winsu = _band_windows(cp, r0c, K, 8, 12)
+            bandv, winsv = _band_windows(cp, Hcp + r0c, K, 8, 12)
+            Bc = _onehot_cols(jnp.tile(xc * 8 + PAD_DB - 4, 2), 12, Wcp)
+            regcf = _cols_gather(jnp.concatenate([winsu, winsv]), Bc)
+        else:
+            regy = gather(yp, yc, xc, 16, 24)[:, :20, :20]
+
+            def gather_c(yy, xx):  # (2,16,16) — both chroma channels
+                return jax.lax.dynamic_slice(
+                    cp, (0, yy * 8 + PAD_DB - 4, xx * 8 + PAD_DB - 4),
+                    (2, 16, 16))
+            regc = jax.vmap(gather_c)(yc, xc)[:, :, :12, :12]
 
         bs_mb = bs[yc, xc]
         ic = intra_mb[yc, xc] > 0
@@ -334,16 +426,54 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
         has_l = xs > 0
         has_t = ys > 0
 
-        vy = jax.vmap(_deblock_mb_luma,
-                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))
-        regy2 = vy(regy, bs_mb, ic, il, it, has_l, has_t, feo,
-                   alpha, beta, index_a)
-        vc = jax.vmap(_deblock_mb_chroma,
-                      in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))
-        regu2 = vc(regu, bs_mb, ic, il, it, has_l, has_t, feo,
-                   alphac, betac, index_ac)
-        regv2 = vc(regv, bs_mb, ic, il, it, has_l, has_t, feo,
-                   alphac, betac, index_ac)
+        if use_pallas:
+            from .pallas.deblock_filter import filter_regions
+            internal = (~feo).astype(jnp.int32)
+            f0 = jnp.zeros((K,), jnp.int32)
+            # per-row tc0 lanes: luma 4 groups of 4 rows, chroma 4 of 2
+            tc0y = _TC0_J[_clamp_idx(index_a), jnp.clip(bs_mb, 0, 3)]
+            tc0y = tc0y[..., jnp.arange(16) >> 2].reshape(K, 128)
+            bsc = bs_mb[:, :, ::2]                        # bs rows 0, 2
+            tcc = _TC0_J[_clamp_idx(index_ac), jnp.clip(bsc, 0, 3)] + 1
+            tcc = jnp.tile(tcc[..., jnp.arange(8) >> 1].reshape(K, 32),
+                           (2, 1))
+            eny = jnp.stack([has_l.astype(jnp.int32), internal, internal,
+                             internal, has_t.astype(jnp.int32), internal,
+                             internal, internal], axis=1)
+            uiy = jnp.stack([(ic | il).astype(jnp.int32), f0, f0, f0,
+                             (ic | it).astype(jnp.int32), f0, f0, f0],
+                            axis=1)
+            enc = jnp.tile(jnp.stack(
+                [has_l.astype(jnp.int32), internal,
+                 has_t.astype(jnp.int32), internal], axis=1), (2, 1))
+            uic = jnp.tile(jnp.stack(
+                [(ic | il).astype(jnp.int32), f0,
+                 (ic | it).astype(jnp.int32), f0], axis=1), (2, 1))
+            regy2, regcf2 = filter_regions(
+                regy, regcf, tc0y, tcc, eny, uiy, enc, uic,
+                jnp.stack([alpha, beta]).reshape(1, 2),
+                jnp.stack([alphac, betac]).reshape(1, 2),
+                interpret=jax.default_backend() != "tpu")
+            yp2 = _band_scatter_delta(yp, bandy, regy2, regy, valid, By,
+                                      r0y, K, 16, 20)
+            cp2 = _band_scatter_delta(cp, bandu, regcf2[:K], regcf[:K],
+                                      valid, Bc[:K], r0c, K, 8, 12)
+            cp2 = _band_scatter_delta(cp2, bandv, regcf2[K:], regcf[K:],
+                                      valid, Bc[K:], Hcp + r0c, K, 8, 12)
+            return (yp2, cp2)
+        else:
+            vy = jax.vmap(_deblock_mb_luma,
+                          in_axes=(0, 0, 0, 0, 0, 0, 0, 0,
+                                   None, None, None))
+            regy2 = vy(regy, bs_mb, ic, il, it, has_l, has_t, feo,
+                       alpha, beta, index_a)
+            vc = jax.vmap(jax.vmap(
+                _deblock_mb_chroma,
+                in_axes=(0, None, None, None, None, None, None, None,
+                         None, None, None)),
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))
+            regc2 = vc(regc, bs_mb, ic, il, it, has_l, has_t, feo,
+                       alphac, betac, index_ac)
 
         oob = jnp.int32(1 << 20)
         sy = jnp.where(valid, yc, oob)
@@ -357,11 +487,21 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
             return plane.at[r, c].set(reg, mode="drop")
 
         yp2 = scatter(yp, regy2, 16, 20)
-        up2 = scatter(up, regu2, 8, 12)
-        vp2 = scatter(vp, regv2, 8, 12)
-        return (yp2, up2, vp2)
+        ch = jnp.arange(2)[None, :, None, None]
+        rr = (sy[:, None, None, None] * 8 + PAD_DB - 4
+              + jnp.arange(12)[None, None, :, None])
+        cc = (sx[:, None, None, None] * 8 + PAD_DB - 4
+              + jnp.arange(12)[None, None, None, :])
+        cp2 = cp.at[ch, rr, cc].set(regc2, mode="drop")
+        return (yp2, cp2)
 
-    yp, up, vp = jax.lax.fori_loop(0, n_diag, step, (yp, up, vp))
+    yp, cp = jax.lax.fori_loop(0, n_diag, step, (yp, cp))
+    if use_pallas:
+        Hcp = H // 2 + 2 * PAD_DB
+        return (yp[PAD_DB:PAD_DB + H, PAD_DB:PAD_DB + W],
+                cp[PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2],
+                cp[Hcp + PAD_DB:Hcp + PAD_DB + H // 2,
+                   PAD_DB:PAD_DB + W // 2])
     return (yp[PAD_DB:PAD_DB + H, PAD_DB:PAD_DB + W],
-            up[PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2],
-            vp[PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2])
+            cp[0, PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2],
+            cp[1, PAD_DB:PAD_DB + H // 2, PAD_DB:PAD_DB + W // 2])
