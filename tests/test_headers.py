@@ -77,3 +77,61 @@ def test_validate_rejects_unsupported():
         _cli_params(177, 144)  # odd width
     with pytest.raises(P.ValidationError):
         _cli_params(176, 144, b_interlaced=1)
+
+
+def test_param2string_and_log(capsys):
+    from x264dsp_tpu import params as P
+    p = P.param_default()
+    p.i_width, p.i_height = 64, 48
+    p = P.validate_parameters(p)
+    s = P.param2string(p, True)
+    assert "64x48" in s and "cabac=1" in s and "rc=crf" in s
+    assert "keyint=50" in s and "me=0" in s
+
+    # leveled logging honors i_log_level and pf_log
+    P.x264_log(p, P.LOG_INFO, "hello")
+    assert "x264 [info]: hello" in capsys.readouterr().out
+    p.i_log_level = P.LOG_ERROR
+    P.x264_log(p, P.LOG_INFO, "quiet")
+    assert capsys.readouterr().out == ""
+    got = []
+    p.i_log_level = P.LOG_INFO
+    p.pf_log = lambda priv, lvl, msg: got.append((lvl, msg))
+    P.x264_log(p, P.LOG_INFO, "cb")
+    assert got == [(P.LOG_INFO, "cb")]
+
+
+def test_sei_carries_options_line():
+    import numpy as np
+    import x264dsp_tpu as xt
+    from x264dsp_tpu import params as P
+    p = xt.param_default()
+    p.i_width = p.i_height = 32
+    p.i_log_level = P.LOG_NONE
+    enc = xt.Encoder(p)
+    hdrs = enc.headers()
+    sei = [n for n in hdrs if n.i_type == P.NAL_SEI]
+    assert sei and b"options:" in sei[0].payload
+    assert b"cabac=1" in sei[0].payload
+
+
+def test_close_prints_summary(capsys):
+    import numpy as np
+    import x264dsp_tpu as xt
+    from x264dsp_tpu import params as P
+    p = xt.param_default()
+    p.i_width = p.i_height = 32
+    p.rc.i_rc_method = P.RC_CQP
+    p.rc.i_qp_constant = 30
+    enc = xt.Encoder(p)
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        y = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        u = np.full((16, 16), 128, np.uint8)
+        v = u.copy()
+        enc.encode(xt.Picture.from_planes(y, u, v))
+    capsys.readouterr()
+    enc.close()
+    outp = capsys.readouterr().out
+    assert "frame I:" in outp and "Avg QP:" in outp
+    assert "mb " in outp and "kb/s:" in outp

@@ -70,6 +70,7 @@ def main(argv=None):
     out = AnnexBWriter(args.output)
     t0 = time.time()
     total_bytes = 0
+    last_status = 0.0
     for i in range(n_frames):
         planes = reader.read_frame(i)
         if planes is None:
@@ -78,6 +79,19 @@ def main(argv=None):
         payload = b"".join(n.payload for n in nals)
         out.write_frame(payload)
         total_bytes += len(payload)
+        # print_status twin (x264.c:165-193): 1 Hz progress with eta
+        now = time.time()
+        if now - last_status >= 1.0 and i + 1 < n_frames:
+            last_status = now
+            el = max(now - t0, 1e-9)
+            enc_fps = (i + 1) / el
+            kbps = (total_bytes * 8 * (param.i_fps_num / param.i_fps_den)
+                    / (i + 1) / 1000)
+            eta = int(el * (n_frames - i - 1) / (i + 1))
+            print(f"x264 [{100.0 * (i + 1) / n_frames:.1f}%] "
+                  f"{i + 1}/{n_frames} frames, {enc_fps:.2f} fps, "
+                  f"{kbps:.2f} kb/s, eta {eta // 3600}:"
+                  f"{eta // 60 % 60:02d}:{eta % 60:02d}", flush=True)
     elapsed = max(time.time() - t0, 1e-9)
     fps = param.i_fps_num / param.i_fps_den
     kbps = total_bytes * 8 * fps / max(n_frames, 1) / 1000

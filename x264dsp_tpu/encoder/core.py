@@ -103,6 +103,13 @@ class EncoderCore:
         self.i_frame = 0          # input frame counter
         self.frame_num = 0        # frame_num syntax element
         self.idr_pic_id = 0
+
+        # open-time logging (encoder.c:624-631 profile/level line)
+        profile = "Main" if p.b_cabac else "Constrained Baseline"
+        P.x264_log(p, P.LOG_INFO,
+                   f"profile {profile}, level "
+                   f"{p.i_level_idc // 10}.{p.i_level_idc % 10}")
+        P.x264_log(p, P.LOG_DEBUG, "options: " + P.param2string(p, True))
         self.stats = Stats()
         self.last_recon = None    # (y, u, v) np arrays (deblocked output)
         # reference state (DPB of 1 for now; i_frame_reference=1 default)
@@ -131,8 +138,10 @@ class EncoderCore:
 
     def _sei_version(self) -> NAL:
         bw = BitWriter()
+        opts = P.param2string(self.param)
         payload = bytes(16) + (
-            "x264dsp_tpu 0.1 - TPU-native H.264 encoder").encode() + b"\x00"
+            "x264dsp_tpu 0.1 - TPU-native H.264 encoder - options: "
+            + opts).encode() + b"\x00"
         # sei payload type 5 = user_data_unregistered (set.c:52-70)
         t, size = 5, len(payload)
         bw.write(8, t)
@@ -883,4 +892,38 @@ class EncoderCore:
 
     # ------------------------------------------------------------------
     def close(self) -> dict:
-        return self.stats.summary()
+        """x264_encoder_close stats summary (encoder.c:2189-2388):
+        per-type frame lines, MB histogram, bitrate — via x264_log."""
+        p = self.param
+        st = self.stats
+        out = st.summary()
+        fps = (p.i_fps_num / p.i_fps_den
+               if p.i_fps_num > 0 and p.i_fps_den > 0 else 25.0)
+        total_frames = sum(st.i_frame_count.values())
+        for stype, ch in ((P.SLICE_TYPE_I, "I"), (P.SLICE_TYPE_P, "P")):
+            n = st.i_frame_count.get(stype, 0)
+            if not n:
+                continue
+            P.x264_log(p, P.LOG_INFO,
+                       f"frame {ch}:{n:<5d} Avg QP:"
+                       f"{st.f_frame_qp[stype] / n:5.2f}  size:"
+                       f"{st.i_frame_size[stype] / n:6.0f}")
+        mbs = st.i_mb_count
+        tot_mb = max(sum(mbs.values()), 1)
+        if mbs:
+            P.x264_log(p, P.LOG_INFO, "mb " + "  ".join(
+                f"{k}:{100.0 * v / tot_mb:.1f}%"
+                for k, v in sorted(mbs.items())))
+        if p.analyse.b_psnr and st.pixels[0]:
+            psnr = out["psnr_yuv"]
+            P.x264_log(p, P.LOG_INFO,
+                       f"PSNR Mean Y:{psnr[0]:.3f} U:{psnr[1]:.3f} "
+                       f"V:{psnr[2]:.3f}")
+        if p.analyse.b_ssim and st.i_ssim_cnt:
+            P.x264_log(p, P.LOG_INFO,
+                       f"SSIM Mean Y:{out['ssim_y']:.7f}")
+        if total_frames:
+            total_bytes = sum(st.i_frame_size.values())
+            P.x264_log(p, P.LOG_INFO,
+                       f"kb/s:{total_bytes * 8 * fps / total_frames / 1000:.2f}")
+        return out

@@ -407,8 +407,11 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
             regy = _cols_gather(winsy, By)
             bandu, winsu = _band_windows(cp, r0c, K, 8, 12)
             bandv, winsv = _band_windows(cp, Hcp + r0c, K, 8, 12)
-            Bc = _onehot_cols(jnp.tile(xc * 8 + PAD_DB - 4, 2), 12, Wcp)
-            regcf = _cols_gather(jnp.concatenate([winsu, winsv]), Bc)
+            Bc = _onehot_cols(xc * 8 + PAD_DB - 4, 12, Wcp)
+            regs_u = _cols_gather(winsu, Bc)
+            regs_v = _cols_gather(winsv, Bc)
+            # kernel layout: chroma rows interleaved per MB (u, v)
+            regcf = jnp.stack([regs_u, regs_v], 1).reshape(2 * K, 12, 12)
         else:
             regy = gather(yp, yc, xc, 16, 24)[:, :20, :20]
 
@@ -435,31 +438,42 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
             tc0y = tc0y[..., jnp.arange(16) >> 2].reshape(K, 128)
             bsc = bs_mb[:, :, ::2]                        # bs rows 0, 2
             tcc = _TC0_J[_clamp_idx(index_ac), jnp.clip(bsc, 0, 3)] + 1
-            tcc = jnp.tile(tcc[..., jnp.arange(8) >> 1].reshape(K, 32),
-                           (2, 1))
+            tcc = jnp.repeat(tcc[..., jnp.arange(8) >> 1].reshape(K, 32),
+                             2, axis=0)
             eny = jnp.stack([has_l.astype(jnp.int32), internal, internal,
                              internal, has_t.astype(jnp.int32), internal,
                              internal, internal], axis=1)
             uiy = jnp.stack([(ic | il).astype(jnp.int32), f0, f0, f0,
                              (ic | it).astype(jnp.int32), f0, f0, f0],
                             axis=1)
-            enc = jnp.tile(jnp.stack(
+            enc = jnp.repeat(jnp.stack(
                 [has_l.astype(jnp.int32), internal,
-                 has_t.astype(jnp.int32), internal], axis=1), (2, 1))
-            uic = jnp.tile(jnp.stack(
+                 has_t.astype(jnp.int32), internal], axis=1), 2, axis=0)
+            uic = jnp.repeat(jnp.stack(
                 [(ic | il).astype(jnp.int32), f0,
-                 (ic | it).astype(jnp.int32), f0], axis=1), (2, 1))
+                 (ic | it).astype(jnp.int32), f0], axis=1), 2, axis=0)
+            # pad to the kernel's block multiple with zero regions +
+            # zero enable masks (no-op slots)
+            from .pallas.deblock_filter import KB
+            padn = (-K) % KB
+
+            def padk(a, rep=1):
+                return jnp.pad(a, ((0, padn * rep),)
+                               + ((0, 0),) * (a.ndim - 1))
             regy2, regcf2 = filter_regions(
-                regy, regcf, tc0y, tcc, eny, uiy, enc, uic,
+                padk(regy), padk(regcf, 2), padk(tc0y), padk(tcc, 2),
+                padk(eny), padk(uiy), padk(enc, 2), padk(uic, 2),
                 jnp.stack([alpha, beta]).reshape(1, 2),
                 jnp.stack([alphac, betac]).reshape(1, 2),
                 interpret=jax.default_backend() != "tpu")
+            regy2 = regy2[:K]
+            rc2 = regcf2[:2 * K].reshape(K, 2, 12, 12)
             yp2 = _band_scatter_delta(yp, bandy, regy2, regy, valid, By,
                                       r0y, K, 16, 20)
-            cp2 = _band_scatter_delta(cp, bandu, regcf2[:K], regcf[:K],
-                                      valid, Bc[:K], r0c, K, 8, 12)
-            cp2 = _band_scatter_delta(cp2, bandv, regcf2[K:], regcf[K:],
-                                      valid, Bc[K:], Hcp + r0c, K, 8, 12)
+            cp2 = _band_scatter_delta(cp, bandu, rc2[:, 0], regs_u,
+                                      valid, Bc, r0c, K, 8, 12)
+            cp2 = _band_scatter_delta(cp2, bandv, rc2[:, 1], regs_v,
+                                      valid, Bc, Hcp + r0c, K, 8, 12)
             return (yp2, cp2)
         else:
             vy = jax.vmap(_deblock_mb_luma,

@@ -30,8 +30,11 @@ def _kernel(y_ref, c_ref, tc0y_ref, tcc_ref, eny_ref, uiy_ref,
             enc_ref, uic_ref, pl_ref, pc_ref, oy_ref, oc_ref):
     # Mosaic has no scatter; sequential edges are in-ref read-modify-write
     # with static slice offsets (supported for any static offset).
-    oy_ref[...] = y_ref[...]          # (K, 20, 20)
-    oc_ref[...] = c_ref[...]          # (2K, 12, 12)
+    # Blocks are KB MBs (grid-tiled so VMEM stays small and vmap over a
+    # stream batch just extends the grid); chroma rows are interleaved
+    # per MB (u, v) so a block of MBs is contiguous.
+    oy_ref[...] = y_ref[...]          # (KB, 20, 20)
+    oc_ref[...] = c_ref[...]          # (2*KB, 12, 12)
     tc0y = tc0y_ref[...]     # (K, 128) = (dir, edge, row)
     tcc = tcc_ref[...]       # (2K, 32) = (dir, edge, row)
     eny = eny_ref[...]       # (K, 8)   = (dir, edge)
@@ -102,25 +105,31 @@ def _kernel(y_ref, c_ref, tc0y_ref, tcc_ref, eny_ref, uiy_ref,
         chroma_edge(1, e)
 
 
+KB = 16  # MBs per grid block (VMEM-safe even under a stream-batch vmap)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def filter_regions(regy, regc, tc0y, tcc, eny, uiy, enc, uic,
                    params_l, params_c, interpret: bool = False):
-    """regy: (K,20,20) i32, regc: (2K,12,12) i32; per-edge lanes as
-    documented in _kernel. Returns (regy', regc')."""
+    """regy: (K,20,20) i32, regc: (2K,12,12) i32 with chroma rows
+    interleaved per MB (u then v); per-edge lanes as documented in
+    _kernel. K must be a multiple of KB (caller pads with zero regions
+    and zero enable masks). Returns (regy', regc')."""
     K = regy.shape[0]
-    full = lambda s: pl.BlockSpec(s, lambda: tuple(0 for _ in s),
-                                  memory_space=pltpu.VMEM)
-    smem = lambda s: pl.BlockSpec(s, lambda: tuple(0 for _ in s),
+    assert K % KB == 0, K
+    blk = lambda s: pl.BlockSpec(s, lambda i: (i,) + (0,) * (len(s) - 1),
+                                 memory_space=pltpu.VMEM)
+    smem = lambda s: pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
                                   memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _kernel,
-        grid=(),
-        in_specs=[full((K, 20, 20)), full((2 * K, 12, 12)),
-                  full((K, 128)), full((2 * K, 32)),
-                  full((K, 8)), full((K, 8)),
-                  full((2 * K, 4)), full((2 * K, 4)),
+        grid=(K // KB,),
+        in_specs=[blk((KB, 20, 20)), blk((2 * KB, 12, 12)),
+                  blk((KB, 128)), blk((2 * KB, 32)),
+                  blk((KB, 8)), blk((KB, 8)),
+                  blk((2 * KB, 4)), blk((2 * KB, 4)),
                   smem((1, 2)), smem((1, 2))],
-        out_specs=[full((K, 20, 20)), full((2 * K, 12, 12))],
+        out_specs=[blk((KB, 20, 20)), blk((2 * KB, 12, 12))],
         out_shape=[jax.ShapeDtypeStruct((K, 20, 20), jnp.int32),
                    jax.ShapeDtypeStruct((2 * K, 12, 12), jnp.int32)],
         interpret=interpret,

@@ -68,3 +68,41 @@ def shard_streams(mesh: Mesh, *arrays):
         spec = PSpec("stream", *([None] * (a.ndim - 1)))
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
+                                             "mv_range", "dct_decimate",
+                                             "me_parallel"))
+def encode_p_pipeline_batched(fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
+                              mb_w: int, mb_h: int, me_range: int,
+                              mv_range: int, dct_decimate: bool,
+                              me_parallel: bool = False):
+    """Full steady-state P step over a stream batch: encode + in-loop
+    deblock + hpel reference update. The sequential wavefront depth is
+    shared across streams (per-step work scales with S, step count does
+    not) — this is how the latency-bound wavefronts reach throughput
+    (BASELINE config 5: multi-stream 1080p)."""
+    from ..encoder import inter_frame
+    from ..ops import deblock as DB
+    from ..ops import mc as MC
+
+    fn = functools.partial(inter_frame.encode_p_frame.__wrapped__,
+                           mb_w=mb_w, mb_h=mb_h, me_range=me_range,
+                           mv_range=mv_range, dct_decimate=dct_decimate,
+                           me_parallel=me_parallel)
+    out = jax.vmap(lambda a, b, c, r4, ru, rv: fn(a, b, c, r4, ru, rv,
+                                                  qp, qpc, lam))(
+        fy, fu, fv, ref4, refu, refv)
+
+    bs = jnp.ones((mb_h, mb_w, 2, 4, 4), jnp.int32)
+    zero = jnp.zeros((mb_h, mb_w), jnp.int32)
+
+    def post(y, u, v):
+        dy, du, dv = DB.deblock_frame.__wrapped__(
+            y, u, v, bs, zero, zero, qp, qpc, 0, 0,
+            mb_w=mb_w, mb_h=mb_h, use_pallas=None)
+        return MC.make_ref_planes(dy), MC.pad_chroma(du), MC.pad_chroma(dv)
+
+    ref4n, refun, refvn = jax.vmap(post)(
+        out["recon_y"], out["recon_u"], out["recon_v"])
+    return out, (ref4n, refun, refvn)

@@ -298,6 +298,8 @@ class Param:
     i_frame_packing: int = -1
     crop_rect: tuple = (0, 0, 0, 0)  # left, top, right, bottom
     i_log_level: int = 2  # X264_LOG_INFO
+    pf_log: object = None        # pluggable log callback (x264.h:324-326)
+    p_log_private: object = None
 
     # TPU-native extensions (not in the reference): batched multi-stream
     # encode (the reference's frame-threading slot, SURVEY §2.6) and device
@@ -468,3 +470,91 @@ def _validate_levels(p: Param, sps, level: Level) -> bool:
     if p.i_fps_den > 0 and mbs * p.i_fps_num // p.i_fps_den > level.mbps:
         fail = True
     return fail
+
+
+# logging levels (x264.h X264_LOG_*)
+LOG_NONE = -1
+LOG_ERROR = 0
+LOG_WARNING = 1
+LOG_INFO = 2
+LOG_DEBUG = 3
+
+
+def param2string(p: Param, b_res: bool = False) -> str:
+    """x264_param2string (common/common.c:306-420) for the supported
+    feature set — the options line embedded in the version SEI and
+    printed at open."""
+    s = []
+    if b_res:
+        s.append(f"{p.i_width}x{p.i_height}")
+        s.append(f"fps={p.i_fps_num}/{p.i_fps_den}")
+        s.append(f"timebase={p.i_timebase_num}/{p.i_timebase_den}")
+        s.append("bitdepth=8")
+    a, rc = p.analyse, p.rc
+    s.append(f"cabac={p.b_cabac}")
+    s.append(f"ref={p.i_frame_reference}")
+    s.append(f"deblock={p.b_deblocking_filter}:"
+             f"{p.i_deblocking_filter_alphac0}:{p.i_deblocking_filter_beta}")
+    s.append(f"analyse={a.intra:#x}:{a.inter:#x}")
+    s.append(f"me={a.i_me_method}")
+    s.append(f"subme={a.i_subpel_refine}")
+    s.append(f"psy={a.b_psy}")
+    s.append(f"mixed_ref={a.b_mixed_references}")
+    s.append(f"me_range={a.i_me_range}")
+    s.append(f"chroma_me={a.b_chroma_me}")
+    s.append(f"trellis={a.i_trellis}")
+    s.append(f"8x8dct={a.b_transform_8x8}")
+    s.append(f"cqm={p.i_cqm_preset}")
+    s.append(f"deadzone={a.i_luma_deadzone[0]},{a.i_luma_deadzone[1]}")
+    s.append(f"fast_pskip={a.b_fast_pskip}")
+    s.append(f"chroma_qp_offset={a.i_chroma_qp_offset}")
+    s.append(f"threads={p.i_threads}")
+    s.append(f"sliced_threads={p.b_sliced_threads}")
+    s.append(f"nr={a.i_noise_reduction}")
+    s.append(f"decimate={a.b_dct_decimate}")
+    s.append(f"interlaced={p.b_interlaced}")
+    s.append(f"constrained_intra={p.b_constrained_intra}")
+    s.append(f"bframes={p.i_bframe}")
+    s.append(f"weightp={max(a.i_weighted_pred, 0)}")
+    s.append(f"keyint={p.i_keyint_max}")
+    s.append(f"keyint_min={p.i_keyint_min} "
+             f"scenecut={p.i_scenecut_threshold}")
+    if rc.b_mb_tree or rc.i_vbv_buffer_size:
+        s.append(f"rc_lookahead={rc.i_lookahead}")
+    mode = ("cbr" if rc.i_vbv_max_bitrate == rc.i_bitrate else "abr") \
+        if rc.i_rc_method == RC_ABR else \
+        "crf" if rc.i_rc_method == RC_CRF else "cqp"
+    s.append(f"rc={mode} mbtree={rc.b_mb_tree}")
+    if rc.i_rc_method in (RC_ABR, RC_CRF):
+        if rc.i_rc_method == RC_CRF:
+            s.append(f"crf={rc.f_rf_constant:.1f}")
+        else:
+            s.append(f"bitrate={rc.i_bitrate} "
+                     f"ratetol={rc.f_rate_tolerance:.1f}")
+        s.append(f"qcomp={rc.f_qcompress:.2f} qpmin={rc.i_qp_min} "
+                 f"qpmax={rc.i_qp_max} qpstep={rc.i_qp_step}")
+        if rc.i_vbv_buffer_size:
+            s.append(f"vbv_maxrate={rc.i_vbv_max_bitrate} "
+                     f"vbv_bufsize={rc.i_vbv_buffer_size}")
+    else:
+        s.append(f"qp={rc.i_qp_constant}")
+    s.append(f"ip_ratio={rc.f_ip_factor:.2f}")
+    if rc.i_aq_mode:
+        s.append(f"aq={rc.i_aq_mode}:{rc.f_aq_strength:.2f}")
+    else:
+        s.append(f"aq={rc.i_aq_mode}")
+    return " ".join(s)
+
+
+def x264_log(param: Param | None, level: int, msg: str):
+    """x264_log twin (common/common.c:152-192): leveled, with a
+    pluggable pf_log callback on the param."""
+    if param is not None and level > param.i_log_level:
+        return
+    pf = getattr(param, "pf_log", None) if param is not None else None
+    if pf is not None:
+        pf(getattr(param, "p_log_private", None), level, msg)
+        return
+    prefix = {LOG_ERROR: "error", LOG_WARNING: "warning",
+              LOG_INFO: "info", LOG_DEBUG: "debug"}.get(level, "unknown")
+    print(f"x264 [{prefix}]: {msg}")
