@@ -1,120 +1,188 @@
-"""Benchmark: device encode throughput on the attached TPU chip.
+"""Benchmark: end-to-end encode throughput on the attached TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 300 fps/chip 1080p (BASELINE.md build target).
 
-Measures the 1080p IPPP device pipeline in steady state: P-frame encode
-(full-pel cost surfaces + wavefront MV decisions + residual encode) plus
-the in-loop deblock + hpel reference update — i.e. everything except the
-host entropy stage (which overlaps device work in the production setup).
-IPPP with keyint 50 is ~98% P frames, the headline config (BASELINE.json
-config 4). Set BENCH_INTRA=1 for the all-intra variant.
+Measures the CONFORMANT 1080p IPPP pipeline in steady state:
+  device: P-frame encode (Pallas ME cost surfaces + MV decision + subpel
+          refine + residual) + REAL deblock strengths computed on device
+          + in-loop deblock + hpel reference update
+  host:   C++ CABAC entropy on the pulled syntax tensors (int16-compacted
+          transfer), overlapped with the device encode of the next frame
+          (the reference's row-lag pipeline, encoder.c:1359, reborn as
+          frame-lag).
+End-to-end fps = frames / wall-clock including both stages.
+
+Env: BENCH_STREAMS=N (default 1) batches N independent streams
+(BASELINE.json config 5); entropy then runs in a thread pool (the C++
+writer releases the GIL). BENCH_FRAMES overrides the frame count.
+A per-stage breakdown goes to stderr; the JSON line is the last stdout
+line.
 """
 
 import json
 import os
+import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/x264tpu_jaxcache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/x264tpu_jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import numpy as np
+
+W, H = 1920, 1088
+MB_W, MB_H = W // 16, H // 16
+QP = 26
+
+# syntax keys the CABAC P writer consumes (entropy/native.py)
+SYN_KEYS = ("cbp_luma", "cbp_chroma", "luma_nnz", "chroma_nnz_ac",
+            "chroma_nz_dc", "luma_levels", "chroma_dc_levels",
+            "chroma_ac_levels", "mv")
+
+
+def synth_video(n_frames, seed=0):
+    """Synthetic 1080p clip: smooth gradient + two moving sinusoid
+    textures + light noise — realistic motion for ME and realistic
+    coefficient density for entropy (pure noise would be pathological)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 96 + 48 * np.sin(yy / 97.0) + 32 * np.cos(xx / 131.0)
+    noise = rng.normal(0, 2.0, (H, W)).astype(np.float32)
+    frames = []
+    for t in range(n_frames):
+        dx, dy = 2.6 * t, 1.3 * t
+        tex = (28 * np.sin((xx + dx) / 11.0 + (yy + dy) / 17.0)
+               + 22 * np.cos((xx - 1.7 * dx) / 23.0))
+        y = np.clip(base + tex + noise, 0, 255).astype(np.uint8)
+        u = np.clip(120 + 40 * np.sin((xx[::2, ::2] + dx) / 53.0),
+                    0, 255).astype(np.uint8)
+        v = np.clip(128 + 40 * np.cos((yy[::2, ::2] + dy) / 47.0),
+                    0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from x264dsp_tpu.encoder.inter_frame import encode_p_frame
-    from x264dsp_tpu.encoder.intra_frame import encode_i_frame
-    from x264dsp_tpu.ops import mc as MC
     from x264dsp_tpu.ops import deblock as DB
-
-    w, h = 1920, 1088
-    mb_w, mb_h = w // 16, h // 16
-    rng = np.random.default_rng(0)
-    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
-    u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
-    v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
-    qp, qpc, lam = 26, 26, 5
+    from x264dsp_tpu.ops import mc as MC
+    from x264dsp_tpu.entropy import native
 
     streams = int(os.environ.get("BENCH_STREAMS", "1"))
-    intra = os.environ.get("BENCH_INTRA") == "1"
-    if streams > 1 and not intra:
-        from x264dsp_tpu.parallel.mesh import encode_p_frames_batched
-        S = streams
-        ys = rng.integers(0, 256, (S, h, w)).astype(np.uint8)
-        us = rng.integers(0, 256, (S, h // 2, w // 2)).astype(np.uint8)
-        vs = rng.integers(0, 256, (S, h // 2, w // 2)).astype(np.uint8)
-        ref_y = rng.integers(0, 256, (S, h, w)).astype(np.uint8)
-        ref4 = jax.vmap(MC.make_ref_planes)(jnp.asarray(ref_y))
-        refu = jax.vmap(MC.pad_chroma)(jnp.asarray(us))
-        refv = jax.vmap(MC.pad_chroma)(jnp.asarray(vs))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
+    qpc = QP  # chroma_qp_offset 0 at QP 26
+    lam = 5
 
-        def run(_):
-            out = encode_p_frames_batched(
-                ys, us, vs, ref4, refu, refv, qp, qpc, lam,
-                mb_w=mb_w, mb_h=mb_h, me_range=16, mv_range=512,
-                dct_decimate=True, me_parallel=True)
-            jax.block_until_ready(out["recon_y"])
-            return None
+    zero_mb = jnp.zeros((MB_H, MB_W), jnp.int32)
 
-        run(None)  # compile
-        n = 4
+    def device_step(fy, fu, fv, ref4, refu, refv):
+        """Full conformant P step: encode + real strengths + deblock +
+        reference update. Returns (compact syn for entropy, new refs)."""
+        out = encode_p_frame.__wrapped__(
+            fy, fu, fv, ref4, refu, refv, QP, qpc, lam,
+            mb_w=MB_W, mb_h=MB_H, me_range=16, mv_range=512,
+            dct_decimate=True, me_parallel=True)
+        dy, du, dv = DB.deblock_frame.__wrapped__(
+            out["recon_y"], out["recon_u"], out["recon_v"], out["bs"],
+            zero_mb, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H)
+        refs = (MC.make_ref_planes(dy), MC.pad_chroma(du),
+                MC.pad_chroma(dv))
+        syn = {k: (out[k].astype(jnp.int16)
+                   if out[k].dtype == jnp.int32 else out[k])
+               for k in SYN_KEYS}
+        return syn, refs
+
+    frames = synth_video(3)
+    header = bytes([0x40])  # byte-aligned dummy slice header for timing
+
+    def entropy(syn_np):
+        res = native.write_slice_cabac(header, MB_W, MB_H, QP, 1, True,
+                                       syn_np)
+        assert res is not None, "native entropy library unavailable"
+        return len(res[0])
+
+    if streams == 1:
+        step = jax.jit(device_step, donate_argnums=(3, 4, 5))
+        ref4 = MC.make_ref_planes(jnp.asarray(frames[0][0]))
+        refu = MC.pad_chroma(jnp.asarray(frames[0][1]))
+        refv = MC.pad_chroma(jnp.asarray(frames[0][2]))
+        refs = (ref4, refu, refv)
+        # warm up compile + entropy lib
+        syn, refs = step(*map(jnp.asarray, frames[1]), *refs)
+        syn_np = {k: np.asarray(v) for k, v in syn.items()}
+        entropy(syn_np)
+
+        # timed loop with frame-lag overlap (device N+1 || entropy N)
+        t_dev = t_ent = t_pull = 0.0
+        pending = None
+        nbytes = 0
         t0 = time.perf_counter()
-        for _ in range(n):
-            run(None)
+        for i in range(n_frames):
+            f = frames[1 + (i % 2)]
+            td = time.perf_counter()
+            syn, refs = step(*map(jnp.asarray, f), *refs)   # async
+            t_dev += time.perf_counter() - td
+            if pending is not None:
+                te = time.perf_counter()
+                nbytes += entropy(pending)
+                t_ent += time.perf_counter() - te
+            tp = time.perf_counter()
+            pending = {k: np.asarray(v) for k, v in syn.items()}
+            t_pull += time.perf_counter() - tp
+        te = time.perf_counter()
+        nbytes += entropy(pending)
+        t_ent += time.perf_counter() - te
         dt = time.perf_counter() - t0
-        fps = n * S / dt
-        print(json.dumps({
-            "metric": f"1080p IPPP device-pipeline fps/chip "
-                      f"({S}-stream batched, aggregate)",
-            "value": round(fps, 2),
-            "unit": "fps",
-            "vs_baseline": round(fps / 300.0, 4),
-        }))
-        return
-
-    if intra:
-        def run(_):
-            out = encode_i_frame(y, u, v, qp, qpc, lam, mb_w=mb_w,
-                                 mb_h=mb_h, use_satd=False,
-                                 i4x4_enabled=True)
-            jax.block_until_ready(out["recon_y"])
-            return out
-        metric = "1080p all-intra device-pipeline fps/chip"
-        state = None
+        fps = n_frames / dt
+        print(f"breakdown: dispatch {t_dev/n_frames*1e3:.1f} ms  "
+              f"entropy {t_ent/n_frames*1e3:.1f} ms  "
+              f"pull+sync {t_pull/n_frames*1e3:.1f} ms  "
+              f"slice {nbytes//n_frames} B/frame", file=sys.stderr)
+        metric = "1080p IPPP end-to-end fps/chip (device + CABAC entropy)"
     else:
-        ref_y = rng.integers(0, 256, (h, w)).astype(np.uint8)
-        ref4 = MC.make_ref_planes(jnp.asarray(ref_y))
-        refu = MC.pad_chroma(jnp.asarray(u))
-        refv = MC.pad_chroma(jnp.asarray(v))
-        bs = jnp.zeros((mb_h, mb_w, 2, 4, 4), jnp.int32) + 1
-        zero_mb = jnp.zeros((mb_h, mb_w), jnp.int32)
+        from concurrent.futures import ThreadPoolExecutor
+        S = streams
+        vstep = jax.jit(jax.vmap(device_step), donate_argnums=(3, 4, 5))
+        ys = np.stack([frames[0][0]] * S)
+        us = np.stack([frames[0][1]] * S)
+        vs = np.stack([frames[0][2]] * S)
+        refs = (jax.jit(jax.vmap(MC.make_ref_planes))(jnp.asarray(ys)),
+                jax.jit(jax.vmap(MC.pad_chroma))(jnp.asarray(us)),
+                jax.jit(jax.vmap(MC.pad_chroma))(jnp.asarray(vs)))
 
-        def run(state):
-            ref4, refu, refv = state
-            out = encode_p_frame(y, u, v, ref4, refu, refv, qp, qpc, lam,
-                                 mb_w=mb_w, mb_h=mb_h, me_range=16,
-                                 mv_range=512, dct_decimate=True,
-                                 me_parallel=True)
-            dy, du, dv = DB.deblock_frame(
-                out["recon_y"], out["recon_u"], out["recon_v"], bs,
-                zero_mb, zero_mb, qp, qpc, 0, 0, mb_w=mb_w, mb_h=mb_h)
-            ref4 = MC.make_ref_planes(dy)
-            refu = MC.pad_chroma(du)
-            refv = MC.pad_chroma(dv)
-            jax.block_until_ready(ref4)
-            return (ref4, refu, refv)
-        metric = "1080p IPPP device-pipeline fps/chip"
-        state = (ref4, refu, refv)
+        def batch(i):
+            f = frames[1 + (i % 2)]
+            return (jnp.asarray(np.stack([f[0]] * S)),
+                    jnp.asarray(np.stack([f[1]] * S)),
+                    jnp.asarray(np.stack([f[2]] * S)))
 
-    state = run(state)  # compile
-    n = 8
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state = run(state)
-    dt = time.perf_counter() - t0
-    fps = n / dt
+        pool = ThreadPoolExecutor(max_workers=min(S, 8))
+
+        def entropy_batch(syn_np):
+            def one(s):
+                sl = {k: v[s] for k, v in syn_np.items()}
+                return entropy(sl)
+            return sum(pool.map(one, range(S)))
+
+        syn, refs = vstep(*batch(0), *refs)
+        syn_np = {k: np.asarray(v) for k, v in syn.items()}
+        entropy_batch(syn_np)
+
+        pending = None
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            syn, refs = vstep(*batch(i), *refs)
+            if pending is not None:
+                entropy_batch(pending)
+            pending = {k: np.asarray(v) for k, v in syn.items()}
+        entropy_batch(pending)
+        dt = time.perf_counter() - t0
+        fps = n_frames * S / dt
+        metric = (f"1080p IPPP end-to-end fps/chip ({S}-stream batched, "
+                  f"aggregate, device + CABAC entropy)")
 
     print(json.dumps({
         "metric": metric,

@@ -177,18 +177,11 @@ class EncoderCore:
                 bs = np.full((mb_h, mb_w, 2, 4, 4), 3, np.int32)
                 feo = np.zeros((mb_h, mb_w), np.int32)
             else:
+                # strengths computed ON DEVICE inside encode_p_frame
+                # (inter_frame.compute_strengths_p)
                 intra = np.zeros((mb_h, mb_w), np.int32)
-                nnz4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
-                bix, biy = BLOCK_IDX_X, BLOCK_IDX_Y
-                for i in range(16):
-                    nnz4[biy[i]::4, bix[i]::4] = syn["luma_nnz"][:, :, i]
-                mv4 = np.repeat(np.repeat(syn["mv"], 4, 0), 4, 1)
-                ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
-                bs = np.asarray(DB.compute_strengths(
-                    jnp.asarray(nnz4), jnp.asarray(mv4), jnp.asarray(ref4),
-                    jnp.asarray(intra) > 0))
-                cbp_all = (syn["cbp_luma"] | (syn["cbp_chroma"] << 4))
-                feo = (cbp_all == 0).astype(np.int32)
+                bs = syn["bs"]
+                feo = syn["feo"]
             # filter offsets are 2x the signalled div2 values
             # (slice_header_init, encoder.c:1044-1046)
             dy, du, dv = DB.deblock_frame(

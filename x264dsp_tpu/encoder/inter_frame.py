@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import deblock as DB
 from ..ops import mc as MC
+from ..ops import mcgather as MG
 from ..ops import transforms as T
 from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
 from .intra_frame import _diag_schedule, _encode_chroma_channel
@@ -161,7 +163,7 @@ def make_mv_ranges(mb_w, mb_h, mv_range):
             jnp.asarray(mvmin_y), jnp.asarray(mvmax_y))
 
 
-def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
+def decide_mvs(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
                me_range: int, mv_range: int):
     """MV decisions in two stages:
 
@@ -182,13 +184,15 @@ def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
 
     fenc = fenc_y.astype(jnp.int32)
 
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
+
     def fullpel_one(mbx, mby, mv_field):
         mvp, *_ = _mvp_16x16(mv_field, None, mbx, mby, mb_w)
         mvpx, mvpy = mvp[0], mvp[1]
         surf = cost_surf[mby, mbx]
         mvx_q = offs[None, :] * 4
         mvy_q = offs[:, None] * 4
-        cost = surf + _mv_cost(lam, mvx_q, mvy_q, mvpx, mvpy)
+        cost = surf + _mv_cost(lam_mb[mby, mbx], mvx_q, mvy_q, mvpx, mvpy)
         # legal range mask (fullpel, with the reference's 6-px border)
         lo_x = (mvmin_x[mbx] >> 2) + 6
         hi_x = (mvmax_x[mbx] >> 2) - 6
@@ -221,47 +225,16 @@ def decide_mvs(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
     c0 = jnp.zeros((mb_h, mb_w), jnp.int32)
     mv_field, cost_field = jax.lax.fori_loop(0, n_diag, step, (mv0, c0))
 
-    # ---- stage 2: batched subpel refinement ----
-    def refine_one(mbx, mby):
-        x0, y0 = mbx * 16, mby * 16
+    # ---- stage 2: batched subpel refinement (exact MVP field) ----
+    def mvp_one(mbx, mby):
         mvp, *_ = _mvp_16x16(mv_field, None, mbx, mby, mb_w)
-        mvpx, mvpy = mvp[0], mvp[1]
-        bmx = mv_field[mby, mbx, 0]
-        bmy = mv_field[mby, mbx, 1]
-        bcost = cost_field[mby, mbx]
-        f = jax.lax.dynamic_slice(fenc, (y0, x0), (16, 16))
-
-        def sad_at(mvx, mvy):
-            blk = MC.mc_luma_block(ref4, x0, y0, mvx, mvy, 16, 16)
-            return jnp.abs(f - blk).sum()
-
-        def try_mv(bcost, bmx, bmy, mx, my, gate):
-            c = sad_at(mx, my) + _mv_cost(lam, mx, my, mvpx, mvpy)
-            better = gate & (c < bcost)
-            return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
-                    jnp.where(better, my, bmy))
-
-        tt = jnp.bool_(True)
-        # try the subpel component of the MVP (me.c:484-491)
-        mx = jnp.clip(mvpx, mvmin_x[mbx] + 2, mvmax_x[mbx] - 2)
-        my = jnp.clip(mvpy, mvmin_y[mby] + 2, mvmax_y[mby] - 2)
-        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
-        # one hpel diamond iteration (me.c:494-517)
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     tt)
-        # one qpel step (subme=1 special case, me.c:565-581)
-        inside = ((bmy > mvmin_y[mby]) & (bmy < mvmax_y[mby])
-                  & (bmx > mvmin_x[mbx]) & (bmx < mvmax_x[mbx]))
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     inside)
-        return jnp.stack([bmx, bmy])
+        return mvp
 
     xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
-    return jax.vmap(jax.vmap(refine_one))(xs, ys)
+    mvp_field = jax.vmap(jax.vmap(mvp_one))(xs, ys)
+    return _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y,
+                                wins4, lam, mb_w, mb_h,
+                                mvmin_x, mvmax_x, mvmin_y, mvmax_y)
 
 
 def _mvp_field_parallel(mv_field, mb_w: int, mb_h: int):
@@ -288,7 +261,7 @@ def _mvp_field_parallel(mv_field, mb_w: int, mb_h: int):
     return jnp.where(count[..., None] == 1, single, med)
 
 
-def decide_mvs_parallel(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
+def decide_mvs_parallel(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
                         me_range: int, mv_range: int):
     """Fully parallel MV decision (no wavefront) — the ESA/UMH-mapped mode:
     pass 1 picks pure-SAD argmin MVs everywhere, pass 2 derives an MVP
@@ -320,57 +293,76 @@ def decide_mvs_parallel(cost_surf, fenc_y, ref4, lam, mb_w: int, mb_h: int,
     mvy_q = offs[None, None, :, None] * 4
     mvpx = mvp[..., 0][..., None, None]
     mvpy = mvp[..., 1][..., None, None]
-    bias = _mv_cost(lam, mvx_q, mvy_q, mvpx, mvpy)
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam),
+                              (mb_h, mb_w))[..., None, None]
+    bias = _mv_cost(lam_mb, mvx_q, mvy_q, mvpx, mvpy)
     cost = jnp.where(ok, cost_surf + bias, 1 << 28)
     k = jnp.argmin(cost.reshape(mb_h, mb_w, -1), axis=-1)
     mv_field = jnp.stack([(k % n - R) * 4, (k // n - R) * 4], axis=-1)
     cost_field = jnp.take_along_axis(cost.reshape(mb_h, mb_w, -1),
                                      k[..., None], axis=-1)[..., 0]
 
-    return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, ref4,
+    return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, wins4,
                                 lam, mb_w, mb_h, mvmin_x, mvmax_x,
                                 mvmin_y, mvmax_y)
 
 
-def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, ref4,
+def tile_mb(plane, mb_w: int, mb_h: int, mbsize: int):
+    """(mb_h*mbsize, mb_w*mbsize) -> (mb_h*mb_w, mbsize, mbsize), pure
+    relayout."""
+    return plane.reshape(mb_h, mbsize, mb_w, mbsize).transpose(
+        0, 2, 1, 3).reshape(mb_h * mb_w, mbsize, mbsize)
+
+
+def untile_mb(tiles, mb_w: int, mb_h: int, mbsize: int):
+    return tiles.reshape(mb_h, mb_w, mbsize, mbsize).transpose(
+        0, 2, 1, 3).reshape(mb_h * mbsize, mb_w * mbsize)
+
+
+def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
                          lam, mb_w, mb_h, mvmin_x, mvmax_x, mvmin_y,
                          mvmax_y):
-    fenc = fenc_y.astype(jnp.int32)
+    """subme-1 refinement (me.c:466-581) for ALL MBs at once: each try is
+    one batched window-matmul MC + SAD — no per-MB gathers anywhere."""
+    B = mb_h * mb_w
+    f = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
+    bmx = mv_field[..., 0].reshape(B)
+    bmy = mv_field[..., 1].reshape(B)
+    bcost = cost_field.reshape(B)
+    mvpx = mvp_field[..., 0].reshape(B)
+    mvpy = mvp_field[..., 1].reshape(B)
+    lam = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w)).reshape(B)
+    # per-MB legal ranges, flattened
+    lo_x = jnp.broadcast_to(mvmin_x[None, :], (mb_h, mb_w)).reshape(B)
+    hi_x = jnp.broadcast_to(mvmax_x[None, :], (mb_h, mb_w)).reshape(B)
+    lo_y = jnp.broadcast_to(mvmin_y[:, None], (mb_h, mb_w)).reshape(B)
+    hi_y = jnp.broadcast_to(mvmax_y[:, None], (mb_h, mb_w)).reshape(B)
 
-    def refine_one(mbx, mby):
-        x0, y0 = mbx * 16, mby * 16
-        mvpx = mvp_field[mby, mbx, 0]
-        mvpy = mvp_field[mby, mbx, 1]
-        bmx = mv_field[mby, mbx, 0]
-        bmy = mv_field[mby, mbx, 1]
-        bcost = cost_field[mby, mbx]
-        f = jax.lax.dynamic_slice(fenc, (y0, x0), (16, 16))
+    def try_mv(bcost, bmx, bmy, mx, my, gate):
+        blk = MG.mc_luma_batched(wins4, mx, my, 16, 16)
+        c = jnp.abs(f - blk).sum((1, 2)) + _mv_cost(lam, mx, my, mvpx, mvpy)
+        better = gate & (c < bcost)
+        return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
+                jnp.where(better, my, bmy))
 
-        def try_mv(bcost, bmx, bmy, mx, my, gate):
-            blk = MC.mc_luma_block(ref4, x0, y0, mx, my, 16, 16)
-            c = jnp.abs(f - blk).sum() + _mv_cost(lam, mx, my, mvpx, mvpy)
-            better = gate & (c < bcost)
-            return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
-                    jnp.where(better, my, bmy))
-
-        tt = jnp.bool_(True)
-        mx = jnp.clip(mvpx, mvmin_x[mbx] + 2, mvmax_x[mbx] - 2)
-        my = jnp.clip(mvpy, mvmin_y[mby] + 2, mvmax_y[mby] - 2)
-        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     tt)
-        inside = ((bmy > mvmin_y[mby]) & (bmy < mvmax_y[mby])
-                  & (bmx > mvmin_x[mbx]) & (bmx < mvmax_x[mbx]))
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     inside)
-        return jnp.stack([bmx, bmy])
-
-    xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
-    return jax.vmap(jax.vmap(refine_one))(xs, ys)
+    tt = jnp.ones((B,), bool)
+    # try the subpel component of the MVP (me.c:484-491); the extra window
+    # clamp deviates from the reference only for |mvp| > 75 qpel candidates
+    mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
+    my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
+    bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
+    # one hpel diamond iteration (me.c:494-517)
+    omx, omy = bmx, bmy
+    for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy, tt)
+    # one qpel step (subme=1 special case, me.c:565-581)
+    inside = ((bmy > lo_y) & (bmy < hi_y) & (bmx > lo_x) & (bmx < hi_x))
+    omx, omy = bmx, bmy
+    for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                 inside)
+    return jnp.stack([bmx.reshape(mb_h, mb_w), bmy.reshape(mb_h, mb_w)],
+                     axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -386,152 +378,165 @@ def _decimate_group(scores):
     return s
 
 
-def encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv, mv_field,
+def _quad_split(x):
+    """(..., 8, 8) -> (..., 4, 4, 4) quadrants in raster order
+    [TL, TR, BL, BR] (sub8x8_dct block order, common/dct.c:157)."""
+    s = x.shape[:-2]
+    t = x.reshape(*s, 2, 4, 2, 4)
+    t = jnp.moveaxis(t, -2, -3)                        # (..., 2, 2, 4, 4)
+    return t.reshape(*s, 4, 4, 4)
+
+
+def _quad_merge(blk):
+    """(..., 4, 4, 4) raster quadrants -> (..., 8, 8)."""
+    s = blk.shape[:-3]
+    t = blk.reshape(*s, 2, 2, 4, 4)
+    t = jnp.moveaxis(t, -3, -2)                        # (..., 2, 4, 2, 4)
+    return t.reshape(*s, 8, 8)
+
+
+def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
                       qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool):
-    """Parallel inter residual encode for all MBs (16x16 partitions).
+    """Batched inter residual encode for all MBs (16x16 partitions):
+    window-matmul MC + reshape-only block layout — no per-MB gathers.
+    qp/qpc: scalars or per-MB (mb_h, mb_w) grids (AQ / row-VBV).
     Returns syntax tensors + recon planes (unfiltered)."""
-    fy = fenc_y.astype(jnp.int32)
-    fu = fenc_u.astype(jnp.int32)
-    fv = fenc_v.astype(jnp.int32)
-    H, W = mb_h * 16, mb_w * 16
-    # MB-aligned tiles are pure layout changes, not gathers
-    fy_t = fy.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3)
-    fu_t = fu.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
-    fv_t = fv.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3)
+    B = mb_h * mb_w
+    qp = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w)).reshape(B, 1)
+    qpc = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w)).reshape(B)
+    f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
+    fu8 = tile_mb(fenc_u.astype(jnp.int32), mb_w, mb_h, 8)
+    fv8 = tile_mb(fenc_v.astype(jnp.int32), mb_w, mb_h, 8)
+    mvx = mv_field[..., 0].reshape(B)
+    mvy = mv_field[..., 1].reshape(B)
 
-    bx4 = jnp.asarray(BLOCK_IDX_X * 4)
-    by4 = jnp.asarray(BLOCK_IDX_Y * 4)
+    pred = MG.mc_luma_batched(wins4, mvx, mvy, 16, 16)
+    blk_f = MG.mb_to_blocks4(f16)                      # (B, 16, 4, 4)
+    blk_p = MG.mb_to_blocks4(pred)
+    dct = T.sub_dct4x4(blk_f, blk_p)
+    q = T.quant4x4(dct, qp, False)
+    nnz = jnp.any(q.reshape(B, 16, 16) != 0, axis=-1).astype(jnp.int32)
+    levels = T.zigzag4x4(q)                            # (B, 16, 16)
+    if dct_decimate:
+        scores = jnp.where(nnz > 0, T.decimate_score(levels), 0)
+        gsum = _decimate_group(scores.reshape(B, 4, 4))  # (B, 4) saturating
+        msum = gsum.sum(-1)                 # MB total (plain sum, :431)
+        keep_group = gsum >= 4
+        keep_mb = (msum >= 6)[:, None]
+        keep = keep_group & keep_mb                     # (B, 4)
+        keep_blk = jnp.repeat(keep, 4, axis=-1)         # (B, 16)
+        nnz = jnp.where(keep_blk, nnz, 0)
+        levels = jnp.where(keep_blk[..., None], levels, 0)
+        bits = (1 << jnp.arange(4, dtype=jnp.int32))[None, :]
+        cbp_luma = jnp.where(keep, bits, 0).sum(-1)
+    else:
+        has = jnp.any(nnz.reshape(B, 4, 4) > 0, axis=-1)
+        bits = (1 << jnp.arange(4, dtype=jnp.int32))[None, :]
+        cbp_luma = jnp.where(has, bits, 0).sum(-1)
 
-    def one_mb(mbx, mby, fenc16, fu8, fv8, mv):
-        x0, y0 = mbx * 16, mby * 16
-        pred = MC.mc_luma_block(ref4, x0, y0, mv[0], mv[1], 16, 16)
+    dq = T.dequant4x4(q, qp)
+    coded = nnz > 0
+    rec_blocks = jnp.where(coded[..., None, None],
+                           T.idct4x4_add(blk_p, dq), blk_p)
+    recon_y = MG.blocks4_to_mb(rec_blocks)             # (B, 16, 16)
 
-        rows = by4[:, None, None] + jnp.arange(4)[None, :, None]
-        cols = bx4[:, None, None] + jnp.arange(4)[None, None, :]
-        blk_f = fenc16[rows, cols]
-        blk_p = pred[rows, cols]
-        dct = T.sub_dct4x4(blk_f, blk_p)
-        q = T.quant4x4(dct, qp, False)
-        nnz = jnp.any(q.reshape(16, 16) != 0, axis=-1).astype(jnp.int32)
-        levels = T.zigzag4x4(q)
-        if dct_decimate:
-            scores = jnp.where(nnz > 0, T.decimate_score(levels), 0)
-            g = scores.reshape(4, 4)
-            gsum = _decimate_group(g)          # (4,) per 8x8 (saturating)
-            msum = gsum.sum()                  # MB total (plain sum, :431)
-            keep_group = gsum >= 4
-            keep_mb = msum >= 6
-            keep = keep_group & keep_mb        # (4,)
-            keep_blk = jnp.repeat(keep, 4)
-            nnz = jnp.where(keep_blk, nnz, 0)
-            levels = jnp.where(keep_blk[:, None], levels, 0)
-            cbp_luma = jnp.where(
-                keep_mb,
-                (keep_group[0].astype(jnp.int32)
-                 | (keep_group[1].astype(jnp.int32) << 1)
-                 | (keep_group[2].astype(jnp.int32) << 2)
-                 | (keep_group[3].astype(jnp.int32) << 3)), 0)
-        else:
-            has = jnp.any(nnz.reshape(4, 4) > 0, axis=-1)
-            cbp_luma = (has[0].astype(jnp.int32)
-                        | (has[1].astype(jnp.int32) << 1)
-                        | (has[2].astype(jnp.int32) << 2)
-                        | (has[3].astype(jnp.int32) << 3))
-            keep_blk = jnp.repeat(jnp.ones(4, bool), 4)
+    # ---- chroma ----
+    predu = MG.mc_chroma_batched(winsu, mvx, mvy, 8, 8)
+    predv = MG.mc_chroma_batched(winsv, mvx, mvy, 8, 8)
+    eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate)
+    ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate)
+    any_ac = eu["has_ac"] | ev["has_ac"]
+    any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
+    cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
 
-        dq = T.dequant4x4(q, qp)
-        coded = (nnz > 0)
-        rec_blocks = jnp.where(coded[:, None, None],
-                               T.idct4x4_add(blk_p, dq), blk_p)
-        recon_y = jnp.zeros((16, 16), jnp.int32).at[rows, cols].set(rec_blocks)
+    def grid(x):
+        return x.reshape(mb_h, mb_w, *x.shape[1:])
 
-        # ---- chroma ----
-        cx0, cy0 = mbx * 8, mby * 8
-        predu = MC.mc_chroma_block(refu, cx0, cy0, mv[0], mv[1], 8, 8)
-        predv = MC.mc_chroma_block(refv, cx0, cy0, mv[0], mv[1], 8, 8)
-        eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate)
-        ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate)
-        any_ac = eu["has_ac"] | ev["has_ac"]
-        any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
-        cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
-
-        return dict(
-            cbp_luma=cbp_luma, cbp_chroma=cbp_chroma,
-            luma_levels=levels, luma_nnz=nnz,
-            recon_y=recon_y, recon_u=eu["recon"], recon_v=ev["recon"],
-            chroma_dc_levels=jnp.stack([eu["dc_levels"], ev["dc_levels"]]),
-            chroma_ac_levels=jnp.stack([eu["ac_levels"], ev["ac_levels"]]),
-            chroma_nnz_ac=jnp.stack([eu["nnz_ac"], ev["nnz_ac"]]),
-            chroma_nz_dc=jnp.stack([eu["nz_dc"], ev["nz_dc"]]),
-        )
-
-    xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
-    out = jax.vmap(jax.vmap(one_mb))(xs, ys, fy_t, fu_t, fv_t, mv_field)
-
-    # assemble planes
-    ry = out["recon_y"].transpose(0, 2, 1, 3).reshape(H, W)
-    ru = out["recon_u"].transpose(0, 2, 1, 3).reshape(H // 2, W // 2)
-    rv = out["recon_v"].transpose(0, 2, 1, 3).reshape(H // 2, W // 2)
-    out["recon_y"], out["recon_u"], out["recon_v"] = ry, ru, rv
-    return out
+    return dict(
+        cbp_luma=grid(cbp_luma), cbp_chroma=grid(cbp_chroma),
+        luma_levels=grid(levels), luma_nnz=grid(nnz),
+        recon_y=untile_mb(recon_y, mb_w, mb_h, 16),
+        recon_u=untile_mb(eu["recon"], mb_w, mb_h, 8),
+        recon_v=untile_mb(ev["recon"], mb_w, mb_h, 8),
+        chroma_dc_levels=grid(jnp.stack([eu["dc_levels"],
+                                         ev["dc_levels"]], 1)),
+        chroma_ac_levels=grid(jnp.stack([eu["ac_levels"],
+                                         ev["ac_levels"]], 1)),
+        chroma_nnz_ac=grid(jnp.stack([eu["nnz_ac"], ev["nnz_ac"]], 1)),
+        chroma_nz_dc=grid(jnp.stack([eu["nz_dc"], ev["nz_dc"]], 1)),
+    )
 
 
 def _encode_chroma_p(fenc8, pred8, qpc, b_decimate):
-    """Inter chroma encode with decimation (x264_mb_encode_chroma with
-    b_inter=1, b_decimate: variance early-skip is approximated by the AC
-    decimate path producing identical streams for the cases it prunes —
-    the early-skip is a speed shortcut whose output path (DC-only or
-    nothing) is reproduced by the score<7 rule below for nearly all
-    blocks; full variance-path parity lands with rate control."""
-    blocks_f = jnp.stack([fenc8[0:4, 0:4], fenc8[0:4, 4:8],
-                          fenc8[4:8, 0:4], fenc8[4:8, 4:8]])
-    blocks_p = jnp.stack([pred8[0:4, 0:4], pred8[0:4, 4:8],
-                          pred8[4:8, 0:4], pred8[4:8, 4:8]])
+    """Inter chroma encode, batched over a leading (B,) axis
+    (x264_mb_encode_chroma with b_inter=1; the variance early-skip is
+    approximated by the AC decimate path producing identical streams for
+    the cases it prunes — the early-skip is a speed shortcut whose output
+    path (DC-only or nothing) is reproduced by the score<7 rule below for
+    nearly all blocks; full variance-path parity lands with rate
+    control). qpc: scalar or (B,) per-MB chroma QP."""
+    B = fenc8.shape[0]
+    qpc = jnp.broadcast_to(jnp.asarray(qpc), (B,))
+    blocks_f = _quad_split(fenc8)                      # (B, 4, 4, 4)
+    blocks_p = _quad_split(pred8)
     dct = T.sub_dct4x4(blocks_f, blocks_p)
-    dc_raw = dct[:, 0, 0]
-    dct = dct.at[:, 0, 0].set(0)
+    dc_raw = dct[..., 0, 0]
+    dct = dct.at[..., 0, 0].set(0)
     dc = T.hadamard2x2(dc_raw)
-    q_ac = T.quant4x4(dct, qpc, False)
-    nnz_ac = jnp.any(q_ac.reshape(4, 16) != 0, axis=-1).astype(jnp.int32)
-    ac_levels = T.zigzag4x4(q_ac)
+    q_ac = T.quant4x4(dct, qpc[:, None], False)
+    nnz_ac = jnp.any(q_ac.reshape(B, 4, 16) != 0, axis=-1).astype(jnp.int32)
+    ac_levels = T.zigzag4x4(q_ac)                      # (B, 4, 16)
     q_dc = T.quant_dc(dc, qpc, False)
-    nz_dc = jnp.any(q_dc != 0)
+    nz_dc = jnp.any(q_dc != 0, axis=-1)
 
     if b_decimate:
         sc = jnp.where(nnz_ac > 0,
-                       T.decimate_score(ac_levels[:, 1:]), 0).sum()
-        nz_ac = (sc >= 7) & jnp.any(nnz_ac > 0)
+                       T.decimate_score(ac_levels[..., 1:]), 0).sum(-1)
+        nz_ac = (sc >= 7) & jnp.any(nnz_ac > 0, axis=-1)
     else:
-        nz_ac = jnp.any(nnz_ac > 0)
+        nz_ac = jnp.any(nnz_ac > 0, axis=-1)
 
     from .intra_frame import _optimize_chroma_dc
-    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qpc)
+    opt_dc, opt_nz = jax.vmap(_optimize_chroma_dc)(q_dc, qpc)
     use_opt = (~nz_ac) & nz_dc & (qpc <= 22)
-    dc_final = jnp.where(use_opt, opt_dc, q_dc)
+    dc_final = jnp.where(use_opt[:, None], opt_dc, q_dc)
     nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
 
-    dc_levels = jnp.where(nz_dc_final,
-                          dc_final[jnp.asarray([0, 2, 1, 3])], 0)
+    dc_levels = jnp.where(nz_dc_final[:, None],
+                          dc_final[:, jnp.asarray([0, 2, 1, 3])], 0)
     dq_dc = T.idct_dequant_2x2_dc(dc_final, qpc)
-    dq_ac = T.dequant4x4(q_ac, qpc)
-    dq_ac = dq_ac.at[:, 0, 0].set(jnp.where(nz_dc_final, dq_dc, 0))
+    dq_ac = T.dequant4x4(q_ac, qpc[:, None])
+    dq_ac = dq_ac.at[..., 0, 0].set(
+        jnp.where(nz_dc_final[:, None], dq_dc, 0))
     rec_ac = T.idct4x4_add(blocks_p, dq_ac)
     dc_shift = (dq_dc + 32) >> 6
     rec_dc = jnp.clip(blocks_p.astype(jnp.int32)
-                      + dc_shift[:, None, None], 0, 255)
-    rec_blocks = jnp.where(nz_ac, rec_ac,
-                           jnp.where(nz_dc_final, rec_dc,
+                      + dc_shift[..., None, None], 0, 255)
+    sel_ac = nz_ac[:, None, None, None]
+    sel_dc = nz_dc_final[:, None, None, None]
+    rec_blocks = jnp.where(sel_ac, rec_ac,
+                           jnp.where(sel_dc, rec_dc,
                                      blocks_p.astype(jnp.int32)))
-    recon = jnp.zeros((8, 8), jnp.int32)
-    recon = recon.at[0:4, 0:4].set(rec_blocks[0])
-    recon = recon.at[0:4, 4:8].set(rec_blocks[1])
-    recon = recon.at[4:8, 0:4].set(rec_blocks[2])
-    recon = recon.at[4:8, 4:8].set(rec_blocks[3])
-    nnz_ac = jnp.where(nz_ac, nnz_ac, jnp.zeros_like(nnz_ac))
-    ac_levels = jnp.where(nz_ac, ac_levels, jnp.zeros_like(ac_levels))
+    recon = _quad_merge(rec_blocks)                    # (B, 8, 8)
+    nnz_ac = jnp.where(nz_ac[:, None], nnz_ac, 0)
+    ac_levels = jnp.where(nz_ac[:, None, None], ac_levels, 0)
     return dict(recon=recon, dc_levels=dc_levels, ac_levels=ac_levels,
                 nnz_ac=nnz_ac, nz_dc=nz_dc_final.astype(jnp.int32),
                 has_ac=nz_ac)
+
+
+def compute_strengths_p(luma_nnz, cbp_luma, cbp_chroma, mv_field,
+                        mb_w: int, mb_h: int):
+    """Device deblock-strength computation for a P frame from the syntax
+    tensors (x264_macroblock_deblock_strength, common/macroblock.c:677;
+    strengths saved at encode time, encoder.c:1651). Returns (bs, feo)."""
+    nnz4 = MG.blocks4_grid(luma_nnz, mb_h, mb_w)
+    mv4 = jnp.repeat(jnp.repeat(mv_field, 4, 0), 4, 1)
+    ref4 = jnp.zeros((mb_h * 4, mb_w * 4), jnp.int32)
+    intra = jnp.zeros((mb_h, mb_w), bool)
+    bs = DB.compute_strengths(nnz4, mv4, ref4, intra)
+    feo = ((cbp_luma | (cbp_chroma << 4)) == 0).astype(jnp.int32)
+    return bs, feo
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
@@ -546,10 +551,16 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
     the fully-parallel MV decision (the UMH/ESA me_method mapping) over the
     exact sequential-MVP wavefront (DIA/HEX)."""
     surf = fullpel_cost_surfaces(fenc_y, ref4[0], mb_w, mb_h, me_range)
+    wins4 = MG.luma_windows(ref4, mb_w, mb_h)
+    winsu = MG.chroma_windows(refu, mb_w, mb_h)
+    winsv = MG.chroma_windows(refv, mb_w, mb_h)
     decide = decide_mvs_parallel if me_parallel else decide_mvs
-    mv_field = decide(surf, fenc_y, ref4, lam, mb_w, mb_h,
+    mv_field = decide(surf, fenc_y, wins4, lam, mb_w, mb_h,
                       me_range, mv_range)
-    out = encode_p_residual(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
+    out = encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv,
                             mv_field, qp, qpc, mb_w, mb_h, dct_decimate)
     out["mv"] = mv_field
+    out["bs"], out["feo"] = compute_strengths_p(
+        out["luma_nnz"], out["cbp_luma"], out["cbp_chroma"], mv_field,
+        mb_w, mb_h)
     return out

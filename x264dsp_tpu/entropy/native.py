@@ -86,8 +86,16 @@ def _i32(a):
     return np.ascontiguousarray(a, np.int32)
 
 
+def _qp_arg(keep, qp_mb):
+    if qp_mb is None:
+        return ctypes.c_void_p(0)
+    arr = _i32(qp_mb)
+    keep.append(arr)
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
 def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
-                  syn: dict) -> bytes | None:
+                  syn: dict, qp_mb=None) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
@@ -107,12 +115,13 @@ def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
         arr = _i32(syn[k])
         keep.append(arr)
         args.append(arr.ctypes.data_as(ctypes.c_void_p))
+    args.append(_qp_arg(keep, qp_mb))
     n = lib.x264tpu_write_slice_i(*args)
     return out[:n].tobytes()
 
 
 def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
-                  syn: dict):
+                  syn: dict, qp_mb=None):
     lib = get_lib()
     if lib is None:
         return None
@@ -133,6 +142,7 @@ def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
         keep.append(arr)
         args.append(arr.ctypes.data_as(ctypes.c_void_p))
     args.append(ctypes.byref(skip_count))
+    args.append(_qp_arg(keep, qp_mb))
     n = lib.x264tpu_write_slice_p(*args)
     return out[:n].tobytes(), int(skip_count.value)
 
@@ -150,7 +160,7 @@ def nal_escape(payload: bytes) -> bytes | None:
 
 
 def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
-                      frame_idx: int, is_p: bool, syn: dict):
+                      frame_idx: int, is_p: bool, syn: dict, qp_mb=None):
     """C++ CABAC slice body. header must be byte-aligned (the
     cabac_alignment_one_bit already written). Returns (payload, counts)
     with counts = [I_16x16, I_4x4, P_L0, P_SKIP], or None if the native
@@ -189,5 +199,6 @@ def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
         keep.append(arr)
         args.append(arr.ctypes.data_as(ctypes.c_void_p))
     args.append(counts.ctypes.data_as(ctypes.c_void_p))
+    args.append(_qp_arg(keep, qp_mb))
     n = lib.x264tpu_write_slice_cabac(*args)
     return out[:n].tobytes(), counts

@@ -574,10 +574,14 @@ int64_t x264tpu_write_slice_cabac(
     const int32_t *chroma_nnz_ac, const int32_t *luma_levels,
     const int32_t *luma_dc_levels, const int32_t *chroma_dc_levels,
     const int32_t *chroma_ac_levels, const int32_t *mv,
-    int32_t *mb_count_out) {
+    int32_t *mb_count_out,
+    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
     (void)cap;
     memcpy(out, header, header_bytes);
     Cabac cb(!is_p, qp, frame_idx, out + header_bytes);
+    int last_qp = qp;   // running decoded QP (x264 h->mb.i_last_qp)
+    int last_dqp = 0;   // slice start (encoder.c:1482)
+    int prev_ext = 0;   // extended cbp of the previous MB in raster order
     int w4 = mb_w * 4, w2 = mb_w * 2;
     int *nnz = (int *)calloc((size_t)mb_w * mb_h * 16, sizeof(int));
     int *cnnz = (int *)calloc((size_t)mb_w * mb_h * 8, sizeof(int));
@@ -635,6 +639,8 @@ int64_t x264tpu_write_slice_cabac(
                             cnnz[(ch * 2 * mb_h + mby * 2 + (d >> 1)) * w2 +
                                  mbx * 2 + (d & 1)] = 0;
                     counts[3]++;
+                    last_dqp = 0;    // cache_save: qp reverts to last_qp
+                    prev_ext = 0;
                     continue;
                 }
             }
@@ -752,8 +758,24 @@ int64_t x264tpu_write_slice_cabac(
             cbp_ext[mb] = this_ext;
 
             if (cl || cch || is_i16) {
-                // qp_delta 0, ctx 0 (constant-QP frame)
-                cb.decision(60, 0);
+                // x264_cabac_qp_delta (encoder/cabac.c:165-201)
+                int mqp = qp_mb ? qp_mb[mb] : qp;
+                // empty-I16 suppression: revert to last_qp
+                if (is_i16 && !this_ext) mqp = last_qp;
+                int dqp = mqp - last_qp;
+                int ctx = (last_dqp != 0 && prev_ext != 0) ? 1 : 0;
+                if (dqp != 0) {
+                    int val = dqp > 0 ? 2 * dqp - 1 : -2 * dqp;
+                    if (val >= 51 && val != 52)
+                        val = 103 - val;  // modulo QP_MAX_SPEC+1
+                    while (val--) {
+                        cb.decision(60 + ctx, 1);
+                        ctx = 2 + (ctx >> 1);
+                    }
+                }
+                cb.decision(60 + ctx, 0);
+                last_dqp = mqp - last_qp;
+                last_qp = mqp;
                 if (is_i16) {
                     int ctx = cbf_ctx_dc(0, mby, mbx, 8, b_intra);
                     cb.decision(ctx, nz_dc ? 1 : 0);
@@ -820,6 +842,10 @@ int64_t x264tpu_write_slice_cabac(
                 }
             }
 
+            if (!(cl || cch || is_i16))
+                last_dqp = 0;  // uncoded: cache_save reverts qp
+            prev_ext = this_ext;
+
             // zero nnz state for uncoded blocks
             if (!(cl || is_i16)) {
                 for (int i = 0; i < 16; i++)
@@ -872,7 +898,8 @@ int64_t x264tpu_write_slice_i(
     const int32_t *chroma_mode, const int32_t *cbp_luma,
     const int32_t *cbp_chroma, const int32_t *nz_luma_dc,
     const int32_t *luma_levels, const int32_t *luma_dc_levels,
-    const int32_t *chroma_dc_levels, const int32_t *chroma_ac_levels) {
+    const int32_t *chroma_dc_levels, const int32_t *chroma_ac_levels,
+    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
     BitWriter bw{out, (size_t)cap};
     // preload the already-written header bits
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
@@ -887,8 +914,10 @@ int64_t x264tpu_write_slice_i(
     Ctx c{mb_w, mb_h, lc, cc, &s};
     int last_qp = qp;
     for (int mby = 0; mby < mb_h; mby++)
-        for (int mbx = 0; mbx < mb_w; mbx++)
-            write_mb_i(bw, c, mbx, mby, qp, last_qp, 0);
+        for (int mbx = 0; mbx < mb_w; mbx++) {
+            int mqp = qp_mb ? qp_mb[mby * mb_w + mbx] : qp;
+            write_mb_i(bw, c, mbx, mby, mqp, last_qp, 0);
+        }
     bw.rbsp_trailing();
     free(lc); free(cc);
     return (int64_t)bw.len;
@@ -899,7 +928,8 @@ int64_t x264tpu_write_slice_p(
     int header_bits_used, int mb_w, int mb_h, int qp,
     const int32_t *mv, const int32_t *cbp_luma, const int32_t *cbp_chroma,
     const int32_t *luma_levels, const int32_t *chroma_dc_levels,
-    const int32_t *chroma_ac_levels, int32_t *skip_count_out) {
+    const int32_t *chroma_ac_levels, int32_t *skip_count_out,
+    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
     BitWriter bw{out, (size_t)cap};
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
     if (header_bits_used) bw.write(header_bits_used,
@@ -942,8 +972,9 @@ int64_t x264tpu_write_slice_p(
             bw.write_se((int32_t)(mv[mb * 2 + 1] - mvp[1]));
             bw.write_ue(CBP_GOLOMB_INTER[(cch << 4) | cl]);
             if (cl | cch) {
-                bw.write_se(qp - last_qp);
-                last_qp = qp;
+                int mqp = qp_mb ? qp_mb[mb] : qp;
+                bw.write_se(mqp - last_qp);
+                last_qp = mqp;
             }
             for (int i = 0; i < 16; i++) {
                 int bx = mbx * 4 + BIX[i];

@@ -164,13 +164,15 @@ def _filter_intra_chroma(p1, p0, q0, q1, alpha, beta):
 
 def _deblock_mb_luma(region, bs_mb, intra_cur, intra_left, intra_top,
                      has_left, has_top, first_edge_only,
-                     alpha, beta, index_a):
+                     alpha_e, beta_e, index_a_e):
     """Deblock one MB's luma. region: (20, 20), MB at [4:20, 4:20].
-    bs_mb: (2, 4, 4)."""
+    bs_mb: (2, 4, 4). alpha_e/beta_e/index_a_e: (2, 4) per-edge params
+    (MB edges use neighbour-QP averaging, common/deblock.c:341-430)."""
     rows = jnp.arange(16)
     grp = rows >> 2  # tc0 group per row
 
-    def _edge_out(p3, p2, p1, p0, q0, q1, q2, q3, bs, use_intra, enabled):
+    def _edge_out(p3, p2, p1, p0, q0, q1, q2, q3, bs, use_intra, enabled,
+                  alpha, beta, index_a):
         """Filter one 8-sample-deep edge; returns the replacement 6-slot
         stack [p2,p1,p0,q0,q1,q2] with enabled/intra selection applied."""
         tc0 = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp]
@@ -194,14 +196,18 @@ def _deblock_mb_luma(region, bs_mb, intra_cur, intra_left, intra_top,
         c = 4 + edge_i * 4
         blk = reg[4:20, c - 4:c + 4]          # (16, 8) p3..q3 columns
         out = _edge_out(*[blk[:, i] for i in range(8)],
-                        bs_mb[0, edge_i], use_intra, enabled)
+                        bs_mb[0, edge_i], use_intra, enabled,
+                        alpha_e[0, edge_i], beta_e[0, edge_i],
+                        index_a_e[0, edge_i])
         return reg.at[4:20, c - 3:c + 3].set(out.T)
 
     def h_edge(reg, edge_i, use_intra, enabled):
         r = 4 + edge_i * 4
         blk = reg[r - 4:r + 4, 4:20]          # (8, 16) p3..q3 rows
         out = _edge_out(*[blk[i] for i in range(8)],
-                        bs_mb[1, edge_i], use_intra, enabled)
+                        bs_mb[1, edge_i], use_intra, enabled,
+                        alpha_e[1, edge_i], beta_e[1, edge_i],
+                        index_a_e[1, edge_i])
         return reg.at[r - 3:r + 3, 4:20].set(out)
 
     f = jnp.bool_(False)
@@ -220,18 +226,20 @@ def _deblock_mb_luma(region, bs_mb, intra_cur, intra_left, intra_top,
 
 def _deblock_mb_chroma(region, bs_mb, intra_cur, intra_left, intra_top,
                        has_left, has_top, first_edge_only,
-                       alpha, beta, index_a):
+                       alpha_e, beta_e, index_a_e):
     """region: (12, 12), chroma MB at [4:12, 4:12]; edges at 0 and 4 use
-    bs rows 0 and 2; tc0 group per 2 samples; chroma tc = tc0 + 1."""
+    bs rows 0 and 2; tc0 group per 2 samples; chroma tc = tc0 + 1.
+    alpha_e/beta_e/index_a_e: (2, 2) per-edge chroma-QP params."""
     rows = jnp.arange(8)
     grp = rows >> 1  # 4 groups of 2 samples
 
-    def v_edge(reg, edge_c, bs_row, use_intra, enabled):
+    def v_edge(reg, edge_c, bs_row, use_intra, enabled, e):
         c = 4 + edge_c
+        alpha, beta = alpha_e[0, e], beta_e[0, e]
         p1, p0, q0, q1 = (reg[4:12, c - 2], reg[4:12, c - 1],
                           reg[4:12, c], reg[4:12, c + 1])
         bs = bs_mb[0, bs_row]
-        tc = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp] + 1
+        tc = _TC0_J[_clamp_idx(index_a_e[0, e]), jnp.clip(bs, 0, 3)][grp] + 1
         # reference skips groups with tc0 <= 0 (tc0 == -1 → tc == 0)
         p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
         p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
@@ -240,12 +248,13 @@ def _deblock_mb_chroma(region, bs_mb, intra_cur, intra_left, intra_top,
         old = jnp.stack([p0, q0], axis=1)
         return reg.at[4:12, c - 1:c + 1].set(jnp.where(enabled, out, old))
 
-    def h_edge(reg, edge_c, bs_row, use_intra, enabled):
+    def h_edge(reg, edge_c, bs_row, use_intra, enabled, e):
         r = 4 + edge_c
+        alpha, beta = alpha_e[1, e], beta_e[1, e]
         p1, p0, q0, q1 = (reg[r - 2, 4:12], reg[r - 1, 4:12],
                           reg[r, 4:12], reg[r + 1, 4:12])
         bs = bs_mb[1, bs_row]
-        tc = _TC0_J[_clamp_idx(index_a), jnp.clip(bs, 0, 3)][grp] + 1
+        tc = _TC0_J[_clamp_idx(index_a_e[1, e]), jnp.clip(bs, 0, 3)][grp] + 1
         p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
         p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
         out = jnp.stack([jnp.where(use_intra, p0i, p0n),
@@ -255,10 +264,10 @@ def _deblock_mb_chroma(region, bs_mb, intra_cur, intra_left, intra_top,
 
     f = jnp.bool_(False)
     internal = ~first_edge_only
-    region = v_edge(region, 0, 0, intra_cur | intra_left, has_left)
-    region = v_edge(region, 4, 2, f, internal)
-    region = h_edge(region, 0, 0, intra_cur | intra_top, has_top)
-    region = h_edge(region, 4, 2, f, internal)
+    region = v_edge(region, 0, 0, intra_cur | intra_left, has_left, 0)
+    region = v_edge(region, 4, 2, f, internal, 1)
+    region = h_edge(region, 0, 0, intra_cur | intra_top, has_top, 0)
+    region = h_edge(region, 4, 2, f, internal, 1)
     return region
 
 
@@ -338,25 +347,40 @@ def _band_scatter_delta(plane, band, regs_new, regs_old, valid, B, r0,
     return jax.lax.dynamic_update_slice(plane, band + band_d, (r0, 0))
 
 
+def effective_qp(qp_mb, coded, slice_qp):
+    """Decoded per-MB QP for deblocking: MBs that emit no qp_delta (no
+    coded residual / skip) inherit the running QP in raster order — the
+    decoder's view (x264 stores this via h->mb.qp in cache_save).
+    qp_mb: (mb_h, mb_w) encoder-intended QPs; coded: (mb_h, mb_w) bool.
+    One associative carry-scan, no wavefront."""
+    shape = qp_mb.shape
+    vals = qp_mb.reshape(-1)
+    m = coded.reshape(-1)
+
+    def op(a, b):
+        va, ma = a
+        vb, mb = b
+        return jnp.where(mb, vb, va), ma | mb
+
+    out, got = jax.lax.associative_scan(op, (vals, m))
+    return jnp.where(got, out, slice_qp).reshape(shape)
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_pallas"))
 def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
                   alpha_off, beta_off, mb_w: int, mb_h: int,
                   use_pallas: bool | None = None):
     """Deblock a full frame in place (wavefront). y/u/v: recon planes
     int32; bs: (mb_h, mb_w, 2, 4, 4); intra_mb/first_edge_only:
-    (mb_h, mb_w); qp/qpc scalars (per-slice, constant-QP round 1);
+    (mb_h, mb_w); qp/qpc: scalars or per-MB (mb_h, mb_w) grids of
+    *decoded* QPs (see effective_qp) — MB edges use the neighbour
+    average (qp+qp_nb+1)>>1 (common/deblock.c:341-430);
     alpha_off/beta_off: slice offsets (already <<1 removed — raw offsets).
     Returns filtered (y, u, v)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    index_a = jnp.clip(qp + alpha_off, 0, 51)
-    index_b = jnp.clip(qp + beta_off, 0, 51)
-    index_ac = jnp.clip(qpc + alpha_off, 0, 51)
-    index_bc = jnp.clip(qpc + beta_off, 0, 51)
-    alpha = _ALPHA_J[index_a]
-    beta = _BETA_J[index_b]
-    alphac = _ALPHA_J[index_ac]
-    betac = _BETA_J[index_bc]
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w))
+    qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w))
 
     H, W = mb_h * 16, mb_w * 16
     n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
@@ -429,15 +453,37 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
         has_l = xs > 0
         has_t = ys > 0
 
+        # per-edge QP: MB edges average with the neighbour's decoded QP
+        # (x264_frame_deblock_row, common/deblock.c:341-430)
+        def edge_qps(grid, n_edges):
+            cur = grid[yc, xc]
+            left = grid[yc, jnp.maximum(xc - 1, 0)]
+            top = grid[jnp.maximum(yc - 1, 0), xc]
+            qpe = jnp.broadcast_to(cur[:, None, None], (K, 2, n_edges))
+            qpe = qpe.at[:, 0, 0].set((cur + left + 1) >> 1)
+            qpe = qpe.at[:, 1, 0].set((cur + top + 1) >> 1)
+            return qpe
+
+        qpe_l = edge_qps(qp_mb, 4)                     # (K, 2, 4)
+        qpe_c = edge_qps(qpc_mb, 2)                    # (K, 2, 2)
+        ia_l = jnp.clip(qpe_l + alpha_off, 0, 51)
+        ib_l = jnp.clip(qpe_l + beta_off, 0, 51)
+        ia_c = jnp.clip(qpe_c + alpha_off, 0, 51)
+        ib_c = jnp.clip(qpe_c + beta_off, 0, 51)
+        alpha_e = _ALPHA_J[ia_l]
+        beta_e = _BETA_J[ib_l]
+        alphac_e = _ALPHA_J[ia_c]
+        betac_e = _BETA_J[ib_c]
+
         if use_pallas:
             from .pallas.deblock_filter import filter_regions
             internal = (~feo).astype(jnp.int32)
             f0 = jnp.zeros((K,), jnp.int32)
             # per-row tc0 lanes: luma 4 groups of 4 rows, chroma 4 of 2
-            tc0y = _TC0_J[_clamp_idx(index_a), jnp.clip(bs_mb, 0, 3)]
+            tc0y = _TC0_J[ia_l[..., None], jnp.clip(bs_mb, 0, 3)]
             tc0y = tc0y[..., jnp.arange(16) >> 2].reshape(K, 128)
             bsc = bs_mb[:, :, ::2]                        # bs rows 0, 2
-            tcc = _TC0_J[_clamp_idx(index_ac), jnp.clip(bsc, 0, 3)] + 1
+            tcc = _TC0_J[ia_c[..., None], jnp.clip(bsc, 0, 3)] + 1
             tcc = jnp.repeat(tcc[..., jnp.arange(8) >> 1].reshape(K, 32),
                              2, axis=0)
             eny = jnp.stack([has_l.astype(jnp.int32), internal, internal,
@@ -452,6 +498,10 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
             uic = jnp.repeat(jnp.stack(
                 [(ic | il).astype(jnp.int32), f0,
                  (ic | it).astype(jnp.int32), f0], axis=1), 2, axis=0)
+            aly = alpha_e.reshape(K, 8)
+            bly = beta_e.reshape(K, 8)
+            alc = jnp.repeat(alphac_e.reshape(K, 4), 2, axis=0)
+            blc = jnp.repeat(betac_e.reshape(K, 4), 2, axis=0)
             # pad to the kernel's block multiple with zero regions +
             # zero enable masks (no-op slots)
             from .pallas.deblock_filter import KB
@@ -463,8 +513,7 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
             regy2, regcf2 = filter_regions(
                 padk(regy), padk(regcf, 2), padk(tc0y), padk(tcc, 2),
                 padk(eny), padk(uiy), padk(enc, 2), padk(uic, 2),
-                jnp.stack([alpha, beta]).reshape(1, 2),
-                jnp.stack([alphac, betac]).reshape(1, 2),
+                padk(aly), padk(bly), padk(alc, 2), padk(blc, 2),
                 interpret=jax.default_backend() != "tpu")
             regy2 = regy2[:K]
             rc2 = regcf2[:2 * K].reshape(K, 2, 12, 12)
@@ -476,18 +525,14 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
                                       valid, Bc, Hcp + r0c, K, 8, 12)
             return (yp2, cp2)
         else:
-            vy = jax.vmap(_deblock_mb_luma,
-                          in_axes=(0, 0, 0, 0, 0, 0, 0, 0,
-                                   None, None, None))
+            vy = jax.vmap(_deblock_mb_luma)
             regy2 = vy(regy, bs_mb, ic, il, it, has_l, has_t, feo,
-                       alpha, beta, index_a)
+                       alpha_e, beta_e, ia_l)
             vc = jax.vmap(jax.vmap(
                 _deblock_mb_chroma,
-                in_axes=(0, None, None, None, None, None, None, None,
-                         None, None, None)),
-                in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))
+                in_axes=(0,) + (None,) * 10))
             regc2 = vc(regc, bs_mb, ic, il, it, has_l, has_t, feo,
-                       alphac, betac, index_ac)
+                       alphac_e, betac_e, ia_c)
 
         oob = jnp.int32(1 << 20)
         sy = jnp.where(valid, yc, oob)

@@ -633,20 +633,29 @@ def _db_edge_chroma_intra(pix, y0, x0, dy, dx, alpha, beta):
 def deblock_frame_golden(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
                          a_off=0, b_off=0):
     """Scalar x264_frame_deblock_row over the whole frame
-    (common/deblock.c:341-430). Arrays are modified copies returned."""
+    (common/deblock.c:341-430). Arrays are modified copies returned.
+    qp/qpc: scalars or per-MB (mb_h, mb_w) decoded-QP grids; MB edges
+    average with the neighbour's QP ((qp+qp_nb+1)>>1, deblock.c:360)."""
     y = y.astype(np.int32).copy()
     u = u.astype(np.int32).copy()
     v = v.astype(np.int32).copy()
     mb_h, mb_w = intra_mb.shape
-    idx_a = int(np.clip(qp + a_off, 0, 51))
-    idx_b = int(np.clip(qp + b_off, 0, 51))
-    idx_ac = int(np.clip(qpc + a_off, 0, 51))
-    idx_bc = int(np.clip(qpc + b_off, 0, 51))
-    alpha, beta = int(ALPHA_TABLE[idx_a]), int(BETA_TABLE[idx_b])
-    alphac, betac = int(ALPHA_TABLE[idx_ac]), int(BETA_TABLE[idx_bc])
+    qp_mb = np.broadcast_to(np.asarray(qp), (mb_h, mb_w))
+    qpc_mb = np.broadcast_to(np.asarray(qpc), (mb_h, mb_w))
+
+    def edge_params(mbx, mby, dirn, edge, chroma):
+        grid = qpc_mb if chroma else qp_mb
+        q = int(grid[mby, mbx])
+        if edge == 0:
+            nb = int(grid[mby, mbx - 1] if dirn == 0 else grid[mby - 1, mbx])
+            q = (q + nb + 1) >> 1
+        ia = int(np.clip(q + a_off, 0, 51))
+        ib = int(np.clip(q + b_off, 0, 51))
+        return ia, int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
 
     def luma_edge(mbx, mby, dirn, edge, use_intra):
         bss = bs[mby, mbx, dirn, edge]
+        idx_a, alpha, beta = edge_params(mbx, mby, dirn, edge, False)
         for i in range(4):
             for d in range(4):
                 k = i * 4 + d
@@ -666,6 +675,8 @@ def deblock_frame_golden(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
 
     def chroma_edge(plane, mbx, mby, dirn, edge_c, bs_row, use_intra):
         bss = bs[mby, mbx, dirn, bs_row]
+        idx_ac, alphac, betac = edge_params(mbx, mby, dirn,
+                                            0 if edge_c == 0 else 1, True)
         for i in range(4):
             for d in range(2):
                 k = i * 2 + d

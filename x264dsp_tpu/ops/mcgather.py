@@ -1,0 +1,203 @@
+"""Batched motion compensation via per-MB reference windows.
+
+TPU gathers/scatters are per-element (see ops/pallas/deblock_filter.py for
+the same finding on deblock), so the per-MB ``vmap(dynamic_slice)``
+formulation of mc_luma (common/mc.c:216-264) is the P-pipeline's
+bottleneck. This module replaces it:
+
+1. ``luma_windows`` re-lays the 4 padded hpel planes into one per-MB
+   search window tensor (B, 4, WIN, WIN) with *static* slicing only
+   (windows at stride 16 are a reshape + shifted concats — no gather).
+2. ``mc_luma_batched`` compensates an arbitrary per-MB qpel MV list by
+   selecting the (bh, bw) block out of each window with one-hot
+   row/column selector matmuls on the MXU. 0/1 selectors times pixel
+   values <= 255 are exact in bf16 with f32 accumulation.
+
+The same scheme serves chroma (1/8-pel bilinear needs a (bh+1, bw+1)
+block). Block sizes are static so the P partition sizes (16x16, 16x8,
+8x16, 8x8 — encoder/analyse.c:864-1057) all route through one code path.
+
+MV coverage: window margin M fullpel on each side. All candidate MVs must
+satisfy (mv >> 2) in [-M, M - 1 - adj]; callers clamp/gate candidates
+(me.c's search is bounded by i_me_range anyway).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mc as MC
+
+# luma window margin (fullpel) and size; covers the +-16 fullpel search,
+# +-3 qpel refine drift and the clipped-MVP candidate (clamped by callers)
+M_LUMA = 20
+WIN_L = 16 + 2 * M_LUMA          # 56
+# chroma margin: |mv| <= 4*(M_LUMA-1) qpel -> mv>>3 in [-10, 10]
+M_CHROMA = 11
+WIN_C = 8 + 2 * M_CHROMA + 2     # 32 (bilinear needs a 9x9 block)
+
+_HPEL_REF0_J = jnp.asarray(MC.HPEL_REF0)
+_HPEL_REF1_J = jnp.asarray(MC.HPEL_REF1)
+
+
+def _tile_windows(plane, n_tiles: int, tile: int, win: int, start: int,
+                  axis: int):
+    """Static window relayout along one axis: windows of size `win` at
+    stride `tile` starting at `start`. plane's axis length must cover
+    start + (n_tiles - 1) * tile + win. Returns windows stacked on a new
+    axis before `axis`."""
+    extra = win - tile
+    k = (extra + tile - 1) // tile            # whole extra tiles needed
+    length = (n_tiles + k) * tile
+    sl = [slice(None)] * plane.ndim
+    sl[axis] = slice(start, start + length)
+    ext = plane[tuple(sl)]
+    new_shape = list(ext.shape)
+    new_shape[axis:axis + 1] = [n_tiles + k, tile]
+    ext = ext.reshape(new_shape)              # (..., n_tiles+k, tile, ...)
+    parts = []
+    for i in range(k + 1):
+        sl2 = [slice(None)] * ext.ndim
+        sl2[axis] = slice(i, i + n_tiles)
+        part = ext[tuple(sl2)]
+        if i == k and extra % tile:
+            sl3 = [slice(None)] * ext.ndim
+            sl3[axis + 1] = slice(0, extra - (k - 1) * tile)
+            part = part[tuple(sl3)]
+        parts.append(part)
+    return jnp.concatenate(parts, axis=axis + 1)
+
+
+def luma_windows(ref4, mb_w: int, mb_h: int):
+    """ref4: (4, Hp, Wp) padded planes from mc.make_ref_planes.
+    Returns (mb_h*mb_w, 4, WIN_L, WIN_L) bf16 per-MB windows covering
+    fullpel offsets in [-M_LUMA, M_LUMA)."""
+    start = MC.PAD_MC - M_LUMA
+    w = _tile_windows(ref4, mb_h, 16, WIN_L, start, axis=1)
+    # w: (4, mb_h, WIN_L, Wp)
+    w = _tile_windows(w, mb_w, 16, WIN_L, start, axis=3)
+    # w: (4, mb_h, WIN_L, mb_w, WIN_L)
+    w = w.transpose(1, 3, 0, 2, 4).reshape(mb_h * mb_w, 4, WIN_L, WIN_L)
+    return w.astype(jnp.bfloat16)
+
+
+def chroma_windows(refc, mb_w: int, mb_h: int):
+    """refc: (Hp/2, Wp/2) padded chroma plane (mc.pad_chroma).
+    Returns (mb_h*mb_w, WIN_C, WIN_C) bf16."""
+    start = MC.PAD_MC // 2 - M_CHROMA
+    w = _tile_windows(refc, mb_h, 8, WIN_C, start, axis=0)
+    w = _tile_windows(w, mb_w, 8, WIN_C, start, axis=2)
+    # w: (mb_h, WIN_C, mb_w, WIN_C)
+    return w.transpose(0, 2, 1, 3).reshape(
+        mb_h * mb_w, WIN_C, WIN_C).astype(jnp.bfloat16)
+
+
+def _onehot(off, n_sel: int, n_src: int):
+    """(B, n_sel, n_src) bf16 with [b, r, c] = (c == off[b] + r)."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, n_sel, n_src), 2)
+    tgt = off[:, None, None] + jnp.arange(n_sel)[None, :, None]
+    return (c == tgt).astype(jnp.bfloat16)
+
+
+def _select_block(wins, row_off, col_off, bh: int, bw: int):
+    """wins: (B, W, W) bf16; returns (B, bh, bw) f32 via two one-hot
+    matmuls (rows then cols) on the MXU."""
+    Wn = wins.shape[-1]
+    R = _onehot(row_off, bh, Wn)                       # (B, bh, W)
+    rows = jax.lax.dot_general(R, wins, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    C = _onehot(col_off, bw, Wn)                       # (B, bw, W)
+    blk = jax.lax.dot_general(
+        rows.astype(jnp.bfloat16), C, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (B, bh, bw)
+    return blk
+
+
+def _plane_select(wins4, p):
+    """wins4: (B, 4, W, W) bf16, p: (B,) plane idx -> (B, W, W) bf16."""
+    oh = (jnp.arange(4)[None, :] == p[:, None]).astype(jnp.bfloat16)
+    return jnp.einsum("bp,bpij->bij", oh, wins4)
+
+
+def clamp_qpel(mv):
+    """Clamp a qpel MV component list into the window-covered range."""
+    return jnp.clip(mv, -4 * (M_LUMA - 1), 4 * (M_LUMA - 1) - 1)
+
+
+def mc_luma_batched(wins4, mvx, mvy, bh: int, bw: int,
+                    sub_y: int = 0, sub_x: int = 0):
+    """Batched mc_luma (common/mc.c:216-240) over per-MB windows.
+    wins4: (B, 4, WIN_L, WIN_L); mvx/mvy: (B,) qpel MVs relative to the
+    MB origin; (sub_y, sub_x): static partition offset inside the MB.
+    Returns (B, bh, bw) int32."""
+    qidx = ((mvy & 3) << 2) + (mvx & 3)
+    p0 = _HPEL_REF0_J[qidx]
+    p1 = _HPEL_REF1_J[qidx]
+    fy = (mvy >> 2) + M_LUMA + sub_y
+    fx = (mvx >> 2) + M_LUMA + sub_x
+    y1 = fy + ((mvy & 3) == 3).astype(jnp.int32)
+    x2 = fx + ((mvx & 3) == 3).astype(jnp.int32)
+    w0 = _plane_select(wins4, p0)
+    src1 = _select_block(w0, y1, fx, bh, bw)
+    w1 = _plane_select(wins4, p1)
+    src2 = _select_block(w1, fy, x2, bh, bw)
+    avg = ((src1 + src2 + 1.0) * 0.5).astype(jnp.int32)
+    return jnp.where((qidx & 5)[:, None, None] != 0, avg,
+                     src1.astype(jnp.int32))
+
+
+def mc_chroma_batched(winsc, mvx, mvy, bh: int, bw: int,
+                      sub_y: int = 0, sub_x: int = 0):
+    """Batched mc_chroma (common/mc.c:295-323): 1/8-pel bilinear.
+    winsc: (B, WIN_C, WIN_C) bf16; mv in luma qpel units (== chroma
+    1/8-pel). Returns (B, bh, bw) int32."""
+    d8x = mvx & 7
+    d8y = mvy & 7
+    cA = ((8 - d8x) * (8 - d8y))[:, None, None]
+    cB = (d8x * (8 - d8y))[:, None, None]
+    cC = ((8 - d8x) * d8y)[:, None, None]
+    cD = (d8x * d8y)[:, None, None]
+    fy = (mvy >> 3) + M_CHROMA + sub_y
+    fx = (mvx >> 3) + M_CHROMA + sub_x
+    win = _select_block(winsc, fy, fx, bh + 1, bw + 1).astype(jnp.int32)
+    s00 = win[:, 0:bh, 0:bw]
+    s01 = win[:, 0:bh, 1:bw + 1]
+    s10 = win[:, 1:bh + 1, 0:bw]
+    s11 = win[:, 1:bh + 1, 1:bw + 1]
+    return (cA * s00 + cB * s01 + cC * s10 + cD * s11 + 32) >> 6
+
+
+# ---------------------------------------------------------------------------
+# MB <-> coding-order 4x4 block relayout (replaces fancy-index gathers)
+# ---------------------------------------------------------------------------
+
+def mb_to_blocks4(mb):
+    """(..., 16, 16) -> (..., 16, 4, 4) in coding (quadrant) order:
+    block i covers quadrant i>>2, raster i&3 inside — pure reshape/transpose
+    (scan8 order, common/common.h:140-186)."""
+    s = mb.shape[:-2]
+    t = mb.reshape(*s, 2, 8, 2, 8)
+    t = jnp.moveaxis(t, (-4, -2), (-4, -3))            # (..., 2, 2, 8, 8)
+    t = t.reshape(*s, 2, 2, 2, 4, 2, 4)                # (..qy,qx,by,r,bx,c)
+    t = jnp.moveaxis(t, -2, -3)                        # (...,2,2,2,2,4,4)
+    return t.reshape(*s, 16, 4, 4)
+
+
+def blocks4_to_mb(blk):
+    """(..., 16, 4, 4) coding order -> (..., 16, 16)."""
+    s = blk.shape[:-3]
+    t = blk.reshape(*s, 2, 2, 2, 2, 4, 4)              # (..qy,qx,by,bx,r,c)
+    t = jnp.moveaxis(t, -2, -3)                        # (...,2,2,2,4,2,4)
+    t = t.reshape(*s, 2, 2, 8, 8)
+    t = jnp.moveaxis(t, (-4, -3), (-4, -2))            # (..., 2, 8, 2, 8)
+    return t.reshape(*s, 16, 16)
+
+
+def blocks4_grid(vals, mb_h: int, mb_w: int):
+    """(mb_h, mb_w, 16) per-4x4-block values in coding order ->
+    (mb_h*4, mb_w*4) frame-level 4x4-block grid (pure relayout)."""
+    t = vals.reshape(mb_h, mb_w, 2, 2, 2, 2)  # (.., qy, qx, by, bx)
+    t = t.transpose(0, 2, 4, 1, 3, 5)         # (mb_h, qy, by, mb_w, qx, bx)
+    return t.reshape(mb_h * 4, mb_w * 4)

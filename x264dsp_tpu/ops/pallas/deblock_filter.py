@@ -27,7 +27,8 @@ from ..deblock import (_filter_intra_chroma, _filter_intra_luma,
 
 
 def _kernel(y_ref, c_ref, tc0y_ref, tcc_ref, eny_ref, uiy_ref,
-            enc_ref, uic_ref, pl_ref, pc_ref, oy_ref, oc_ref):
+            enc_ref, uic_ref, aly_ref, bly_ref, alc_ref, blc_ref,
+            oy_ref, oc_ref):
     # Mosaic has no scatter; sequential edges are in-ref read-modify-write
     # with static slice offsets (supported for any static offset).
     # Blocks are KB MBs (grid-tiled so VMEM stays small and vmap over a
@@ -41,10 +42,10 @@ def _kernel(y_ref, c_ref, tc0y_ref, tcc_ref, eny_ref, uiy_ref,
     uiy = uiy_ref[...]
     enc = enc_ref[...]       # (2K, 4)
     uic = uic_ref[...]
-    alpha = pl_ref[0, 0]
-    beta = pl_ref[0, 1]
-    alphac = pc_ref[0, 0]
-    betac = pc_ref[0, 1]
+    aly = aly_ref[...]       # (K, 8) per-edge alpha (neighbour-QP avg)
+    bly = bly_ref[...]       # (K, 8) per-edge beta
+    alc = alc_ref[...]       # (2K, 4)
+    blc = blc_ref[...]       # (2K, 4)
 
     def luma_edge(d, e):
         if d == 0:  # vertical edge at column c
@@ -59,6 +60,8 @@ def _kernel(y_ref, c_ref, tc0y_ref, tcc_ref, eny_ref, uiy_ref,
         tc0 = tc0y[:, d * 64 + e * 16:d * 64 + e * 16 + 16]   # (K, 16)
         en = (eny[:, d * 4 + e:d * 4 + e + 1] != 0)           # (K, 1)
         ui = (uiy[:, d * 4 + e:d * 4 + e + 1] != 0)
+        alpha = aly[:, d * 4 + e:d * 4 + e + 1]               # (K, 1)
+        beta = bly[:, d * 4 + e:d * 4 + e + 1]
         p1n, p0n, q0n, q1n = _filter_normal_luma(
             p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0)
         p2i, p1i, p0i, q0i, q1i, q2i = _filter_intra_luma(
@@ -85,6 +88,8 @@ def _kernel(y_ref, c_ref, tc0y_ref, tcc_ref, eny_ref, uiy_ref,
         tc = tcc[:, d * 16 + e * 8:d * 16 + e * 8 + 8]        # (2K, 8)
         en = (enc[:, d * 2 + e:d * 2 + e + 1] != 0)
         ui = (uic[:, d * 2 + e:d * 2 + e + 1] != 0)
+        alphac = alc[:, d * 2 + e:d * 2 + e + 1]              # (2K, 1)
+        betac = blc[:, d * 2 + e:d * 2 + e + 1]
         p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alphac, betac, tc)
         p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alphac, betac)
         p0o = jnp.where(en, jnp.where(ui, p0i, p0n), p0)
@@ -110,17 +115,16 @@ KB = 16  # MBs per grid block (VMEM-safe even under a stream-batch vmap)
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def filter_regions(regy, regc, tc0y, tcc, eny, uiy, enc, uic,
-                   params_l, params_c, interpret: bool = False):
+                   aly, bly, alc, blc, interpret: bool = False):
     """regy: (K,20,20) i32, regc: (2K,12,12) i32 with chroma rows
     interleaved per MB (u then v); per-edge lanes as documented in
-    _kernel. K must be a multiple of KB (caller pads with zero regions
-    and zero enable masks). Returns (regy', regc')."""
+    _kernel (aly/bly: (K,8) per-edge luma alpha/beta, alc/blc: (2K,4)
+    chroma — per-MB QP support). K must be a multiple of KB (caller pads
+    with zero regions and zero enable masks). Returns (regy', regc')."""
     K = regy.shape[0]
     assert K % KB == 0, K
     blk = lambda s: pl.BlockSpec(s, lambda i: (i,) + (0,) * (len(s) - 1),
                                  memory_space=pltpu.VMEM)
-    smem = lambda s: pl.BlockSpec(s, lambda i: tuple(0 for _ in s),
-                                  memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _kernel,
         grid=(K // KB,),
@@ -128,9 +132,10 @@ def filter_regions(regy, regc, tc0y, tcc, eny, uiy, enc, uic,
                   blk((KB, 128)), blk((2 * KB, 32)),
                   blk((KB, 8)), blk((KB, 8)),
                   blk((2 * KB, 4)), blk((2 * KB, 4)),
-                  smem((1, 2)), smem((1, 2))],
+                  blk((KB, 8)), blk((KB, 8)),
+                  blk((2 * KB, 4)), blk((2 * KB, 4))],
         out_specs=[blk((KB, 20, 20)), blk((2 * KB, 12, 12))],
         out_shape=[jax.ShapeDtypeStruct((K, 20, 20), jnp.int32),
                    jax.ShapeDtypeStruct((2 * K, 12, 12), jnp.int32)],
         interpret=interpret,
-    )(regy, regc, tc0y, tcc, eny, uiy, enc, uic, params_l, params_c)
+    )(regy, regc, tc0y, tcc, eny, uiy, enc, uic, aly, bly, alc, blc)

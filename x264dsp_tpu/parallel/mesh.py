@@ -94,15 +94,15 @@ def encode_p_pipeline_batched(fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
                                                   qp, qpc, lam))(
         fy, fu, fv, ref4, refu, refv)
 
-    bs = jnp.ones((mb_h, mb_w, 2, 4, 4), jnp.int32)
     zero = jnp.zeros((mb_h, mb_w), jnp.int32)
 
-    def post(y, u, v):
+    def post(y, u, v, bs, feo):
         dy, du, dv = DB.deblock_frame.__wrapped__(
-            y, u, v, bs, zero, zero, qp, qpc, 0, 0,
+            y, u, v, bs, zero, feo, qp, qpc, 0, 0,
             mb_w=mb_w, mb_h=mb_h, use_pallas=None)
         return MC.make_ref_planes(dy), MC.pad_chroma(du), MC.pad_chroma(dv)
 
     ref4n, refun, refvn = jax.vmap(post)(
-        out["recon_y"], out["recon_u"], out["recon_v"])
+        out["recon_y"], out["recon_u"], out["recon_v"],
+        out["bs"], out["feo"])
     return out, (ref4n, refun, refvn)
