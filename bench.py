@@ -66,7 +66,8 @@ def synth_video(n_frames, seed=0):
 def main():
     import jax
     import jax.numpy as jnp
-    from x264dsp_tpu.encoder.inter_frame import encode_p_frame
+    from x264dsp_tpu.encoder.inter_frame import (encode_p_frame, pack_syn_p,
+                                                 unpack_syn_p)
     from x264dsp_tpu.ops import deblock as DB
     from x264dsp_tpu.ops import mc as MC
     from x264dsp_tpu.entropy import native
@@ -80,7 +81,7 @@ def main():
 
     def device_step(fy, fu, fv, ref4, refu, refv):
         """Full conformant P step: encode + real strengths + deblock +
-        reference update. Returns (compact syn for entropy, new refs)."""
+        reference update. Returns (one packed int16 syn buffer, refs)."""
         out = encode_p_frame.__wrapped__(
             fy, fu, fv, ref4, refu, refv, QP, qpc, lam,
             mb_w=MB_W, mb_h=MB_H, me_range=16, mv_range=512,
@@ -90,15 +91,13 @@ def main():
             zero_mb, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H)
         refs = (MC.make_ref_planes(dy), MC.pad_chroma(du),
                 MC.pad_chroma(dv))
-        syn = {k: (out[k].astype(jnp.int16)
-                   if out[k].dtype == jnp.int32 else out[k])
-               for k in SYN_KEYS}
-        return syn, refs
+        return pack_syn_p(out, MB_W, MB_H), refs
 
     frames = synth_video(3)
     header = bytes([0x40])  # byte-aligned dummy slice header for timing
 
-    def entropy(syn_np):
+    def entropy(buf):
+        syn_np = unpack_syn_p(buf, MB_W, MB_H)
         res = native.write_slice_cabac(header, MB_W, MB_H, QP, 1, True,
                                        syn_np)
         assert res is not None, "native entropy library unavailable"
@@ -112,8 +111,7 @@ def main():
         refs = (ref4, refu, refv)
         # warm up compile + entropy lib
         syn, refs = step(*map(jnp.asarray, frames[1]), *refs)
-        syn_np = {k: np.asarray(v) for k, v in syn.items()}
-        entropy(syn_np)
+        entropy(np.asarray(syn))
 
         # timed loop with frame-lag overlap (device N+1 || entropy N)
         t_dev = t_ent = t_pull = 0.0
@@ -130,7 +128,7 @@ def main():
                 nbytes += entropy(pending)
                 t_ent += time.perf_counter() - te
             tp = time.perf_counter()
-            pending = {k: np.asarray(v) for k, v in syn.items()}
+            pending = np.asarray(syn)   # one packed transfer
             t_pull += time.perf_counter() - tp
         te = time.perf_counter()
         nbytes += entropy(pending)
@@ -161,15 +159,11 @@ def main():
 
         pool = ThreadPoolExecutor(max_workers=min(S, 8))
 
-        def entropy_batch(syn_np):
-            def one(s):
-                sl = {k: v[s] for k, v in syn_np.items()}
-                return entropy(sl)
-            return sum(pool.map(one, range(S)))
+        def entropy_batch(bufs):
+            return sum(pool.map(entropy, [bufs[s] for s in range(S)]))
 
         syn, refs = vstep(*batch(0), *refs)
-        syn_np = {k: np.asarray(v) for k, v in syn.items()}
-        entropy_batch(syn_np)
+        entropy_batch(np.asarray(syn))
 
         pending = None
         t0 = time.perf_counter()
@@ -177,7 +171,7 @@ def main():
             syn, refs = vstep(*batch(i), *refs)
             if pending is not None:
                 entropy_batch(pending)
-            pending = {k: np.asarray(v) for k, v in syn.items()}
+            pending = np.asarray(syn)
         entropy_batch(pending)
         dt = time.perf_counter() - t0
         fps = n_frames * S / dt

@@ -437,6 +437,8 @@ class Decoder:
         intra_mb = np.zeros((mb_h, mb_w), bool)
         mv_field = np.zeros((mb_h, mb_w, 2), np.int64)
         cbp_all = np.zeros((mb_h, mb_w), np.int32)
+        # decoded per-MB QP (MBs without qp_delta inherit the running QP)
+        qp_grid = np.full((mb_h, mb_w), qp, np.int32)
         last_qp = qp
 
         if self.pps.cabac:
@@ -445,7 +447,7 @@ class Decoder:
                 assert br.bit() == 1
             last_qp = self._decode_mbs_cabac(
                 br, slice_type, qp, y, u, v, luma_cnt, chroma_cnt,
-                i4_modes, mv_field, cbp_all, intra_mb)
+                i4_modes, mv_field, cbp_all, intra_mb, qp_grid)
         elif slice_type == 2:
             intra_mb[:] = True
             for mby in range(mb_h):
@@ -453,24 +455,25 @@ class Decoder:
                     last_qp = self._decode_mb_i(
                         br, slice_type, mbx, mby, y, u, v, last_qp,
                         luma_cnt, chroma_cnt, i4_modes, mb_is_i4)
+                    qp_grid[mby, mbx] = last_qp
         else:
             last_qp = self._decode_p_mbs(
                 br, y, u, v, last_qp, luma_cnt, chroma_cnt, mv_field,
-                cbp_all, intra_mb, i4_modes)
+                cbp_all, intra_mb, i4_modes, qp_grid)
 
         # in-loop deblocking (scalar golden model, independent of the
         # encoder's wavefront kernel)
         if disable_deblock != 1:
-            qpc = int(CHROMA_QP_TABLE[np.clip(qp + self.pps.chroma_qp_offset,
-                                              0, 51)])
+            qpc_grid = CHROMA_QP_TABLE[np.clip(
+                qp_grid + self.pps.chroma_qp_offset, 0, 51)].astype(np.int32)
             nnz4 = (luma_cnt > 0).astype(np.int32)
             mv4 = np.repeat(np.repeat(mv_field, 4, 0), 4, 1).astype(np.int32)
             ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
             bs = _compute_bs(nnz4, mv4, ref4, intra_mb)
             feo = ((cbp_all == 0) & ~intra_mb).astype(np.int32)
             yd, ud, vd = G.deblock_frame_golden(
-                y, u, v, bs, intra_mb.astype(np.int32), feo, qp, qpc,
-                a_off * 2, b_off * 2)
+                y, u, v, bs, intra_mb.astype(np.int32), feo, qp_grid,
+                qpc_grid, a_off * 2, b_off * 2)
             y2, u2, v2 = (yd.astype(np.uint8), ud.astype(np.uint8),
                           vd.astype(np.uint8))
         else:
@@ -538,7 +541,7 @@ class Decoder:
         return mvp
 
     def _decode_p_mbs(self, br, y, u, v, last_qp, luma_cnt, chroma_cnt,
-                      mv_field, cbp_all, intra_mb, i4_modes):
+                      mv_field, cbp_all, intra_mb, i4_modes, qp_grid=None):
         from x264dsp_tpu.ops import mc as MCJ
         sps, pps = self.sps, self.pps
         mb_w, mb_h = sps.mb_w, sps.mb_h
@@ -561,6 +564,8 @@ class Decoder:
                 luma_cnt[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                 chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
                 i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+                if qp_grid is not None:
+                    qp_grid[mby, mbx] = last_qp
                 skip_run -= 1
                 idx += 1
                 continue
@@ -616,6 +621,8 @@ class Decoder:
                            (luma_levels, cbp_luma, chroma_dc, chroma_ac,
                             cbp_chroma), cbp, qp)
             last_qp = qp
+            if qp_grid is not None:
+                qp_grid[mby, mbx] = qp
             idx += 1
             if idx < n_mbs:
                 skip_run = br.ue()
@@ -627,7 +634,7 @@ class Decoder:
     # ------------------------------------------------------------------
     def _decode_mbs_cabac(self, br, slice_type, slice_qp, y, u, v,
                           luma_cnt, chroma_cnt, i4_modes, mv_field,
-                          cbp_all, intra_mb):
+                          cbp_all, intra_mb, qp_grid=None):
         from x264dsp_tpu.entropy.cabac import (CAT_CHROMA_AC, CAT_CHROMA_DC,
                                                CAT_LUMA_4x4, CAT_LUMA_AC,
                                                CAT_LUMA_DC, CBF_BASE,
@@ -640,6 +647,8 @@ class Decoder:
         is_p = slice_type == 0
         cd = CabacDecoder(br.data, br.pos, slice_type == 2, slice_qp)
         qp = slice_qp
+        last_dqp = 0   # x264 h->mb.i_last_dqp, reset at slice start
+        prev_ext = 0   # extended cbp of previous MB in raster order
 
         if is_p:
             from x264dsp_tpu.ops import mc as MCJ
@@ -718,6 +727,10 @@ class Decoder:
                     mb_types[mby, mbx] = 3
                     cbp_ext[mby, mbx] = 0
                     i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+                    last_dqp = 0
+                    prev_ext = 0
+                    if qp_grid is not None:
+                        qp_grid[mby, mbx] = qp
                     continue
 
             if is_p:
@@ -842,8 +855,8 @@ class Decoder:
             chroma_ac = np.zeros((2, 4, 16), np.int32)
 
             if cbp_luma or cbp_chroma or is_i16:
-                # qp_delta
-                ctxq = 0  # constant-QP streams: last_dqp always 0
+                # qp_delta (x264_cabac_qp_delta, encoder/cabac.c:165-201)
+                ctxq = 1 if (last_dqp != 0 and prev_ext != 0) else 0
                 dq = 0
                 if cd.decision(60 + ctxq):
                     ctxq = 2 + (ctxq >> 1)
@@ -853,6 +866,7 @@ class Decoder:
                         val += 1
                     dq = (val + 1) // 2 if val % 2 else -(val // 2)
                 qp = qp + dq
+                last_dqp = dq
                 if is_i16:
                     ctx = cbf_dc(CAT_LUMA_DC, mby, mbx, 8, b_intra)
                     if cd.decision(ctx):
@@ -896,8 +910,13 @@ class Decoder:
                                         CAT_CHROMA_AC)
                                     cnnz[ch, by, bx] = 1
 
+            if not (cbp_luma or cbp_chroma or is_i16):
+                last_dqp = 0   # uncoded MB: qp inherited, last_dqp reset
             cbp_ext[mby, mbx] = ((cbp_chroma << 4) | cbp_luma | (nz_dc << 8)
                                  | (cnz_dc[0] << 9) | (cnz_dc[1] << 10))
+            prev_ext = cbp_ext[mby, mbx]
+            if qp_grid is not None:
+                qp_grid[mby, mbx] = qp
             # nnz context state for luma/chroma counts used by deblock
             for i in range(16):
                 bx = mbx * 4 + int(BIX[i])

@@ -77,6 +77,14 @@ class Encoder:
         """Finalize; returns the accumulated stats block (h->stat twin)."""
         return self._core.close()
 
+    def mark_reference_corrupt(self):
+        """Flag the reference frame(s) as corrupt (x264_frame_t.b_corrupt,
+        common/frame.h:188): corrupt frames are skipped when building the
+        reference list (encoder.c:825-826) and, with no valid references
+        left, the next frame is forced to IDR (encoder.c:1808-1820).
+        With the current single-frame DPB this always forces an IDR."""
+        self._core.ref_corrupt = True
+
     @property
     def stats(self) -> dict:
         return self._core.stats()

@@ -114,6 +114,9 @@ class EncoderCore:
         self.last_recon = None    # (y, u, v) np arrays (deblocked output)
         # reference state (DPB of 1 for now; i_frame_reference=1 default)
         self.ref_planes = None    # (ref4_y, ref_u_pad, ref_v_pad) device
+        # in-band recovery (c): corrupt-reference flag — when set, the
+        # next non-I frame is forced to IDR (encoder.c:825-826,1808-1820)
+        self.ref_corrupt = False
 
         # slice-level deblock decision (x264_slice_header_init,
         # encoder.c:1040-1046)
@@ -164,12 +167,82 @@ class EncoderCore:
                               p.i_deblocking_filter_beta)
         return bool(p.b_deblocking_filter and thresh > 15)
 
+    def _detect_cavlc_overflow(self, syn, slice_type) -> np.ndarray:
+        """Per-MB CAVLC level-code overflow detection (cavlc.c:56-60:
+        escape level_code >= 1<<12 below High profile). Cheap magnitude
+        screen, then the exact writer state machine on suspect MBs only.
+        Returns a (mb_h, mb_w) bool grid."""
+        mb_h, mb_w = self.mb_h, self.mb_w
+        flagged = np.zeros((mb_h, mb_w), bool)
+        # minimum |level| that can escape with level_code >= 1<<12 is
+        # > 2^11; screen generously at 256
+        suspects = np.abs(syn["luma_levels"]).max(axis=(-1, -2)) >= 256
+        suspects |= np.abs(syn["chroma_dc_levels"]).max(axis=(-1, -2)) >= 256
+        suspects |= np.abs(syn["chroma_ac_levels"]).max(
+            axis=(-1, -2, -3)) >= 256
+        if "luma_dc_levels" in syn:
+            suspects |= np.abs(syn["luma_dc_levels"]).max(axis=-1) >= 256
+        if not suspects.any():
+            return flagged
+
+        def block_ov(levels, chroma_dc=False):
+            bw = BitWriter()
+            _, ov = cavlc.write_block_residual(bw, levels, 0,
+                                               chroma_dc=chroma_dc)
+            return ov
+
+        is_i = slice_type == P.SLICE_TYPE_I
+        for mby, mbx in zip(*np.nonzero(suspects)):
+            ov = False
+            cbp_luma = int(syn["cbp_luma"][mby, mbx])
+            is_i16 = is_i and syn["mb_type"][mby, mbx] == 0
+            for i in range(16):
+                lv = syn["luma_levels"][mby, mbx, i]
+                if is_i16:
+                    if cbp_luma:
+                        ov |= block_ov(lv[1:])
+                elif cbp_luma & (1 << (i >> 2)):
+                    ov |= block_ov(lv)
+            if is_i16:
+                ov |= block_ov(syn["luma_dc_levels"][mby, mbx])
+            cbp_chroma = int(syn["cbp_chroma"][mby, mbx])
+            if cbp_chroma:
+                for ch in range(2):
+                    ov |= block_ov(syn["chroma_dc_levels"][mby, mbx, ch],
+                                   chroma_dc=True)
+                if cbp_chroma == 2:
+                    for ch in range(2):
+                        for i in range(4):
+                            ov |= block_ov(
+                                syn["chroma_ac_levels"][mby, mbx, ch, i, 1:])
+            flagged[mby, mbx] = ov
+        return flagged
+
+    def _decoded_qp(self, syn, slice_type, qp_mb, slice_qp):
+        """Per-MB QP as the decoder reconstructs it: MBs that emit no
+        qp_delta inherit the running QP (x264_macroblock_cache_save,
+        common/macroblock.c:747-751). Host raster carry-scan."""
+        cbp_any = (syn["cbp_luma"] | syn["cbp_chroma"]) != 0
+        if slice_type == P.SLICE_TYPE_I:
+            is_i16 = syn["mb_type"] == 0
+            ext = (syn["nz_luma_dc"] != 0) | (syn["chroma_nz_dc"] != 0).any(-1)
+            coded = np.where(is_i16, cbp_any | ext, cbp_any)
+        else:
+            coded = cbp_any
+        flat = np.broadcast_to(qp_mb, coded.shape).ravel()
+        m = coded.ravel()
+        idx = np.where(m, np.arange(flat.size), -1)
+        run = np.maximum.accumulate(idx)
+        eff = np.where(run >= 0, flat[np.maximum(run, 0)], slice_qp)
+        return eff.reshape(coded.shape).astype(np.int32)
+
     def _update_reference(self, recon_y, recon_u, recon_v, syn, slice_type,
-                          qp, qpc):
+                          qp, qp_mb):
         """Deblock the reconstruction (x264_fdec_filter_row reborn as one
         full-frame wavefront) and build the hpel reference pyramid
         (x264_frame_filter, common/mc.c:506)."""
         import jax.numpy as jnp
+        p = self.param
         mb_w, mb_h = self.mb_w, self.mb_h
         if self._deblock_enabled(qp):
             if slice_type == P.SLICE_TYPE_I:
@@ -182,11 +255,16 @@ class EncoderCore:
                 intra = np.zeros((mb_h, mb_w), np.int32)
                 bs = syn["bs"]
                 feo = syn["feo"]
+            # the deblocker sees the DECODED per-MB QP
+            eff_qp = self._decoded_qp(syn, slice_type, qp_mb, qp)
+            eff_qpc = CHROMA_QP_TABLE[np.clip(
+                eff_qp + p.analyse.i_chroma_qp_offset, 0, 51)].astype(np.int32)
             # filter offsets are 2x the signalled div2 values
             # (slice_header_init, encoder.c:1044-1046)
             dy, du, dv = DB.deblock_frame(
                 recon_y, recon_u, recon_v, jnp.asarray(bs),
-                jnp.asarray(intra), jnp.asarray(feo), qp, qpc,
+                jnp.asarray(intra), jnp.asarray(feo), jnp.asarray(eff_qp),
+                jnp.asarray(eff_qpc),
                 self.deblock_a * 2, self.deblock_b * 2, mb_w=mb_w, mb_h=mb_h)
         else:
             dy, du, dv = (jnp.asarray(recon_y), jnp.asarray(recon_u),
@@ -211,7 +289,10 @@ class EncoderCore:
         slice_type, is_keyframe, frame_cost = self.slicetype.decide(fy)
         if not is_keyframe and (pic.i_type in (P.TYPE_IDR, P.TYPE_I)
                                 or pic.b_keyframe
-                                or self.ref_planes is None):
+                                or self.ref_planes is None
+                                or self.ref_corrupt):
+            # ref_corrupt: no valid reference frames left → force IDR
+            # (encoder.c:1808-1820)
             slice_type, is_keyframe = P.SLICE_TYPE_I, True
             self.slicetype.last_keyframe = self.slicetype.frame_idx - 1
         is_idr = is_keyframe
@@ -223,27 +304,60 @@ class EncoderCore:
         # out-of-spec QPs (52-69) are an emergency-denoise mode in the
         # reference (analyse.c:338-346); clamp to the spec range for now
         qp = min(qp, P.QP_MAX_SPEC)
-        qpc = int(CHROMA_QP_TABLE[np.clip(qp + p.analyse.i_chroma_qp_offset,
-                                          0, 51)])
-        lam = int(LAMBDA_TAB[qp])
 
-        if slice_type == P.SLICE_TYPE_I:
-            dev = intra_frame.encode_i_frame(
-                fy, fu, fv, qp, qpc, lam,
-                mb_w=self.mb_w, mb_h=self.mb_h,
-                use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled)
+        # per-MB QP: variance AQ (x264_adaptive_quant_frame +
+        # x264_ratecontrol_mb_qp, ratecontrol.c:241-300, 796-811)
+        import jax.numpy as jnp
+        if p.rc.i_aq_mode != P.AQ_NONE and p.rc.f_aq_strength > 0:
+            from .ratecontrol import aq_offsets
+            off = np.asarray(aq_offsets(
+                jnp.asarray(fy), jnp.asarray(fu), jnp.asarray(fv),
+                p.rc.f_aq_strength, self.mb_w, self.mb_h))
+            qp_mb = np.clip(np.floor(qp + off + 0.5), p.rc.i_qp_min,
+                            min(p.rc.i_qp_max, P.QP_MAX_SPEC)).astype(np.int32)
         else:
-            ref4, refu, refv = self.ref_planes
-            dev = inter_frame.encode_p_frame(
-                fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
-                mb_w=self.mb_w, mb_h=self.mb_h,
-                me_range=p.analyse.i_me_range,
-                mv_range=p.analyse.i_mv_range,
-                dct_decimate=bool(p.analyse.b_dct_decimate),
-                # UMH/ESA map to the fully parallel candidate scoring;
-                # DIA/HEX keep the exact sequential-MVP wavefront
-                me_parallel=p.analyse.i_me_method >= P.ME_UMH)
-        syn = {k: np.asarray(v) for k, v in dev.items()}
+            qp_mb = np.full((self.mb_h, self.mb_w), qp, np.int32)
+
+        def device_encode(qp_mb_cur):
+            qpc_cur = CHROMA_QP_TABLE[np.clip(
+                qp_mb_cur + p.analyse.i_chroma_qp_offset,
+                0, 51)].astype(np.int32)
+            lam_cur = LAMBDA_TAB[qp_mb_cur].astype(np.int32)
+            if slice_type == P.SLICE_TYPE_I:
+                dev = intra_frame.encode_i_frame(
+                    fy, fu, fv, qp_mb_cur, qpc_cur, lam_cur,
+                    mb_w=self.mb_w, mb_h=self.mb_h,
+                    use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled)
+            else:
+                ref4, refu, refv = self.ref_planes
+                dev = inter_frame.encode_p_frame(
+                    fy, fu, fv, ref4, refu, refv, qp_mb_cur, qpc_cur,
+                    lam_cur,
+                    mb_w=self.mb_w, mb_h=self.mb_h,
+                    me_range=p.analyse.i_me_range,
+                    mv_range=p.analyse.i_mv_range,
+                    dct_decimate=bool(p.analyse.b_dct_decimate),
+                    # UMH/ESA map to the fully parallel candidate scoring;
+                    # DIA/HEX keep the exact sequential-MVP wavefront
+                    me_parallel=p.analyse.i_me_method >= P.ME_UMH,
+                    fast_pskip=bool(p.analyse.b_fast_pskip))
+            return {k: np.asarray(v) for k, v in dev.items()}
+
+        syn = device_encode(qp_mb)
+
+        # -- in-band recovery (a): CAVLC level-code overflow →
+        # re-encode the flagged MBs at QP+1 (cavlc.c:56-60,
+        # encoder.c:1560-1569; whole-frame kernel re-run, SURVEY §7.1)
+        if not p.b_cabac:
+            for _ in range(P.QP_MAX_SPEC):
+                flagged = self._detect_cavlc_overflow(syn, slice_type)
+                if not flagged.any():
+                    break
+                qp_mb = np.where(flagged,
+                                 np.minimum(qp_mb + 1, P.QP_MAX_SPEC),
+                                 qp_mb)
+                syn = device_encode(qp_mb)
+        self._last_qp_mb = qp_mb
 
         nals = []
         if is_idr and p.b_repeat_headers:
@@ -252,16 +366,37 @@ class EncoderCore:
         if is_idr:
             self.frame_num = 0
 
-        if p.b_cabac:
-            slice_payload = self._write_slice_cabac(
-                syn, slice_type, qp,
-                idr_pic_id=self.idr_pic_id if is_idr else -1)
-        elif slice_type == P.SLICE_TYPE_I:
-            slice_payload = self._write_slice_cavlc(
-                syn, slice_type, qp,
-                idr_pic_id=self.idr_pic_id if is_idr else -1)
-        else:
-            slice_payload = self._write_slice_p_cavlc(syn, qp)
+        def write_slice(syn_cur, qp_mb_cur):
+            if p.b_cabac:
+                return self._write_slice_cabac(
+                    syn_cur, slice_type, qp,
+                    idr_pic_id=self.idr_pic_id if is_idr else -1,
+                    qp_mb=qp_mb_cur)
+            if slice_type == P.SLICE_TYPE_I:
+                return self._write_slice_cavlc(
+                    syn_cur, slice_type, qp,
+                    idr_pic_id=self.idr_pic_id if is_idr else -1,
+                    qp_mb=qp_mb_cur)
+            return self._write_slice_p_cavlc(syn_cur, qp, qp_mb=qp_mb_cur)
+
+        slice_payload = write_slice(syn, qp_mb)
+
+        # -- in-band recovery (b): VBV/MinCR hard overshoot → re-encode
+        # the frame at higher QP (ratecontrol.c:651-780 + the bitstream
+        # restore of encoder.c:1580-1589, at frame granularity: the row
+        # predictors' job is done by measuring the actual slice size)
+        if self.rc.b_vbv:
+            for _ in range(8):
+                bits = len(slice_payload) * 8
+                limit = self.rc.frame_size_limit()
+                if bits <= limit or qp_mb.min() >= P.QP_MAX_SPEC:
+                    break
+                step = max(1, int(round(6 * math.log2(bits / limit))))
+                qp_mb = np.minimum(qp_mb + step, P.QP_MAX_SPEC)
+                syn = device_encode(qp_mb)
+                slice_payload = write_slice(syn, qp_mb)
+            self._last_qp_mb = qp_mb
+
         nal_type = P.NAL_SLICE_IDR if is_idr else P.NAL_SLICE
         nals.append(NAL(nal_type, P.NAL_PRIORITY_HIGHEST,
                         nal_unit(nal_type, P.NAL_PRIORITY_HIGHEST,
@@ -275,7 +410,9 @@ class EncoderCore:
 
         self.last_recon = self._update_reference(
             syn["recon_y"], syn["recon_u"], syn["recon_v"], syn,
-            slice_type, qp, qpc)
+            slice_type, qp, qp_mb)
+        if slice_type == P.SLICE_TYPE_I:
+            self.ref_corrupt = False   # fresh reference replaces the DPB
 
         # stats (h->stat twin, encoder.c:2077-2156)
         st = self.stats
@@ -283,7 +420,7 @@ class EncoderCore:
         total = sum(len(n.payload) for n in nals)
         st.i_frame_size[slice_type] += total
         self.rc.end(slice_type, total * 8)
-        st.f_frame_qp[slice_type] += qp
+        st.f_frame_qp[slice_type] += float(qp_mb.mean())
         h, w = pic.y.shape
         for plane, (rec, src) in enumerate(
                 zip(self.last_recon, (pic.y, pic.u, pic.v))):
@@ -309,7 +446,8 @@ class EncoderCore:
         return nals, pic_out
 
     # ------------------------------------------------------------------
-    def _write_slice_cavlc(self, syn, slice_type, qp, idr_pic_id) -> bytes:
+    def _write_slice_cavlc(self, syn, slice_type, qp, idr_pic_id,
+                           qp_mb=None) -> bytes:
         """Slice header (x264_slice_header_write, encoder.c:1047-1196) +
         I-slice MB loop of x264_slice_write (:1503-1664), CAVLC.
 
@@ -322,7 +460,7 @@ class EncoderCore:
 
         from ..entropy import native
         payload = native.write_slice_i(bw.get_unaligned(), self.mb_w,
-                                       self.mb_h, qp, syn)
+                                       self.mb_h, qp, syn, qp_mb=qp_mb)
         if payload is not None:
             n_i4 = int((syn["mb_type"] == 1).sum())
             self.stats.i_mb_count["I_4x4"] = \
@@ -340,8 +478,9 @@ class EncoderCore:
 
         for mby in range(mb_h):
             for mbx in range(mb_w):
+                mqp = int(qp_mb[mby, mbx]) if qp_mb is not None else qp
                 last_qp = self._write_mb_i_cavlc(
-                    bw, syn, mbx, mby, qp, last_qp, luma_cnt, chroma_cnt)
+                    bw, syn, mbx, mby, mqp, last_qp, luma_cnt, chroma_cnt)
 
         bw.rbsp_trailing()
         return bw.get_bytes()
@@ -485,7 +624,8 @@ class EncoderCore:
             bw.write_se(p.i_deblocking_filter_alphac0)
             bw.write_se(p.i_deblocking_filter_beta)
 
-    def _write_slice_cabac(self, syn, slice_type, qp, idr_pic_id) -> bytes:
+    def _write_slice_cabac(self, syn, slice_type, qp, idr_pic_id,
+                           qp_mb=None) -> bytes:
         from ..entropy import cabac as CB
         p = self.param
         mb_w, mb_h = self.mb_w, self.mb_h
@@ -499,7 +639,7 @@ class EncoderCore:
         # writer below is the behavioral twin (byte-identical, tested)
         from ..entropy import native
         res = native.write_slice_cabac(header, mb_w, mb_h, qp,
-                                       self.i_frame, is_p, syn)
+                                       self.i_frame, is_p, syn, qp_mb=qp_mb)
         if res is not None:
             payload, counts = res
             for name, n in zip(("I_16x16", "I_4x4", "P_L0", "P_SKIP"),
@@ -511,6 +651,9 @@ class EncoderCore:
 
         cb = CB.CabacEncoder(slice_type == P.SLICE_TYPE_I,
                              qp, frame_idx=self.i_frame)
+        last_qp = qp    # running decoded QP (h->mb.i_last_qp)
+        last_dqp = 0    # slice start (encoder.c:1482)
+        prev_ext = 0    # extended cbp of previous MB in raster order
 
         # frame-level context state
         nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)      # luma nnz flags
@@ -564,6 +707,8 @@ class EncoderCore:
                         cbp_ext[mby, mbx] = 0
                         nnz[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                         cnnz[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+                        last_dqp = 0   # cache_save: qp reverts
+                        prev_ext = 0
                         self.stats.i_mb_count["P_SKIP"] = \
                             self.stats.i_mb_count.get("P_SKIP", 0) + 1
                         continue
@@ -667,8 +812,14 @@ class EncoderCore:
                 cbp_ext[mby, mbx] = this_cbp_ext
 
                 if cbp_luma or cbp_chroma or is_i16:
-                    # qp_delta: constant-QP → dqp 0, ctx 0
-                    CB.write_qp_delta(cb, 0, False)
+                    # x264_cabac_qp_delta (encoder/cabac.c:165-201)
+                    mqp = int(qp_mb[mby, mbx]) if qp_mb is not None else qp
+                    if is_i16 and not this_cbp_ext:
+                        mqp = last_qp   # empty-I16 suppression
+                    CB.write_qp_delta(cb, mqp - last_qp,
+                                      last_dqp != 0 and prev_ext != 0)
+                    last_dqp = mqp - last_qp
+                    last_qp = mqp
                     if is_i16:
                         ctx = cbf_ctx_dc(CB.CAT_LUMA_DC, mby, mbx, 8, b_intra)
                         write_residual_cbf(
@@ -722,6 +873,10 @@ class EncoderCore:
                                         ctx)
                                     cnnz[ch, by, bx] = nzf
 
+                if not (cbp_luma or cbp_chroma or is_i16):
+                    last_dqp = 0   # uncoded: cache_save reverts qp
+                prev_ext = this_cbp_ext
+
                 # zero nnz state for uncoded blocks
                 if not (cbp_luma or is_i16):
                     nnz[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
@@ -772,7 +927,7 @@ class EncoderCore:
             return np.zeros(2, np.int64)
         return mvp
 
-    def _write_slice_p_cavlc(self, syn, qp) -> bytes:
+    def _write_slice_p_cavlc(self, syn, qp, qp_mb=None) -> bytes:
         """P slice: header + skip runs + P_L0 16x16 MBs (encoder/cavlc.c
         mb_header_p :233-260, slice loop encoder.c:1547-1570). Native C++
         fast path with this Python twin as fallback."""
@@ -781,7 +936,7 @@ class EncoderCore:
 
         from ..entropy import native
         res = native.write_slice_p(bw.get_unaligned(), self.mb_w, self.mb_h,
-                                   qp, syn)
+                                   qp, syn, qp_mb=qp_mb)
         if res is not None:
             payload, n_skip = res
             self.stats.i_mb_count["P_SKIP"] = \
@@ -830,8 +985,9 @@ class EncoderCore:
                 bw.write_ue(cavlc.CBP_TO_GOLOMB_INTER[
                     (cbp_chroma << 4) | cbp_luma])
                 if cbp_luma | cbp_chroma:
-                    bw.write_se(qp - last_qp)
-                    last_qp = qp
+                    mqp = int(qp_mb[mby, mbx]) if qp_mb is not None else qp
+                    bw.write_se(mqp - last_qp)
+                    last_qp = mqp
                 for i in range(16):
                     bx = mbx * 4 + int(BLOCK_IDX_X[i])
                     by = mby * 4 + int(BLOCK_IDX_Y[i])

@@ -396,14 +396,19 @@ def _quad_merge(blk):
 
 
 def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
-                      qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool):
+                      qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool,
+                      force_skip=None):
     """Batched inter residual encode for all MBs (16x16 partitions):
     window-matmul MC + reshape-only block layout — no per-MB gathers.
     qp/qpc: scalars or per-MB (mb_h, mb_w) grids (AQ / row-VBV).
+    force_skip: optional (mb_h, mb_w) bool — MBs whose probe succeeded
+    encode as MC-only with all residual dropped (macroblock.c:319-348).
     Returns syntax tensors + recon planes (unfiltered)."""
     B = mb_h * mb_w
     qp = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w)).reshape(B, 1)
     qpc = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w)).reshape(B)
+    fs = (jnp.zeros((B,), bool) if force_skip is None
+          else force_skip.reshape(B))
     f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
     fu8 = tile_mb(fenc_u.astype(jnp.int32), mb_w, mb_h, 8)
     fv8 = tile_mb(fenc_v.astype(jnp.int32), mb_w, mb_h, 8)
@@ -416,7 +421,9 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
     dct = T.sub_dct4x4(blk_f, blk_p)
     q = T.quant4x4(dct, qp, False)
     nnz = jnp.any(q.reshape(B, 16, 16) != 0, axis=-1).astype(jnp.int32)
+    nnz = jnp.where(fs[:, None], 0, nnz)
     levels = T.zigzag4x4(q)                            # (B, 16, 16)
+    levels = jnp.where(fs[:, None, None], 0, levels)
     if dct_decimate:
         scores = jnp.where(nnz > 0, T.decimate_score(levels), 0)
         gsum = _decimate_group(scores.reshape(B, 4, 4))  # (B, 4) saturating
@@ -443,8 +450,8 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
     # ---- chroma ----
     predu = MG.mc_chroma_batched(winsu, mvx, mvy, 8, 8)
     predv = MG.mc_chroma_batched(winsv, mvx, mvy, 8, 8)
-    eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate)
-    ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate)
+    eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate, force_skip=fs)
+    ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate, force_skip=fs)
     any_ac = eu["has_ac"] | ev["has_ac"]
     any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
     cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
@@ -467,7 +474,7 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
     )
 
 
-def _encode_chroma_p(fenc8, pred8, qpc, b_decimate):
+def _encode_chroma_p(fenc8, pred8, qpc, b_decimate, force_skip=None):
     """Inter chroma encode, batched over a leading (B,) axis
     (x264_mb_encode_chroma with b_inter=1; the variance early-skip is
     approximated by the AC decimate path producing identical streams for
@@ -495,6 +502,9 @@ def _encode_chroma_p(fenc8, pred8, qpc, b_decimate):
         nz_ac = (sc >= 7) & jnp.any(nnz_ac > 0, axis=-1)
     else:
         nz_ac = jnp.any(nnz_ac > 0, axis=-1)
+    if force_skip is not None:
+        nz_ac = nz_ac & ~force_skip
+        nz_dc = nz_dc & ~force_skip
 
     from .intra_frame import _optimize_chroma_dc
     opt_dc, opt_nz = jax.vmap(_optimize_chroma_dc)(q_dc, qpc)
@@ -525,6 +535,109 @@ def _encode_chroma_p(fenc8, pred8, qpc, b_decimate):
                 has_ac=nz_ac)
 
 
+def pskip_mv_field(mv_field, mb_w: int, mb_h: int):
+    """Exact P-SKIP MV (mvpred.c:143-160) for every MB from the decided
+    MV field, batched (the A/B neighbours are raster-earlier, so the
+    decided field gives the same answer the sequential loop sees)."""
+    xs, ys = jnp.meshgrid(jnp.arange(mb_w), jnp.arange(mb_h))
+    return jax.vmap(jax.vmap(
+        lambda x, y: _pskip_mv(mv_field, x, y, mb_w)))(xs, ys)
+
+
+def probe_pskip(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, pskip_mv,
+                qp_mb, qpc_mb, mb_w: int, mb_h: int, mv_range: int):
+    """Batched x264_macroblock_probe_pskip (encoder/macroblock.c:492-604):
+    at the P-SKIP MV, the luma residual must fully decimate (score < 6,
+    DC included) and each chroma channel must pass the SSD/DC/AC-decimate
+    chain. Returns a (mb_h, mb_w) bool mask. Unlike the reference's
+    neighbour-gated probe (a speed heuristic, analyse.c:1097-1106), every
+    MB is probed — batching makes the full probe free."""
+    B = mb_h * mb_w
+    qp = jnp.broadcast_to(jnp.asarray(qp_mb), (mb_h, mb_w)).reshape(B)
+    qpc = jnp.broadcast_to(jnp.asarray(qpc_mb), (mb_h, mb_w)).reshape(B)
+    mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
+    mvx = MG.clamp_qpel(jnp.clip(
+        pskip_mv[..., 0],
+        mvmin_x[None, :], mvmax_x[None, :])).reshape(B)
+    mvy = MG.clamp_qpel(jnp.clip(
+        pskip_mv[..., 1],
+        mvmin_y[:, None], mvmax_y[:, None])).reshape(B)
+
+    f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
+    pred = MG.mc_luma_batched(wins4, mvx, mvy, 16, 16)
+    dct = T.sub_dct4x4(MG.mb_to_blocks4(f16), MG.mb_to_blocks4(pred))
+    q = T.quant4x4(dct, qp[:, None], False)
+    lv = T.zigzag4x4(q)                                    # (B, 16, 16)
+    coded = jnp.any(q.reshape(B, 16, 16) != 0, axis=-1)
+    score = jnp.where(coded, T.decimate_score(lv), 0).sum(-1)
+    luma_ok = score < 6
+
+    thresh = (LAMBDA2_J[jnp.clip(qpc, 0, 51)] + 32) >> 6
+
+    def chroma_ok(fenc_c, winsc):
+        f8 = tile_mb(fenc_c.astype(jnp.int32), mb_w, mb_h, 8)
+        predc = MG.mc_chroma_batched(winsc, mvx, mvy, 8, 8)
+        ssd = ((f8 - predc) ** 2).sum((1, 2))
+        blocks_f = _quad_split(f8)
+        blocks_p = _quad_split(predc)
+        cdct = T.sub_dct4x4(blocks_f, blocks_p)
+        dc = cdct[..., 0, 0]                               # raster order
+        q_dc = T.quant_dc(dc, qpc, False)
+        dc_nz = jnp.any(q_dc != 0, axis=-1)
+        cdct_ac = cdct.at[..., 0, 0].set(0)
+        q_ac = T.quant4x4(cdct_ac, qpc[:, None], False)
+        aclv = T.zigzag4x4(q_ac)
+        ac_coded = jnp.any(q_ac.reshape(B, 4, 16) != 0, axis=-1)
+        ac_score = jnp.where(ac_coded,
+                             T.decimate_score(aclv[..., 1:]), 0).sum(-1)
+        # the chain: ssd<t → pass; DC nz → fail; ssd<4t → pass;
+        # AC decimate >= 7 → fail
+        return ((ssd < thresh)
+                | (~dc_nz & ((ssd < (thresh << 2)) | (ac_score < 7))))
+
+    ok = luma_ok & chroma_ok(fenc_u, winsu) & chroma_ok(fenc_v, winsv)
+    return (ok.reshape(mb_h, mb_w),
+            jnp.stack([mvx.reshape(mb_h, mb_w),
+                       mvy.reshape(mb_h, mb_w)], axis=-1))
+
+
+# single-buffer syntax transfer: (key, trailing shape per MB). One packed
+# int16 device->host copy replaces 9 small ones (the tunnel has high
+# per-transfer latency; levels are int16 in the reference too —
+# common/common.h:126)
+SYN_PACK_LAYOUT = (
+    ("luma_levels", (16, 16)),
+    ("chroma_dc_levels", (2, 4)),
+    ("chroma_ac_levels", (2, 4, 16)),
+    ("luma_nnz", (16,)),
+    ("chroma_nnz_ac", (2, 4)),
+    ("chroma_nz_dc", (2,)),
+    ("cbp_luma", ()),
+    ("cbp_chroma", ()),
+    ("mv", (2,)),
+)
+
+
+def pack_syn_p(out: dict, mb_w: int, mb_h: int):
+    """Concatenate the P-frame entropy syntax tensors into one flat int16
+    buffer (device-side relayout; see SYN_PACK_LAYOUT)."""
+    parts = [out[k].astype(jnp.int16).reshape(-1) for k, _ in
+             SYN_PACK_LAYOUT]
+    return jnp.concatenate(parts)
+
+
+def unpack_syn_p(buf: np.ndarray, mb_w: int, mb_h: int) -> dict:
+    """Host-side zero-copy views into a pulled pack_syn_p buffer."""
+    B = mb_w * mb_h
+    syn = {}
+    off = 0
+    for k, shape in SYN_PACK_LAYOUT:
+        n = B * int(np.prod(shape)) if shape else B
+        syn[k] = buf[off:off + n].reshape((mb_h, mb_w) + shape)
+        off += n
+    return syn
+
+
 def compute_strengths_p(luma_nnz, cbp_luma, cbp_chroma, mv_field,
                         mb_w: int, mb_h: int):
     """Device deblock-strength computation for a P frame from the syntax
@@ -541,15 +654,17 @@ def compute_strengths_p(luma_nnz, cbp_luma, cbp_chroma, mv_field,
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
                                              "mv_range", "dct_decimate",
-                                             "me_parallel"))
+                                             "me_parallel", "fast_pskip"))
 def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                    qp, qpc, lam, mb_w: int, mb_h: int, me_range: int,
                    mv_range: int, dct_decimate: bool,
-                   me_parallel: bool = False):
+                   me_parallel: bool = False, fast_pskip: bool = True):
     """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
     / mc.pad_chroma on the DEBLOCKED previous reference. me_parallel picks
     the fully-parallel MV decision (the UMH/ESA me_method mapping) over the
-    exact sequential-MVP wavefront (DIA/HEX)."""
+    exact sequential-MVP wavefront (DIA/HEX). fast_pskip runs the batched
+    P-SKIP probe (analyse.c:1095-1118) and forces successful MBs to
+    MC-only skips."""
     surf = fullpel_cost_surfaces(fenc_y, ref4[0], mb_w, mb_h, me_range)
     wins4 = MG.luma_windows(ref4, mb_w, mb_h)
     winsu = MG.chroma_windows(refu, mb_w, mb_h)
@@ -557,8 +672,16 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
     decide = decide_mvs_parallel if me_parallel else decide_mvs
     mv_field = decide(surf, fenc_y, wins4, lam, mb_w, mb_h,
                       me_range, mv_range)
+    skip_ok = None
+    if fast_pskip:
+        psk = pskip_mv_field(mv_field, mb_w, mb_h)
+        skip_ok, skip_mv = probe_pskip(
+            fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, psk,
+            qp, qpc, mb_w, mb_h, mv_range)
+        mv_field = jnp.where(skip_ok[..., None], skip_mv, mv_field)
     out = encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv,
-                            mv_field, qp, qpc, mb_w, mb_h, dct_decimate)
+                            mv_field, qp, qpc, mb_w, mb_h, dct_decimate,
+                            force_skip=skip_ok)
     out["mv"] = mv_field
     out["bs"], out["feo"] = compute_strengths_p(
         out["luma_nnz"], out["cbp_luma"], out["cbp_chroma"], mv_field,

@@ -535,9 +535,13 @@ PAD = 8
 def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
                    mb_w: int, mb_h: int, use_satd: bool, i4x4_enabled: bool):
     """Encode one I-frame (single stream). fenc_* are mod16-padded planes
-    (uint8/int32). Returns the full per-MB syntax tensor dict + recon
-    planes (unfiltered, for intra; deblocking is a separate pass)."""
+    (uint8/int32); qp/qpc/lam: scalars or per-MB (mb_h, mb_w) grids (AQ).
+    Returns the full per-MB syntax tensor dict + recon planes
+    (unfiltered, for intra; deblocking is a separate pass)."""
     H, W = mb_h * 16, mb_w * 16
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w))
+    qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w))
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
     fy = fenc_y.astype(jnp.int32)
     fu = fenc_u.astype(jnp.int32)
     fv = fenc_v.astype(jnp.int32)
@@ -547,8 +551,7 @@ def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
 
     n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
     encode_mb = make_encode_mb(use_satd, i4x4_enabled)
-    vmb = jax.vmap(encode_mb,
-                   in_axes=(0,) * 9 + (0, 0, 0, 0, 0, 0, None, None, None))
+    vmb = jax.vmap(encode_mb)
 
     out = dict(
         mb_type=jnp.zeros((mb_h, mb_w), jnp.int32),
@@ -611,7 +614,8 @@ def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
 
         res = vmb(fenc16, fencu, fencv, ytop25, yleft16, utop9, uleft8,
                   vtop9, vleft8, avail_l, avail_t, avail_tl, avail_tr,
-                  left_modes, top_modes, qp, qpc, lam)
+                  left_modes, top_modes, qp_mb[yc, xc], qpc_mb[yc, xc],
+                  lam_mb[yc, xc])
 
         # ---------- scatter ----------
         # invalid slots are dropped via out-of-bounds indices + mode="drop"

@@ -300,6 +300,16 @@ class RateControl:
             return lmin
         return float(np.clip(q, lmin, lmax))
 
+    def frame_size_limit(self) -> float:
+        """Hard per-frame bit ceiling for the in-band re-encode path:
+        the MinCR frame-size maximum (ratecontrol.c:536-562) and VBV
+        underflow avoidance (the row re-encode trigger of :756-780 at
+        frame granularity — actual slice size replaces row predictors)."""
+        limit = self.frame_size_maximum
+        if self.b_vbv:
+            limit = min(limit, self.buffer_fill)
+        return max(limit, 1.0)
+
     def _update_vbv_plan(self, overhead: float):
         """update_vbv_plan (ratecontrol.c:959-966)."""
         self.buffer_fill = min(self.buffer_fill_final, self.buffer_size)
@@ -380,9 +390,10 @@ def aq_offsets(fenc_y, fenc_u, fenc_v, strength: float,
         return p.reshape(mb_h, size, mb_w, size).transpose(0, 2, 1, 3)
 
     def var(blk, shift):
-        s = blk.sum(axis=(-1, -2))
-        sq = (blk * blk).sum(axis=(-1, -2))
-        return (sq - ((s.astype(jnp.int64) * s) >> shift)).astype(jnp.uint32)
+        # uint32 is exact: sum <= 255*256, sum^2 <= 4.26e9 < 2^32
+        s = blk.sum(axis=(-1, -2)).astype(jnp.uint32)
+        sq = (blk * blk).sum(axis=(-1, -2)).astype(jnp.uint32)
+        return sq - ((s * s) >> shift)
 
     ey = var(blocks(fenc_y, 16), 8)
     eu = var(blocks(fenc_u, 8), 6)
