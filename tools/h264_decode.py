@@ -26,6 +26,7 @@ from x264dsp_tpu.entropy.cavlc_tables import (COEFF0_TOKEN, COEFF_TOKEN,  # noqa
 from x264dsp_tpu.entropy.cavlc import (_RUN_BEFORE, _CT_INDEX,  # noqa: E402
                                        CBP_TO_GOLOMB_INTRA,
                                        CBP_TO_GOLOMB_INTER)
+from x264dsp_tpu.entropy.mvpred_host import PART_GEOM, MvGrid  # noqa: E402
 from x264dsp_tpu.ops import golden as G  # noqa: E402
 from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE, ZIGZAG_4x4  # noqa: E402
 from x264dsp_tpu.utils.annexb import split_nals, unescape_ebsp  # noqa: E402
@@ -374,6 +375,7 @@ class Decoder:
         self.frames = []
         self.recon = None    # (y, u, v) current planes (pre-deblock)
         self.ref = None      # previous deblocked (y, u, v) + hpel planes
+        self.ref_list = []   # DPB, nearest first (sliding window)
 
     def decode(self, stream: bytes):
         for nal in split_nals(stream):
@@ -402,9 +404,10 @@ class Decoder:
             idr_pic_id = br.ue()
         if sps.poc_type == 0:
             br.bits(sps.log2_max_poc_lsb)
+        n_ref = pps.num_ref_l0
         if slice_type == 0:  # P
             if br.bit():     # num_ref_idx_override
-                br.ue()
+                n_ref = br.ue() + 1
             if br.bit():     # ref_pic_list_reordering
                 raise NotImplementedError
         if idr:
@@ -435,7 +438,7 @@ class Decoder:
         i4_modes = -np.ones((mb_h * 4, mb_w * 4), np.int32)  # fix()ed modes
         mb_is_i4 = np.zeros((mb_h, mb_w), bool)
         intra_mb = np.zeros((mb_h, mb_w), bool)
-        mv_field = np.zeros((mb_h, mb_w, 2), np.int64)
+        grid = MvGrid(mb_w, mb_h)      # block-granularity decoded MVs
         cbp_all = np.zeros((mb_h, mb_w), np.int32)
         # decoded per-MB QP (MBs without qp_delta inherit the running QP)
         qp_grid = np.full((mb_h, mb_w), qp, np.int32)
@@ -447,7 +450,7 @@ class Decoder:
                 assert br.bit() == 1
             last_qp = self._decode_mbs_cabac(
                 br, slice_type, qp, y, u, v, luma_cnt, chroma_cnt,
-                i4_modes, mv_field, cbp_all, intra_mb, qp_grid)
+                i4_modes, grid, cbp_all, intra_mb, qp_grid, n_ref)
         elif slice_type == 2:
             intra_mb[:] = True
             for mby in range(mb_h):
@@ -458,8 +461,8 @@ class Decoder:
                     qp_grid[mby, mbx] = last_qp
         else:
             last_qp = self._decode_p_mbs(
-                br, y, u, v, last_qp, luma_cnt, chroma_cnt, mv_field,
-                cbp_all, intra_mb, i4_modes, qp_grid)
+                br, y, u, v, last_qp, luma_cnt, chroma_cnt, grid,
+                cbp_all, intra_mb, i4_modes, qp_grid, n_ref)
 
         # in-loop deblocking (scalar golden model, independent of the
         # encoder's wavefront kernel)
@@ -467,8 +470,8 @@ class Decoder:
             qpc_grid = CHROMA_QP_TABLE[np.clip(
                 qp_grid + self.pps.chroma_qp_offset, 0, 51)].astype(np.int32)
             nnz4 = (luma_cnt > 0).astype(np.int32)
-            mv4 = np.repeat(np.repeat(mv_field, 4, 0), 4, 1).astype(np.int32)
-            ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+            mv4 = grid.mv4.astype(np.int32)
+            ref4 = grid.ref4.astype(np.int32)
             bs = _compute_bs(nnz4, mv4, ref4, intra_mb)
             feo = ((cbp_all == 0) & ~intra_mb).astype(np.int32)
             yd, ud, vd = G.deblock_frame_golden(
@@ -481,6 +484,11 @@ class Decoder:
 
         self.recon = (y, u, v)  # pre-deblock (intra prediction source)
         self.ref = (y2, u2, v2)
+        # sliding-window DPB, nearest first; IDR resets it
+        if idr:
+            self.ref_list = []
+        self.ref_list.insert(0, (y2, u2, v2))
+        del self.ref_list[max(self.sps.num_ref_frames, 1):]
         cl, cr, ct, cb = sps.crop
         self.frames.append((y2[ct:H - cb, cl:W - cr],
                             u2[ct // 2:(H - cb) // 2, cl // 2:(W - cr) // 2],
@@ -505,51 +513,34 @@ class Decoder:
                                      luma_cnt, chroma_cnt, i4_modes, mb_is_i4)
 
     # ------------------------------------------------------------------
-    # P slices (P_L0 16x16 + P_SKIP — the fork's default feature set,
-    # analyse.inter = 0, common/common.c:106)
+    # P slices (P_L0 partitions + P_SKIP; MV prediction on the shared
+    # block-granularity grid, entropy/mvpred_host.py)
     # ------------------------------------------------------------------
-    def _mvp_16x16(self, mv, avail, mbx, mby):
-        mb_h, mb_w = avail.shape
+    @staticmethod
+    def _part_quads(part, mvs):
+        """Partition MVs (coding order) -> (2, 2, 2) per-quadrant MVs."""
+        q = np.zeros((2, 2, 2), np.int64)
+        for (rbx, rby, w4, h4), mv in zip(PART_GEOM[part], mvs):
+            q[rby // 2:(rby + h4 + 1) // 2,
+              rbx // 2:(rbx + w4 + 1) // 2] = mv
+        return q
 
-        def nb(yy, xx):
-            if yy < 0 or xx < 0 or xx >= mb_w:
-                return np.zeros(2, np.int64), False
-            return mv[yy, xx].astype(np.int64), bool(avail[yy, xx])
-
-        mv_a, ok_a = nb(mby, mbx - 1)
-        mv_b, ok_b = nb(mby - 1, mbx)
-        mv_c, ok_c = nb(mby - 1, mbx + 1)
-        if not ok_c:
-            mv_c, ok_c = nb(mby - 1, mbx - 1)
-        count = int(ok_a) + int(ok_b) + int(ok_c)
-        if count > 1:
-            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
-        elif count == 1:
-            mvp = mv_a if ok_a else (mv_b if ok_b else mv_c)
-        elif not ok_b and not ok_c and ok_a:
-            mvp = mv_a
-        else:
-            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
-        return np.asarray(mvp, np.int64), (ok_a, ok_b, mv_a, mv_b)
-
-    def _pskip_mv(self, mv, avail, mbx, mby):
-        mvp, (ok_a, ok_b, mv_a, mv_b) = self._mvp_16x16(mv, avail, mbx, mby)
-        if (not ok_a or not ok_b
-                or (ok_a and not mv_a.any())
-                or (ok_b and not mv_b.any())):
-            return np.zeros(2, np.int64)
-        return mvp
+    def _ref_planes(self, n_ref):
+        """hpel/padded plane sets for the active reference list."""
+        from x264dsp_tpu.ops import mc as MCJ
+        refs = []
+        for (ry, ru, rv) in self.ref_list[:max(n_ref, 1)]:
+            refs.append((np.asarray(MCJ.make_ref_planes(ry)),
+                         np.asarray(MCJ.pad_chroma(ru)),
+                         np.asarray(MCJ.pad_chroma(rv))))
+        return refs
 
     def _decode_p_mbs(self, br, y, u, v, last_qp, luma_cnt, chroma_cnt,
-                      mv_field, cbp_all, intra_mb, i4_modes, qp_grid=None):
-        from x264dsp_tpu.ops import mc as MCJ
+                      grid, cbp_all, intra_mb, i4_modes, qp_grid=None,
+                      n_ref=1):
         sps, pps = self.sps, self.pps
         mb_w, mb_h = sps.mb_w, sps.mb_h
-        ry, ru, rv = self.ref
-        ref4 = np.asarray(MCJ.make_ref_planes(ry))
-        refu = np.asarray(MCJ.pad_chroma(ru))
-        refv = np.asarray(MCJ.pad_chroma(rv))
-        avail = np.ones((mb_h, mb_w), bool)
+        refs = self._ref_planes(n_ref)
 
         n_mbs = mb_w * mb_h
         idx = 0
@@ -557,10 +548,10 @@ class Decoder:
         while idx < n_mbs:
             mby, mbx = divmod(idx, mb_w)
             if skip_run > 0:
-                mv = self._pskip_mv(mv_field, avail, mbx, mby)
-                self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby, mv,
+                mv = grid.pskip_mv(mbx, mby)
+                self._mc_recon(y, u, v, *refs[0], mbx, mby, mv,
                                None, 0, last_qp)
-                mv_field[mby, mbx] = mv
+                grid.set_mb(mbx, mby, 0, [mv], ref=0)
                 luma_cnt[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                 chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
                 i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
@@ -571,16 +562,35 @@ class Decoder:
                 continue
             mb_type = br.ue()
             # intra-in-P is compiled out of the reference
-            # (encoder/analyse.c:1214-1219)
-            assert mb_type == 0, f"P mb_type {mb_type} unsupported"
+            # (encoder/analyse.c:1214-1219); 0..3 = P partition shapes,
+            # 4 = P_8x8ref0 (all sub refs 0)
+            assert mb_type <= 4, f"P mb_type {mb_type} unsupported"
+            sub_ref0 = mb_type == 4
+            part = 3 if sub_ref0 else mb_type
             i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
-            if pps.num_ref_l0 > 1:
-                # te() coded ref idx
-                raise NotImplementedError("multi-ref")
-            mvp, _ = self._mvp_16x16(mv_field, avail, mbx, mby)
-            mvd = np.array([br.se(), br.se()], np.int64)
-            mv = mvp + mvd
-            mv_field[mby, mbx] = mv
+            if part == 3:
+                for _ in range(4):
+                    sub = br.ue()
+                    assert sub == 0, f"sub_mb_type {sub} unsupported"
+            mb_ref = 0
+            if n_ref > 1 and not sub_ref0:
+                prefs = []
+                for _ in range(len(PART_GEOM[part])):   # te() ref idx
+                    if n_ref == 2:
+                        prefs.append(1 - br.bit())
+                    else:
+                        prefs.append(br.ue())
+                assert len(set(prefs)) == 1, \
+                    "per-partition mixed refs unsupported"
+                mb_ref = prefs[0]
+            mvs = []
+            for pi in range(len(PART_GEOM[part])):
+                mvp = grid.predict_mv(mbx, mby, part, pi, ref=mb_ref)
+                mv = mvp + np.array([br.se(), br.se()], np.int64)
+                mvs.append(mv)
+                grid.set_mb_part(mbx, mby, part, pi, mv, ref=mb_ref)
+            mv = self._part_quads(part, mvs)
+            ref4, refu, refv = refs[mb_ref]
             cbp_code = br.ue()
             cbp = CBP_TO_GOLOMB_INTER.index(cbp_code)
             cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -633,8 +643,8 @@ class Decoder:
     # and encoder/cabac.c)
     # ------------------------------------------------------------------
     def _decode_mbs_cabac(self, br, slice_type, slice_qp, y, u, v,
-                          luma_cnt, chroma_cnt, i4_modes, mv_field,
-                          cbp_all, intra_mb, qp_grid=None):
+                          luma_cnt, chroma_cnt, i4_modes, grid,
+                          cbp_all, intra_mb, qp_grid=None, n_ref=1):
         from x264dsp_tpu.entropy.cabac import (CAT_CHROMA_AC, CAT_CHROMA_DC,
                                                CAT_LUMA_4x4, CAT_LUMA_AC,
                                                CAT_LUMA_DC, CBF_BASE,
@@ -651,19 +661,15 @@ class Decoder:
         prev_ext = 0   # extended cbp of previous MB in raster order
 
         if is_p:
-            from x264dsp_tpu.ops import mc as MCJ
-            ry, ru, rv = self.ref
-            ref4 = np.asarray(MCJ.make_ref_planes(ry))
-            refu = np.asarray(MCJ.pad_chroma(ru))
-            refv = np.asarray(MCJ.pad_chroma(rv))
-            avail = np.ones((mb_h, mb_w), bool)
+            refs = self._ref_planes(n_ref)
 
         nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)
         cnnz = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
         cbp_ext = np.full((mb_h, mb_w), -1, np.int32)
         mb_types = np.full((mb_h, mb_w), -1, np.int32)
         chroma_modes = np.zeros((mb_h, mb_w), np.int32)
-        mvd_cache = np.zeros((mb_h, mb_w, 2), np.int32)
+        # per-4x4-block capped |mvd| cache (h->mb.cache.mvd twin)
+        mvd4 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int32)
 
         def read_residual(cat):
             count_m1 = COUNT_M1[cat]
@@ -720,13 +726,14 @@ class Decoder:
                 if mby > 0 and mb_types[mby - 1, mbx] != 3:
                     nsk += 1
                 if cd.decision(11 + nsk):
-                    mv = self._pskip_mv(mv_field, avail, mbx, mby)
-                    self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby, mv,
+                    mv = grid.pskip_mv(mbx, mby)
+                    self._mc_recon(y, u, v, *refs[0], mbx, mby, mv,
                                    None, 0, qp)
-                    mv_field[mby, mbx] = mv
+                    grid.set_mb(mbx, mby, 0, [mv], ref=0)
                     mb_types[mby, mbx] = 3
                     cbp_ext[mby, mbx] = 0
                     i4_modes[mby*4:mby*4+4, mbx*4:mbx*4+4] = 2
+                    mvd4[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                     last_dqp = 0
                     prev_ext = 0
                     if qp_grid is not None:
@@ -735,31 +742,68 @@ class Decoder:
 
             if is_p:
                 assert cd.decision(14) == 0, "intra/other in P unsupported"
-                assert cd.decision(15) == 0 and cd.decision(16) == 0, \
-                    "P partitions unsupported"
-                mvp, _ = self._mvp_16x16(mv_field, avail, mbx, mby)
-                la = mvd_cache[mby, mbx - 1] if mbx > 0 else (0, 0)
-                ta = mvd_cache[mby - 1, mbx] if mby > 0 else (0, 0)
-                mvd = []
-                for axis in range(2):
-                    amvd = int(la[axis]) + int(ta[axis])
-                    ctx = (1 if amvd > 2 else 0) + (1 if amvd > 32 else 0)
+                # mb_type bin tree (x264_cabac_mb_header_p, cabac.c:345-415)
+                if cd.decision(15):
+                    part = 1 if cd.decision(17) else 2
+                elif cd.decision(16):
+                    part = 3
+                    for _ in range(4):
+                        assert cd.decision(21) == 1, \
+                            "sub_mb_type != L0_8x8 unsupported"
+                else:
+                    part = 0
+
+                def read_mvd_cpn(axis, ctx):
                     ctxbase = 47 if axis else 40
                     ctxes = [3, 4, 5, 6, 6, 6, 6, 6]
                     if not cd.decision(ctxbase + ctx):
-                        mvd.append(0)
-                        continue
+                        return 0
                     k = 1
                     while k < 9 and cd.decision(ctxbase + ctxes[k - 1]):
                         k += 1
                     i_abs = k if k < 9 else 9 + cd.ue_bypass(3)
-                    if cd.bypass():
-                        i_abs = -i_abs
-                    mvd.append(i_abs)
-                mvd_cache[mby, mbx] = (min(abs(mvd[0]), 66),
-                                       min(abs(mvd[1]), 66))
-                mv = mvp + np.asarray(mvd, np.int64)
-                mv_field[mby, mbx] = mv
+                    return -i_abs if cd.bypass() else i_abs
+
+                mb_ref = 0
+                if n_ref > 1:
+                    # ref idx (x264_cabac_ref_p, cabac.c:211-230)
+                    prefs = []
+                    for pi, (rbx, rby, w4, h4) in enumerate(
+                            PART_GEOM[part]):
+                        bx0, by0 = mbx * 4 + rbx, mby * 4 + rby
+                        ra = (int(grid.ref4[by0, bx0 - 1])
+                              if bx0 > 0 else 0)
+                        rb = (int(grid.ref4[by0 - 1, bx0])
+                              if by0 > 0 else 0)
+                        ctx = (1 if ra > 0 else 0) + (2 if rb > 0 else 0)
+                        r = 0
+                        while cd.decision(54 + ctx):
+                            ctx = (ctx >> 2) + 4
+                            r += 1
+                        prefs.append(r)
+                        grid.ref4[by0:by0 + h4, bx0:bx0 + w4] = r
+                    assert len(set(prefs)) == 1, \
+                        "per-partition mixed refs unsupported"
+                    mb_ref = prefs[0]
+                mvs = []
+                for pi, (rbx, rby, w4, h4) in enumerate(PART_GEOM[part]):
+                    bx0, by0 = mbx * 4 + rbx, mby * 4 + rby
+                    mvp = grid.predict_mv(mbx, mby, part, pi, ref=mb_ref)
+                    la = mvd4[by0, bx0 - 1] if bx0 > 0 else (0, 0)
+                    ta = mvd4[by0 - 1, bx0] if by0 > 0 else (0, 0)
+                    mvd = []
+                    for axis in range(2):
+                        amvd = int(la[axis]) + int(ta[axis])
+                        ctx = ((1 if amvd > 2 else 0)
+                               + (1 if amvd > 32 else 0))
+                        mvd.append(read_mvd_cpn(axis, ctx))
+                    pmv = mvp + np.asarray(mvd, np.int64)
+                    mvs.append(pmv)
+                    grid.set_mb_part(mbx, mby, part, pi, pmv, ref=mb_ref)
+                    mvd4[by0:by0 + h4, bx0:bx0 + w4] = (
+                        min(abs(mvd[0]), 66), min(abs(mvd[1]), 66))
+                mv = self._part_quads(part, mvs)
+                ref4, refu, refv = refs[mb_ref]
                 mb_types[mby, mbx] = 2
                 b_intra = 0
                 is_i16 = False
@@ -925,8 +969,7 @@ class Decoder:
 
             # ---- reconstruction ----
             if is_p:
-                self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby,
-                               mv_field[mby, mbx],
+                self._mc_recon(y, u, v, ref4, refu, refv, mbx, mby, mv,
                                (luma_levels, cbp_luma, chroma_dc, chroma_ac,
                                 cbp_chroma), cbp_all[mby, mbx], qp)
             else:
@@ -952,13 +995,28 @@ class Decoder:
 
     def _mc_recon(self, y, u, v, ref4, refu, refv, mbx, mby, mv,
                   residual, cbp, qp):
+        """mv: (2,) uniform MB MV or (2, 2, 2) per-quadrant MVs (P
+        partitions); quadrant-wise MC is exact for every shape since the
+        hpel-plane interpolation is pointwise."""
         x0, y0 = mbx * 16, mby * 16
-        pred = G.mc_luma([ref4[i] for i in range(4)],
-                         x0 + 32, y0 + 32, int(mv[0]), int(mv[1]), 16, 16)
-        predu = G.mc_chroma(refu, mbx * 8 + 16, mby * 8 + 16,
-                            int(mv[0]), int(mv[1]), 8, 8)
-        predv = G.mc_chroma(refv, mbx * 8 + 16, mby * 8 + 16,
-                            int(mv[0]), int(mv[1]), 8, 8)
+        mvq = np.asarray(mv)
+        if mvq.ndim == 1:
+            mvq = np.broadcast_to(mvq, (2, 2, 2))
+        pred = np.zeros((16, 16), np.int32)
+        predu = np.zeros((8, 8), np.int32)
+        predv = np.zeros((8, 8), np.int32)
+        for qy in range(2):
+            for qx in range(2):
+                mvx, mvy = int(mvq[qy, qx, 0]), int(mvq[qy, qx, 1])
+                pred[qy*8:qy*8+8, qx*8:qx*8+8] = G.mc_luma(
+                    [ref4[i] for i in range(4)],
+                    x0 + 32 + qx * 8, y0 + 32 + qy * 8, mvx, mvy, 8, 8)
+                predu[qy*4:qy*4+4, qx*4:qx*4+4] = G.mc_chroma(
+                    refu, mbx * 8 + 16 + qx * 4, mby * 8 + 16 + qy * 4,
+                    mvx, mvy, 4, 4)
+                predv[qy*4:qy*4+4, qx*4:qx*4+4] = G.mc_chroma(
+                    refv, mbx * 8 + 16 + qx * 4, mby * 8 + 16 + qy * 4,
+                    mvx, mvy, 4, 4)
         if residual is None:
             y[y0:y0+16, x0:x0+16] = pred.astype(np.uint8)
             u[mby*8:mby*8+8, mbx*8:mbx*8+8] = predu.astype(np.uint8)

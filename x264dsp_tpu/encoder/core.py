@@ -112,8 +112,9 @@ class EncoderCore:
         P.x264_log(p, P.LOG_DEBUG, "options: " + P.param2string(p, True))
         self.stats = Stats()
         self.last_recon = None    # (y, u, v) np arrays (deblocked output)
-        # reference state (DPB of 1 for now; i_frame_reference=1 default)
-        self.ref_planes = None    # (ref4_y, ref_u_pad, ref_v_pad) device
+        # DPB (x264_reference_build order: nearest first, encoder.c:813):
+        # list of (ref4_y, ref_u_pad, ref_v_pad) device plane sets
+        self.dpb: list = []
         # in-band recovery (c): corrupt-reference flag — when set, the
         # next non-I frame is forced to IDR (encoder.c:825-826,1808-1820)
         self.ref_corrupt = False
@@ -269,9 +270,13 @@ class EncoderCore:
         else:
             dy, du, dv = (jnp.asarray(recon_y), jnp.asarray(recon_u),
                           jnp.asarray(recon_v))
-        # hpel pyramid for the next frame's MC
-        self.ref_planes = (MC.make_ref_planes(dy), MC.pad_chroma(du),
-                           MC.pad_chroma(dv))
+        # hpel pyramid into the DPB (x264_reference_update,
+        # encoder.c:878-907; IDR resets the list, :909-916)
+        if slice_type == P.SLICE_TYPE_I:
+            self.dpb = []
+        self.dpb.insert(0, (MC.make_ref_planes(dy), MC.pad_chroma(du),
+                            MC.pad_chroma(dv)))
+        del self.dpb[max(self.param.i_frame_reference, 1):]
         return (np.asarray(dy).astype(np.uint8),
                 np.asarray(du).astype(np.uint8),
                 np.asarray(dv).astype(np.uint8))
@@ -289,7 +294,7 @@ class EncoderCore:
         slice_type, is_keyframe, frame_cost = self.slicetype.decide(fy)
         if not is_keyframe and (pic.i_type in (P.TYPE_IDR, P.TYPE_I)
                                 or pic.b_keyframe
-                                or self.ref_planes is None
+                                or not self.dpb
                                 or self.ref_corrupt):
             # ref_corrupt: no valid reference frames left → force IDR
             # (encoder.c:1808-1820)
@@ -318,6 +323,9 @@ class EncoderCore:
         else:
             qp_mb = np.full((self.mb_h, self.mb_w), qp, np.int32)
 
+        n_ref_active = (min(len(self.dpb), p.i_frame_reference)
+                        if slice_type == P.SLICE_TYPE_P else 1)
+
         def device_encode(qp_mb_cur):
             qpc_cur = CHROMA_QP_TABLE[np.clip(
                 qp_mb_cur + p.analyse.i_chroma_qp_offset,
@@ -329,7 +337,13 @@ class EncoderCore:
                     mb_w=self.mb_w, mb_h=self.mb_h,
                     use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled)
             else:
-                ref4, refu, refv = self.ref_planes
+                n_ref = n_ref_active
+                if n_ref == 1:
+                    ref4, refu, refv = self.dpb[0]
+                else:
+                    ref4 = jnp.stack([r[0] for r in self.dpb[:n_ref]])
+                    refu = jnp.stack([r[1] for r in self.dpb[:n_ref]])
+                    refv = jnp.stack([r[2] for r in self.dpb[:n_ref]])
                 dev = inter_frame.encode_p_frame(
                     fy, fu, fv, ref4, refu, refv, qp_mb_cur, qpc_cur,
                     lam_cur,
@@ -340,7 +354,11 @@ class EncoderCore:
                     # UMH/ESA map to the fully parallel candidate scoring;
                     # DIA/HEX keep the exact sequential-MVP wavefront
                     me_parallel=p.analyse.i_me_method >= P.ME_UMH,
-                    fast_pskip=bool(p.analyse.b_fast_pskip))
+                    fast_pskip=bool(p.analyse.b_fast_pskip),
+                    partitions=bool(p.analyse.inter
+                                    & P.ANALYSE_PSUB16x16),
+                    n_ref=n_ref,
+                    subme=min(max(p.analyse.i_subpel_refine, 0), 5))
             return {k: np.asarray(v) for k, v in dev.items()}
 
         syn = device_encode(qp_mb)
@@ -358,6 +376,7 @@ class EncoderCore:
                                  qp_mb)
                 syn = device_encode(qp_mb)
         self._last_qp_mb = qp_mb
+        self._last_syn = syn
 
         nals = []
         if is_idr and p.b_repeat_headers:
@@ -371,13 +390,14 @@ class EncoderCore:
                 return self._write_slice_cabac(
                     syn_cur, slice_type, qp,
                     idr_pic_id=self.idr_pic_id if is_idr else -1,
-                    qp_mb=qp_mb_cur)
+                    qp_mb=qp_mb_cur, n_ref=n_ref_active)
             if slice_type == P.SLICE_TYPE_I:
                 return self._write_slice_cavlc(
                     syn_cur, slice_type, qp,
                     idr_pic_id=self.idr_pic_id if is_idr else -1,
                     qp_mb=qp_mb_cur)
-            return self._write_slice_p_cavlc(syn_cur, qp, qp_mb=qp_mb_cur)
+            return self._write_slice_p_cavlc(syn_cur, qp, qp_mb=qp_mb_cur,
+                                             n_ref=n_ref_active)
 
         slice_payload = write_slice(syn, qp_mb)
 
@@ -598,7 +618,8 @@ class EncoderCore:
     # CABAC slice entropy (host) — encoder/cabac.c + slice framing
     # (encoder.c:1470-1480, 1532-1546, 1668-1672)
     # ------------------------------------------------------------------
-    def _write_slice_header_common(self, bw, slice_type, qp, idr_pic_id):
+    def _write_slice_header_common(self, bw, slice_type, qp, idr_pic_id,
+                                   n_ref=1):
         p = self.param
         bw.write_ue(0)
         bw.write_ue(slice_type + 5)
@@ -608,7 +629,13 @@ class EncoderCore:
         if idr_pic_id >= 0:
             bw.write_ue(idr_pic_id)
         if slice_type == P.SLICE_TYPE_P:
-            bw.write1(0)                     # num_ref_idx_override
+            # num_ref_idx_override (slice_header_write, encoder.c:1127):
+            # the DPB holds fewer frames than the PPS default early on
+            if n_ref != self.pps.i_num_ref_idx_l0_default_active:
+                bw.write1(1)
+                bw.write_ue(n_ref - 1)
+            else:
+                bw.write1(0)
             bw.write1(0)                     # ref_pic_list_reordering
         if idr_pic_id >= 0:
             bw.write1(0)
@@ -625,12 +652,13 @@ class EncoderCore:
             bw.write_se(p.i_deblocking_filter_beta)
 
     def _write_slice_cabac(self, syn, slice_type, qp, idr_pic_id,
-                           qp_mb=None) -> bytes:
+                           qp_mb=None, n_ref=1) -> bytes:
         from ..entropy import cabac as CB
         p = self.param
         mb_w, mb_h = self.mb_w, self.mb_h
         bw = BitWriter()
-        self._write_slice_header_common(bw, slice_type, qp, idr_pic_id)
+        self._write_slice_header_common(bw, slice_type, qp, idr_pic_id,
+                                        n_ref=n_ref)
         bw.align_1()
         header = bw.get_bytes()
         is_p = slice_type == P.SLICE_TYPE_P
@@ -639,11 +667,12 @@ class EncoderCore:
         # writer below is the behavioral twin (byte-identical, tested)
         from ..entropy import native
         res = native.write_slice_cabac(header, mb_w, mb_h, qp,
-                                       self.i_frame, is_p, syn, qp_mb=qp_mb)
+                                       self.i_frame, is_p, syn, qp_mb=qp_mb,
+                                       n_ref=n_ref)
         if res is not None:
             payload, counts = res
-            for name, n in zip(("I_16x16", "I_4x4", "P_L0", "P_SKIP"),
-                               counts):
+            for name, n in zip(("I_16x16", "I_4x4", "P_L0", "P_SKIP",
+                                "P_16x8", "P_8x16", "P_8x8"), counts):
                 if n:
                     self.stats.i_mb_count[name] = \
                         self.stats.i_mb_count.get(name, 0) + int(n)
@@ -656,14 +685,33 @@ class EncoderCore:
         prev_ext = 0    # extended cbp of previous MB in raster order
 
         # frame-level context state
+        from ..entropy.mvpred_host import PART_GEOM, MvGrid
         nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)      # luma nnz flags
         cnnz = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)  # chroma AC flags
         cbp_ext = np.full((mb_h, mb_w), -1, np.int32)
         mb_types = np.full((mb_h, mb_w), -1, np.int32)      # 0 i16,1 i4,2 pl0,3 skip
         chroma_modes = np.zeros((mb_h, mb_w), np.int32)
-        mvd_cache = np.zeros((mb_h, mb_w, 2), np.int32)
-        avail = np.ones((mb_h, mb_w), bool)
+        # per-4x4-block capped |mvd| cache (h->mb.cache.mvd twin)
+        mvd4 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int32)
+        grid = MvGrid(mb_w, mb_h)
         mv = syn.get("mv")
+        mv8 = syn.get("mv8")
+        ref_mb = syn.get("ref")
+        partition = (syn["partition"] if "partition" in syn and is_p
+                     else np.zeros((mb_h, mb_w), np.int32))
+        _PART_NAMES = ("P_L0", "P_16x8", "P_8x16", "P_8x8")
+
+        def part_mvs(mbx, mby, part):
+            if mv8 is None:
+                return [np.asarray(mv[mby, mbx], np.int64)]
+            q = mv8[mby, mbx].astype(np.int64)
+            if part == 0:
+                return [q[0, 0]]
+            if part == 1:
+                return [q[0, 0], q[1, 0]]
+            if part == 2:
+                return [q[0, 0], q[0, 1]]
+            return [q[0, 0], q[0, 1], q[1, 0], q[1, 1]]
 
         def write_residual_cbf(cat, mby, mbx, nz, levels, ctxidx):
             cb.decision(ctxidx, 1 if nz else 0)
@@ -692,9 +740,14 @@ class EncoderCore:
                 cbp_chroma = int(syn["cbp_chroma"][mby, mbx])
 
                 if is_p:
-                    pskip_mv = self._host_pskip_mv(mv, avail, mbx, mby)
-                    is_skip = (cbp_luma == 0 and cbp_chroma == 0
-                               and np.array_equal(mv[mby, mbx], pskip_mv))
+                    part = int(partition[mby, mbx])
+                    mb_ref = (int(ref_mb[mby, mbx])
+                              if ref_mb is not None else 0)
+                    mvs = part_mvs(mbx, mby, part)
+                    pskip_mv = grid.pskip_mv(mbx, mby)
+                    is_skip = (part == 0 and mb_ref == 0 and cbp_luma == 0
+                               and cbp_chroma == 0
+                               and np.array_equal(mvs[0], pskip_mv))
                     # skip flag (x264_cabac_mb_skip, cabac.c:203-209)
                     nsk = 0
                     if mbx > 0 and mb_types[mby, mbx - 1] != 3:
@@ -703,10 +756,12 @@ class EncoderCore:
                         nsk += 1
                     cb.decision(11 + nsk, 1 if is_skip else 0)
                     if is_skip:
+                        grid.set_mb(mbx, mby, 0, mvs)
                         mb_types[mby, mbx] = 3
                         cbp_ext[mby, mbx] = 0
                         nnz[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                         cnnz[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
+                        mvd4[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                         last_dqp = 0   # cache_save: qp reverts
                         prev_ext = 0
                         self.stats.i_mb_count["P_SKIP"] = \
@@ -714,26 +769,67 @@ class EncoderCore:
                         continue
 
                 if is_p:
-                    # P_L0 16x16: bins 0,0,0 on ctx 14/15/16 (cabac.c:349-357)
-                    cb.decision(14, 0)
-                    cb.decision(15, 0)
-                    cb.decision(16, 0)
-                    mvp, _ = self._host_mvp_16x16(mv, avail, mbx, mby)
-                    mdx = int(mv[mby, mbx, 0]) - int(mvp[0])
-                    mdy = int(mv[mby, mbx, 1]) - int(mvp[1])
-                    la = mvd_cache[mby, mbx - 1] if mbx > 0 else (0, 0)
-                    ta = mvd_cache[mby - 1, mbx] if mby > 0 else (0, 0)
-                    amvd0 = int(la[0]) + int(ta[0])
-                    amvd1 = int(la[1]) + int(ta[1])
-                    c0 = (1 if amvd0 > 2 else 0) + (1 if amvd0 > 32 else 0)
-                    c1 = (1 if amvd1 > 2 else 0) + (1 if amvd1 > 32 else 0)
-                    a0 = CB.write_mvd_component(cb, 0, mdx, c0)
-                    a1 = CB.write_mvd_component(cb, 1, mdy, c1)
-                    mvd_cache[mby, mbx] = (a0, a1)
+                    # mb_type bins (x264_cabac_mb_header_p, cabac.c:345-415)
+                    if part == 0:
+                        cb.decision(14, 0)
+                        cb.decision(15, 0)
+                        cb.decision(16, 0)
+                    elif part == 1:          # 16x8: 0,1 then ctx17:1
+                        cb.decision(14, 0)
+                        cb.decision(15, 1)
+                        cb.decision(17, 1)
+                    elif part == 2:          # 8x16: 0,1 then ctx17:0
+                        cb.decision(14, 0)
+                        cb.decision(15, 1)
+                        cb.decision(17, 0)
+                    else:                    # P_8x8: 0,0,1 + sub types
+                        cb.decision(14, 0)
+                        cb.decision(15, 0)
+                        cb.decision(16, 1)
+                        for _ in range(4):   # sub_mb_type D_L0_8x8
+                            cb.decision(21, 1)
+                    if n_ref > 1:
+                        # ref idx (x264_cabac_ref_p, cabac.c:211-230);
+                        # ctx from the OLD grid state, refs stored
+                        # incrementally per partition
+                        for pi in range(len(PART_GEOM[part])):
+                            rbx, rby, w4, h4 = PART_GEOM[part][pi]
+                            bx0, by0 = mbx * 4 + rbx, mby * 4 + rby
+                            ra = (int(grid.ref4[by0, bx0 - 1])
+                                  if bx0 > 0 else 0)
+                            rb = (int(grid.ref4[by0 - 1, bx0])
+                                  if by0 > 0 else 0)
+                            ctx = (1 if ra > 0 else 0) + \
+                                  (2 if rb > 0 else 0)
+                            r = mb_ref
+                            while r > 0:
+                                cb.decision(54 + ctx, 1)
+                                ctx = (ctx >> 2) + 4
+                                r -= 1
+                            cb.decision(54 + ctx, 0)
+                            grid.ref4[by0:by0 + h4,
+                                      bx0:bx0 + w4] = mb_ref
+                    grid.set_mb(mbx, mby, part, mvs, ref=mb_ref)
+                    for pi, pmv in enumerate(mvs):
+                        mvp = grid.predict_mv(mbx, mby, part, pi,
+                                              ref=mb_ref)
+                        rbx, rby, w4, h4 = PART_GEOM[part][pi]
+                        bx0, by0 = mbx * 4 + rbx, mby * 4 + rby
+                        la = (mvd4[by0, bx0 - 1] if bx0 > 0 else (0, 0))
+                        ta = (mvd4[by0 - 1, bx0] if by0 > 0 else (0, 0))
+                        c0 = ((1 if la[0] + ta[0] > 2 else 0)
+                              + (1 if la[0] + ta[0] > 32 else 0))
+                        c1 = ((1 if la[1] + ta[1] > 2 else 0)
+                              + (1 if la[1] + ta[1] > 32 else 0))
+                        mdx = int(pmv[0]) - int(mvp[0])
+                        mdy = int(pmv[1]) - int(mvp[1])
+                        a0 = CB.write_mvd_component(cb, 0, mdx, c0)
+                        a1 = CB.write_mvd_component(cb, 1, mdy, c1)
+                        mvd4[by0:by0 + h4, bx0:bx0 + w4] = (a0, a1)
                     mb_types[mby, mbx] = 2
                     b_intra = 0
-                    self.stats.i_mb_count["P_L0"] = \
-                        self.stats.i_mb_count.get("P_L0", 0) + 1
+                    self.stats.i_mb_count[_PART_NAMES[part]] = \
+                        self.stats.i_mb_count.get(_PART_NAMES[part], 0) + 1
                 else:
                     is_i4 = syn["mb_type"][mby, mbx] == 1
                     b_intra = 1
@@ -890,82 +986,77 @@ class EncoderCore:
                     cnnz[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
 
         return header + cb.flush()
-    @staticmethod
-    def _host_mvp_16x16(mv, avail, mbx, mby):
-        """x264_mb_predict_mv_16x16 (common/mvpred.c:103-137), single-ref.
-        mv: (mb_h, mb_w, 2); avail: availability grid (in-frame)."""
-        mb_h, mb_w = avail.shape
 
-        def nb(y, x):
-            if y < 0 or x < 0 or x >= mb_w:
-                return np.zeros(2, np.int64), False
-            return mv[y, x].astype(np.int64), bool(avail[y, x])
-
-        mv_a, ok_a = nb(mby, mbx - 1)
-        mv_b, ok_b = nb(mby - 1, mbx)
-        mv_c, ok_c = nb(mby - 1, mbx + 1)
-        if not ok_c:
-            mv_c, ok_c = nb(mby - 1, mbx - 1)
-        count = int(ok_a) + int(ok_b) + int(ok_c)
-        if count > 1:
-            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
-        elif count == 1:
-            mvp = mv_a if ok_a else (mv_b if ok_b else mv_c)
-        elif not ok_b and not ok_c and ok_a:
-            mvp = mv_a
-        else:
-            mvp = np.median(np.stack([mv_a, mv_b, mv_c]), axis=0).astype(int)
-        return np.asarray(mvp, np.int64), (ok_a, ok_b, mv_a, mv_b)
-
-    def _host_pskip_mv(self, mv, avail, mbx, mby):
-        """x264_mb_predict_mv_pskip (common/mvpred.c:143-160)."""
-        mvp, (ok_a, ok_b, mv_a, mv_b) = self._host_mvp_16x16(mv, avail,
-                                                             mbx, mby)
-        if (not ok_a or not ok_b
-                or (ok_a and not mv_a.any())
-                or (ok_b and not mv_b.any())):
-            return np.zeros(2, np.int64)
-        return mvp
-
-    def _write_slice_p_cavlc(self, syn, qp, qp_mb=None) -> bytes:
-        """P slice: header + skip runs + P_L0 16x16 MBs (encoder/cavlc.c
-        mb_header_p :233-260, slice loop encoder.c:1547-1570). Native C++
-        fast path with this Python twin as fallback."""
+    def _write_slice_p_cavlc(self, syn, qp, qp_mb=None, n_ref=1) -> bytes:
+        """P slice: header + skip runs + P_L0 partition MBs
+        (encoder/cavlc.c mb_header_p :233-305, slice loop
+        encoder.c:1547-1570). Native C++ fast path with this Python twin
+        as fallback; MV prediction on the shared block-granularity grid
+        (entropy/mvpred_host.py)."""
         bw = BitWriter()
-        self._write_slice_header_common(bw, P.SLICE_TYPE_P, qp, -1)
+        self._write_slice_header_common(bw, P.SLICE_TYPE_P, qp, -1,
+                                        n_ref=n_ref)
 
         from ..entropy import native
         res = native.write_slice_p(bw.get_unaligned(), self.mb_w, self.mb_h,
-                                   qp, syn, qp_mb=qp_mb)
+                                   qp, syn, qp_mb=qp_mb, n_ref=n_ref)
         if res is not None:
             payload, n_skip = res
             self.stats.i_mb_count["P_SKIP"] = \
                 self.stats.i_mb_count.get("P_SKIP", 0) + n_skip
-            self.stats.i_mb_count["P_L0"] = \
-                self.stats.i_mb_count.get("P_L0", 0) \
-                + self.mb_w * self.mb_h - n_skip
+            part = (syn["partition"] if "partition" in syn
+                    else np.zeros((self.mb_h, self.mb_w), np.int32))
+            hist = np.bincount(part.ravel(), minlength=4)
+            hist[0] -= n_skip   # skips are partition-0 MBs
+            for name, n in zip(("P_L0", "P_16x8", "P_8x16", "P_8x8"), hist):
+                if n:
+                    self.stats.i_mb_count[name] = \
+                        self.stats.i_mb_count.get(name, 0) + int(n)
             return payload
 
+        from ..entropy.mvpred_host import PART_GEOM, MvGrid
         mb_w, mb_h = self.mb_w, self.mb_h
         luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int32)
         chroma_cnt = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
-        avail = np.ones((mb_h, mb_w), bool)
+        grid = MvGrid(mb_w, mb_h)
+        mv8 = syn["mv8"] if "mv8" in syn else None
+        partition = (syn["partition"] if "partition" in syn
+                     else np.zeros((mb_h, mb_w), np.int32))
         mv = syn["mv"]
+        ref_mb = syn.get("ref")
         last_qp = qp
         skip_run = 0
         n_skip = 0
+        _PART_NAMES = ("P_L0", "P_16x8", "P_8x16", "P_8x8")
+
+        def part_mvs(mbx, mby, part):
+            if mv8 is None:
+                return [np.asarray(mv[mby, mbx], np.int64)]
+            q = mv8[mby, mbx].astype(np.int64)   # (qy, qx, 2)
+            if part == 0:
+                return [q[0, 0]]
+            if part == 1:
+                return [q[0, 0], q[1, 0]]
+            if part == 2:
+                return [q[0, 0], q[0, 1]]
+            return [q[0, 0], q[0, 1], q[1, 0], q[1, 1]]
 
         for mby in range(mb_h):
             for mbx in range(mb_w):
                 cbp_luma = int(syn["cbp_luma"][mby, mbx])
                 cbp_chroma = int(syn["cbp_chroma"][mby, mbx])
-                pskip_mv = self._host_pskip_mv(mv, avail, mbx, mby)
+                part = int(partition[mby, mbx])
+                mb_ref = int(ref_mb[mby, mbx]) if ref_mb is not None else 0
+                mvs = part_mvs(mbx, mby, part)
+                pskip_mv = grid.pskip_mv(mbx, mby)
                 # P_SKIP demotion (encoder/macroblock.c:477-485)
-                is_skip = (cbp_luma == 0 and cbp_chroma == 0
-                           and np.array_equal(mv[mby, mbx], pskip_mv))
+                is_skip = (part == 0 and mb_ref == 0 and cbp_luma == 0
+                           and cbp_chroma == 0
+                           and np.array_equal(mvs[0], pskip_mv))
                 if is_skip:
                     skip_run += 1
                     n_skip += 1
+                    grid.set_mb(mbx, mby, 0, mvs, ref=0)
                     luma_cnt[mby*4:mby*4+4, mbx*4:mbx*4+4] = 0
                     chroma_cnt[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
                     self.stats.i_mb_count["P_SKIP"] = \
@@ -973,14 +1064,27 @@ class EncoderCore:
                     continue
                 bw.write_ue(skip_run)
                 skip_run = 0
-                self.stats.i_mb_count["P_L0"] = \
-                    self.stats.i_mb_count.get("P_L0", 0) + 1
-                # mb_type P_L0 16x16 (cavlc.c:237: ue(0))
-                bw.write1(1)
-                # single ref → no ref idx; mvd vs exact MVP
-                mvp, _ = self._host_mvp_16x16(mv, avail, mbx, mby)
-                bw.write_se(int(mv[mby, mbx, 0]) - int(mvp[0]))
-                bw.write_se(int(mv[mby, mbx, 1]) - int(mvp[1]))
+                self.stats.i_mb_count[_PART_NAMES[part]] = \
+                    self.stats.i_mb_count.get(_PART_NAMES[part], 0) + 1
+                # mb_type (cavlc.c:235-305); P_8x8ref0 (ue 4) when refs
+                # are active and all sub refs are 0
+                sub_ref0 = part == 3 and n_ref > 1 and mb_ref == 0
+                bw.write_ue(4 if sub_ref0 else part)
+                if part == 3:
+                    for _ in range(4):
+                        bw.write_ue(0)       # sub_mb_type = L0_8x8
+                grid.set_mb(mbx, mby, part, mvs, ref=mb_ref)
+                from ..entropy.mvpred_host import PART_GEOM as _PG
+                if n_ref > 1 and not sub_ref0:
+                    for _ in range(len(_PG[part])):   # te() ref idx
+                        if n_ref == 2:
+                            bw.write1(1 ^ mb_ref)
+                        else:
+                            bw.write_ue(mb_ref)
+                for pi, pmv in enumerate(mvs):
+                    mvp = grid.predict_mv(mbx, mby, part, pi, ref=mb_ref)
+                    bw.write_se(int(pmv[0]) - int(mvp[0]))
+                    bw.write_se(int(pmv[1]) - int(mvp[1]))
                 # cbp (inter table)
                 bw.write_ue(cavlc.CBP_TO_GOLOMB_INTER[
                     (cbp_chroma << 4) | cbp_luma])

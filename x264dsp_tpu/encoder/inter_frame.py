@@ -36,6 +36,7 @@ import numpy as np
 from ..ops import deblock as DB
 from ..ops import mc as MC
 from ..ops import mcgather as MG
+from ..ops import pixel as PX
 from ..ops import transforms as T
 from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
 from .intra_frame import _diag_schedule, _encode_chroma_channel
@@ -76,20 +77,23 @@ def _median3(a, b, c):
 # Phase A: full-pel cost surfaces
 # ---------------------------------------------------------------------------
 
-def fullpel_cost_surfaces(fenc_y, ref_full, mb_w: int, mb_h: int,
-                          me_range: int):
-    """SAD of every MB against the reference at every full-pel offset in
-    [-R, R]^2. ref_full: padded (Hp, Wp) full-pel plane (PAD_MC border).
-    Returns (mb_h, mb_w, 2R+1, 2R+1) int32.
+def fullpel_cost_surfaces_8x8(fenc_y, ref_full, mb_w: int, mb_h: int,
+                              me_range: int):
+    """Quadrant SADs of every MB against the reference at every full-pel
+    offset in [-R, R]^2. ref_full: padded (Hp, Wp) full-pel plane (PAD_MC
+    border). Returns (mb_h, mb_w, 2, 2, 2R+1, 2R+1) int32 — the cost
+    surfaces of the P partition shapes (16x16/16x8/8x16 = quadrant sums,
+    pixel-a.sa sad_8x8/sad_16x8... reborn).
 
     On TPU this dispatches to the Pallas strip-resident kernel
     (ops/pallas/me_sad.py); this XLA formulation is the twin/fallback."""
     import jax as _jax
     if _jax.default_backend() == "tpu":
-        from ..ops.pallas.me_sad import make_ref_strips, sad_cost_surfaces
+        from ..ops.pallas.me_sad import (make_ref_strips,
+                                         sad_cost_surfaces_8x8)
         strips = make_ref_strips(ref_full, MC.PAD_MC, mb_w, mb_h, me_range)
-        return sad_cost_surfaces(fenc_y.astype(jnp.int32), strips,
-                                 mb_w=mb_w, mb_h=mb_h, R=me_range)
+        return sad_cost_surfaces_8x8(fenc_y.astype(jnp.int32), strips,
+                                     mb_w=mb_w, mb_h=mb_h, R=me_range)
     R = me_range
     H, W = mb_h * 16, mb_w * 16
     f = fenc_y.astype(jnp.int32)
@@ -100,11 +104,20 @@ def fullpel_cost_surfaces(fenc_y, ref_full, mb_w: int, mb_h: int,
         win = jax.lax.dynamic_slice(
             ref_full, (MC.PAD_MC + dy, MC.PAD_MC + dx), (H, W))
         ad = jnp.abs(f - win)
-        tile = ad.reshape(mb_h, 16, mb_w, 16).sum(axis=(1, 3))
-        return acc.at[:, :, k // (2 * R + 1), k % (2 * R + 1)].set(tile)
+        tile = ad.reshape(mb_h, 2, 8, mb_w, 2, 8).sum(axis=(2, 5))
+        tile = tile.transpose(0, 2, 1, 3)          # (mb_h, mb_w, qy, qx)
+        return acc.at[:, :, :, :, k // (2 * R + 1), k % (2 * R + 1)].set(
+            tile)
 
-    acc = jnp.zeros((mb_h, mb_w, 2 * R + 1, 2 * R + 1), jnp.int32)
+    acc = jnp.zeros((mb_h, mb_w, 2, 2, 2 * R + 1, 2 * R + 1), jnp.int32)
     return jax.lax.fori_loop(0, (2 * R + 1) ** 2, one_offset, acc)
+
+
+def fullpel_cost_surfaces(fenc_y, ref_full, mb_w: int, mb_h: int,
+                          me_range: int):
+    """16x16 SAD surfaces: (mb_h, mb_w, 2R+1, 2R+1) int32."""
+    return fullpel_cost_surfaces_8x8(fenc_y, ref_full, mb_w, mb_h,
+                                     me_range).sum(axis=(2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +177,7 @@ def make_mv_ranges(mb_w, mb_h, mv_range):
 
 
 def decide_mvs(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
-               me_range: int, mv_range: int):
+               me_range: int, mv_range: int, subme: int = 1):
     """MV decisions in two stages:
 
     1. Full-pel wavefront: exact median-MVP chain over the 2:1 diagonals,
@@ -234,7 +247,8 @@ def decide_mvs(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
     mvp_field = jax.vmap(jax.vmap(mvp_one))(xs, ys)
     return _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y,
                                 wins4, lam, mb_w, mb_h,
-                                mvmin_x, mvmax_x, mvmin_y, mvmax_y)
+                                mvmin_x, mvmax_x, mvmin_y, mvmax_y,
+                                subme=subme)
 
 
 def _mvp_field_parallel(mv_field, mb_w: int, mb_h: int):
@@ -262,7 +276,7 @@ def _mvp_field_parallel(mv_field, mb_w: int, mb_h: int):
 
 
 def decide_mvs_parallel(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
-                        me_range: int, mv_range: int):
+                        me_range: int, mv_range: int, subme: int = 1):
     """Fully parallel MV decision (no wavefront) — the ESA/UMH-mapped mode:
     pass 1 picks pure-SAD argmin MVs everywhere, pass 2 derives an MVP
     estimate field from them with one shifted-median step, pass 3 re-picks
@@ -304,7 +318,7 @@ def decide_mvs_parallel(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
 
     return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, wins4,
                                 lam, mb_w, mb_h, mvmin_x, mvmax_x,
-                                mvmin_y, mvmax_y)
+                                mvmin_y, mvmax_y, subme=subme)
 
 
 def tile_mb(plane, mb_w: int, mb_h: int, mbsize: int):
@@ -319,12 +333,31 @@ def untile_mb(tiles, mb_w: int, mb_h: int, mbsize: int):
         0, 2, 1, 3).reshape(mb_h * mbsize, mb_w * mbsize)
 
 
+# combined search+winner-refine subpel recipe per subme level
+# (subpel_iterations, me.c:18-33: winner refine adds tab[s][1] qpel iters
+# on top of the tab[s][2]/tab[s][3] search refine): subme ->
+# (hpel_iters, qpel_iters, use_satd, try_mvp)
+SUBME_RECIPE = {
+    0: (0, 0, False, False),
+    1: (1, 1, False, True),
+    2: (1, 1, True, True),
+    3: (1, 2, True, False),
+    4: (1, 3, True, False),
+    5: (1, 4, True, False),
+}
+
+
 def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
                          lam, mb_w, mb_h, mvmin_x, mvmax_x, mvmin_y,
-                         mvmax_y):
-    """subme-1 refinement (me.c:466-581) for ALL MBs at once: each try is
-    one batched window-matmul MC + SAD — no per-MB gathers anywhere."""
+                         mvmax_y, subme: int = 1):
+    """Subpel refinement (refine_subpel, me.c:466-581 + the winner
+    x264_me_refine_qpel :426-435) for ALL MBs at once: each try is one
+    batched window-matmul MC + SAD/SATD — no per-MB gathers anywhere.
+    subme >= 2 switches the qpel metric to SATD (mbcmp) with more
+    diamond iterations and per-MB early termination."""
     B = mb_h * mb_w
+    hpel_iters, qpel_iters, use_satd, try_mvp = \
+        SUBME_RECIPE[min(max(subme, 0), 5)]
     f = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
     bmx = mv_field[..., 0].reshape(B)
     bmy = mv_field[..., 1].reshape(B)
@@ -338,29 +371,59 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
     lo_y = jnp.broadcast_to(mvmin_y[:, None], (mb_h, mb_w)).reshape(B)
     hi_y = jnp.broadcast_to(mvmax_y[:, None], (mb_h, mb_w)).reshape(B)
 
-    def try_mv(bcost, bmx, bmy, mx, my, gate):
+    def cost_at(mx, my, satd):
         blk = MG.mc_luma_batched(wins4, mx, my, 16, 16)
-        c = jnp.abs(f - blk).sum((1, 2)) + _mv_cost(lam, mx, my, mvpx, mvpy)
+        if satd:
+            d = PX.satd(f, blk)
+        else:
+            d = jnp.abs(f - blk).sum((1, 2))
+        return d + _mv_cost(lam, mx, my, mvpx, mvpy)
+
+    def try_mv(bcost, bmx, bmy, mx, my, gate, satd=False):
+        c = cost_at(mx, my, satd)
         better = gate & (c < bcost)
         return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
                 jnp.where(better, my, bmy))
 
     tt = jnp.ones((B,), bool)
-    # try the subpel component of the MVP (me.c:484-491); the extra window
-    # clamp deviates from the reference only for |mvp| > 75 qpel candidates
-    mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
-    my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
-    bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
-    # one hpel diamond iteration (me.c:494-517)
-    omx, omy = bmx, bmy
-    for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
-        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy, tt)
-    # one qpel step (subme=1 special case, me.c:565-581)
-    inside = ((bmy > lo_y) & (bmy < hi_y) & (bmx > lo_x) & (bmx < hi_x))
-    omx, omy = bmx, bmy
-    for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                 inside)
+    if try_mvp and hpel_iters:
+        # try the subpel component of the MVP (me.c:484-491, subme < 3);
+        # the window clamp deviates only for |mvp| > 75 qpel candidates
+        mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
+        my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
+    # half-pel diamond iterations, SAD metric (me.c:494-517), with the
+    # per-MB "centre unchanged -> stop" early termination
+    active = tt
+    for _ in range(hpel_iters):
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     active)
+        active = active & ((bmx != omx) | (bmy != omy))
+    if use_satd:
+        # switch metric: re-cost the half-pel best with SATD (me.c:520-524)
+        bcost = cost_at(bmx, bmy, True)
+    if subme == 1:
+        # one qpel step, SAD (subme=1 special case, me.c:565-581)
+        inside = ((bmy > lo_y) & (bmy < hi_y)
+                  & (bmx > lo_x) & (bmx < hi_x))
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     inside)
+    else:
+        # quarter-pel diamond iterations, SATD (me.c:541-564)
+        active = tt
+        for _ in range(qpel_iters):
+            inside = (active & (bmy > lo_y) & (bmy < hi_y)
+                      & (bmx > lo_x) & (bmx < hi_x))
+            omx, omy = bmx, bmy
+            for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+                bcost, bmx, bmy = try_mv(bcost, bmx, bmy,
+                                         omx + dmx, omy + dmy,
+                                         inside, satd=use_satd)
+            active = active & ((bmx != omx) | (bmy != omy))
     return jnp.stack([bmx.reshape(mb_h, mb_w), bmy.reshape(mb_h, mb_w)],
                      axis=-1)
 
@@ -387,6 +450,34 @@ def _quad_split(x):
     return t.reshape(*s, 4, 4, 4)
 
 
+def _assemble_quads(quads, size: int):
+    """quads: [[TL, TR], [BL, BR]] of (..., size, size) ->
+    (..., 2*size, 2*size)."""
+    top = jnp.concatenate([quads[0][0], quads[0][1]], axis=-1)
+    bot = jnp.concatenate([quads[1][0], quads[1][1]], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _mc_luma_mv8(wins4, mv8f):
+    """Per-quadrant luma MC: mv8f (B, 2, 2, 2) qpel MVs -> (B, 16, 16).
+    MC over precomputed hpel planes is pointwise, so quadrant-wise
+    compensation is exact for every partition shape (one uniform path
+    for 16x16/16x8/8x16/8x8)."""
+    quads = [[MG.mc_luma_batched(wins4, mv8f[:, qy, qx, 0],
+                                 mv8f[:, qy, qx, 1], 8, 8, qy * 8, qx * 8)
+              for qx in range(2)] for qy in range(2)]
+    return _assemble_quads(quads, 8)
+
+
+def _mc_chroma_mv8(winsc, mv8f):
+    """Per-quadrant chroma MC (4x4 tiles): (B, 2, 2, 2) -> (B, 8, 8)."""
+    quads = [[MG.mc_chroma_batched(winsc, mv8f[:, qy, qx, 0],
+                                   mv8f[:, qy, qx, 1], 4, 4, qy * 4,
+                                   qx * 4)
+              for qx in range(2)] for qy in range(2)]
+    return _assemble_quads(quads, 4)
+
+
 def _quad_merge(blk):
     """(..., 4, 4, 4) raster quadrants -> (..., 8, 8)."""
     s = blk.shape[:-3]
@@ -395,11 +486,12 @@ def _quad_merge(blk):
     return t.reshape(*s, 8, 8)
 
 
-def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
+def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
                       qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool,
                       force_skip=None):
-    """Batched inter residual encode for all MBs (16x16 partitions):
-    window-matmul MC + reshape-only block layout — no per-MB gathers.
+    """Batched inter residual encode for all MBs: per-quadrant
+    window-matmul MC (mv8 carries every partition shape) + reshape-only
+    block layout — no per-MB gathers.
     qp/qpc: scalars or per-MB (mb_h, mb_w) grids (AQ / row-VBV).
     force_skip: optional (mb_h, mb_w) bool — MBs whose probe succeeded
     encode as MC-only with all residual dropped (macroblock.c:319-348).
@@ -412,10 +504,9 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
     f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
     fu8 = tile_mb(fenc_u.astype(jnp.int32), mb_w, mb_h, 8)
     fv8 = tile_mb(fenc_v.astype(jnp.int32), mb_w, mb_h, 8)
-    mvx = mv_field[..., 0].reshape(B)
-    mvy = mv_field[..., 1].reshape(B)
+    mv8f = mv8.reshape(B, 2, 2, 2)
 
-    pred = MG.mc_luma_batched(wins4, mvx, mvy, 16, 16)
+    pred = _mc_luma_mv8(wins4, mv8f)
     blk_f = MG.mb_to_blocks4(f16)                      # (B, 16, 4, 4)
     blk_p = MG.mb_to_blocks4(pred)
     dct = T.sub_dct4x4(blk_f, blk_p)
@@ -448,8 +539,8 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv_field,
     recon_y = MG.blocks4_to_mb(rec_blocks)             # (B, 16, 16)
 
     # ---- chroma ----
-    predu = MG.mc_chroma_batched(winsu, mvx, mvy, 8, 8)
-    predv = MG.mc_chroma_batched(winsv, mvx, mvy, 8, 8)
+    predu = _mc_chroma_mv8(winsu, mv8f)
+    predv = _mc_chroma_mv8(winsv, mv8f)
     eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate, force_skip=fs)
     ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate, force_skip=fs)
     any_ac = eu["has_ac"] | ev["has_ac"]
@@ -535,6 +626,164 @@ def _encode_chroma_p(fenc8, pred8, qpc, b_decimate, force_skip=None):
                 has_ac=nz_ac)
 
 
+def _refine_block_batch(wins4, f_blk, bmx, bmy, bcost, mvpx, mvpy, lam,
+                        lo_x, hi_x, lo_y, hi_y, bh: int, bw: int,
+                        sub_y: int, sub_x: int, gate, subme: int = 1):
+    """Subpel refinement of one partition geometry for all MBs
+    (me.c:466-581 via x264_me_search in the partition MEs). All args are
+    (B,)-shaped except the static geometry; `gate` masks MBs whose chosen
+    partition shape doesn't include this block."""
+    hpel_iters, qpel_iters, use_satd, try_mvp = \
+        SUBME_RECIPE[min(max(subme, 0), 5)]
+
+    def cost_at(mx, my, satd):
+        blk = MG.mc_luma_batched(wins4, mx, my, bh, bw, sub_y, sub_x)
+        if satd:
+            d = PX.satd(f_blk, blk)
+        else:
+            d = jnp.abs(f_blk - blk).sum((1, 2))
+        return d + _mv_cost(lam, mx, my, mvpx, mvpy)
+
+    def try_mv(bcost, bmx, bmy, mx, my, g, satd=False):
+        c = cost_at(mx, my, satd)
+        better = g & (c < bcost)
+        return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
+                jnp.where(better, my, bmy))
+
+    if try_mvp and hpel_iters:
+        mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
+        my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
+        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, gate)
+    active = gate
+    for _ in range(hpel_iters):
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     active)
+        active = active & ((bmx != omx) | (bmy != omy))
+    if use_satd:
+        bcost = cost_at(bmx, bmy, True)
+    n_qpel = 1 if subme == 1 else qpel_iters
+    active = gate
+    for _ in range(n_qpel):
+        inside = (active & (bmy > lo_y) & (bmy < hi_y)
+                  & (bmx > lo_x) & (bmx < hi_x))
+        omx, omy = bmx, bmy
+        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
+            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
+                                     inside, satd=use_satd)
+        active = active & ((bmx != omx) | (bmy != omy))
+    return bmx, bmy, bcost
+
+
+def decide_partitions(cost8, mv16_field, fenc_y, wins4, lam,
+                      mb_w: int, mb_h: int, me_range: int, mv_range: int,
+                      skip_mask=None, subme: int = 1):
+    """P partition analysis (x264_mb_analyse_inter_p8x8/p16x8/p8x16,
+    encoder/analyse.c:864-1057, + the partition compare :1145-1182):
+    full-pel argmin per sub-block shape on the quadrant cost surfaces,
+    min-cost partition pick, then batched subpel refine of the winning
+    shape's blocks only. cost8: (mb_h, mb_w, 2, 2, n, n) quadrant SADs;
+    mv16_field: the refined 16x16 decision. Returns
+    (partition (mb_h, mb_w) in {0:16x16,1:16x8,2:8x16,3:8x8},
+     mv8 (mb_h, mb_w, 2, 2, 2) per-quadrant qpel MVs)."""
+    R = me_range
+    n = 2 * R + 1
+    B = mb_h * mb_w
+    offs = jnp.arange(-R, R + 1)
+    mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
+
+    lo_x = (mvmin_x >> 2) + 6
+    hi_x = (mvmax_x >> 2) - 6
+    lo_y = (mvmin_y >> 2) + 6
+    hi_y = (mvmax_y >> 2) - 6
+    ok = ((offs[None, None, :] >= lo_x[:, None, None])
+          & (offs[None, None, :] <= hi_x[:, None, None]))
+    ok = ok[None, :, :, :] & \
+        ((offs[None, :, None] >= lo_y[:, None, None])
+         & (offs[None, :, None] <= hi_y[:, None, None]))[:, None, :, :]
+
+    # search bias around the 16x16 result (the partition MEs seed from
+    # me16x16.mv, analyse.c:880)
+    mvpx = mv16_field[..., 0][..., None, None]
+    mvpy = mv16_field[..., 1][..., None, None]
+    bias = _mv_cost(lam_mb[..., None, None], offs[None, None, None, :] * 4,
+                    offs[None, None, :, None] * 4, mvpx, mvpy)
+
+    def pick(surf):
+        cost = jnp.where(ok, surf + bias, 1 << 28)
+        k = jnp.argmin(cost.reshape(mb_h, mb_w, -1), axis=-1)
+        mv = jnp.stack([(k % n - R) * 4, (k // n - R) * 4], axis=-1)
+        c = jnp.take_along_axis(cost.reshape(mb_h, mb_w, -1),
+                                k[..., None], axis=-1)[..., 0]
+        return mv, c
+
+    mv_q = [[None, None], [None, None]]
+    c_q = [[None, None], [None, None]]
+    for qy in range(2):
+        for qx in range(2):
+            mv_q[qy][qx], c_q[qy][qx] = pick(cost8[:, :, qy, qx])
+    mv_t, c_t = pick(cost8[:, :, 0, 0] + cost8[:, :, 0, 1])   # 16x8 top
+    mv_b, c_b = pick(cost8[:, :, 1, 0] + cost8[:, :, 1, 1])   # bottom
+    mv_l, c_l = pick(cost8[:, :, 0, 0] + cost8[:, :, 1, 0])   # 8x16 left
+    mv_r, c_r = pick(cost8[:, :, 0, 1] + cost8[:, :, 1, 1])   # right
+    mv16, c16 = pick(cost8.sum(axis=(2, 3)))
+
+    c8x8 = c_q[0][0] + c_q[0][1] + c_q[1][0] + c_q[1][1]
+    c16x8 = c_t + c_b
+    c8x16 = c_l + c_r
+
+    # COPY3_IF_LT chain order (analyse.c:1151-1182): 8x8, 16x8, 8x16
+    part = jnp.zeros((mb_h, mb_w), jnp.int32)
+    best = c16
+    for cand, pid in ((c8x8, 3), (c16x8, 1), (c8x16, 2)):
+        t = cand < best
+        best = jnp.where(t, cand, best)
+        part = jnp.where(t, pid, part)
+    if skip_mask is not None:
+        part = jnp.where(skip_mask, 0, part)
+
+    # ---- batched subpel refine of the winning shape's blocks ----
+    f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
+    lamf = lam_mb.reshape(B)
+    lox = jnp.broadcast_to(mvmin_x[None, :], (mb_h, mb_w)).reshape(B)
+    hix = jnp.broadcast_to(mvmax_x[None, :], (mb_h, mb_w)).reshape(B)
+    loy = jnp.broadcast_to(mvmin_y[:, None], (mb_h, mb_w)).reshape(B)
+    hiy = jnp.broadcast_to(mvmax_y[:, None], (mb_h, mb_w)).reshape(B)
+    partf = part.reshape(B)
+    mvpxf = mv16_field[..., 0].reshape(B)
+    mvpyf = mv16_field[..., 1].reshape(B)
+
+    def refine(mv0, c0, bh, bw, sy, sx, pid):
+        f_blk = f16[:, sy:sy + bh, sx:sx + bw]
+        bmx, bmy, _ = _refine_block_batch(
+            wins4, f_blk, mv0[..., 0].reshape(B), mv0[..., 1].reshape(B),
+            c0.reshape(B), mvpxf, mvpyf, lamf, lox, hix, loy, hiy,
+            bh, bw, sy, sx, partf == pid, subme=subme)
+        return jnp.stack([bmx.reshape(mb_h, mb_w),
+                          bmy.reshape(mb_h, mb_w)], axis=-1)
+
+    r_t = refine(mv_t, c_t, 8, 16, 0, 0, 1)
+    r_b = refine(mv_b, c_b, 8, 16, 8, 0, 1)
+    r_l = refine(mv_l, c_l, 16, 8, 0, 0, 2)
+    r_r = refine(mv_r, c_r, 16, 8, 0, 8, 2)
+    r_q = [[refine(mv_q[qy][qx], c_q[qy][qx], 8, 8, qy * 8, qx * 8, 3)
+            for qx in range(2)] for qy in range(2)]
+
+    # assemble per-quadrant MV field by partition shape
+    mv8 = jnp.zeros((mb_h, mb_w, 2, 2, 2), jnp.int32)
+    for qy in range(2):
+        for qx in range(2):
+            v = jnp.where((part == 1)[..., None], (r_t, r_b)[qy],
+                          jnp.where((part == 2)[..., None],
+                                    (r_l, r_r)[qx],
+                                    jnp.where((part == 3)[..., None],
+                                              r_q[qy][qx], mv16_field)))
+            mv8 = mv8.at[:, :, qy, qx].set(v)
+    return part, mv8
+
+
 def pskip_mv_field(mv_field, mb_w: int, mb_h: int):
     """Exact P-SKIP MV (mvpred.c:143-160) for every MB from the decided
     MV field, batched (the A/B neighbours are raster-earlier, so the
@@ -615,6 +864,9 @@ SYN_PACK_LAYOUT = (
     ("cbp_luma", ()),
     ("cbp_chroma", ()),
     ("mv", (2,)),
+    ("partition", ()),
+    ("mv8", (2, 2, 2)),
+    ("ref", ()),
 )
 
 
@@ -638,52 +890,140 @@ def unpack_syn_p(buf: np.ndarray, mb_w: int, mb_h: int) -> dict:
     return syn
 
 
-def compute_strengths_p(luma_nnz, cbp_luma, cbp_chroma, mv_field,
-                        mb_w: int, mb_h: int):
+def mv8_to_mv4(mv8, mb_w: int, mb_h: int):
+    """(mb_h, mb_w, 2, 2, 2) per-quadrant MVs -> (4mb_h, 4mb_w, 2)
+    per-4x4-block grid (each 8x8 quadrant covers 2x2 blocks)."""
+    g = mv8.transpose(0, 2, 1, 3, 4).reshape(mb_h * 2, mb_w * 2, 2)
+    return jnp.repeat(jnp.repeat(g, 2, 0), 2, 1)
+
+
+def compute_strengths_p(luma_nnz, cbp_luma, cbp_chroma, mv8,
+                        mb_w: int, mb_h: int, ref_mb=None):
     """Device deblock-strength computation for a P frame from the syntax
     tensors (x264_macroblock_deblock_strength, common/macroblock.c:677;
     strengths saved at encode time, encoder.c:1651). Returns (bs, feo)."""
     nnz4 = MG.blocks4_grid(luma_nnz, mb_h, mb_w)
-    mv4 = jnp.repeat(jnp.repeat(mv_field, 4, 0), 4, 1)
-    ref4 = jnp.zeros((mb_h * 4, mb_w * 4), jnp.int32)
+    mv4 = mv8_to_mv4(mv8, mb_w, mb_h)
+    if ref_mb is None:
+        ref4 = jnp.zeros((mb_h * 4, mb_w * 4), jnp.int32)
+    else:
+        ref4 = jnp.repeat(jnp.repeat(ref_mb, 4, 0), 4, 1)
     intra = jnp.zeros((mb_h, mb_w), bool)
     bs = DB.compute_strengths(nnz4, mv4, ref4, intra)
     feo = ((cbp_luma | (cbp_chroma << 4)) == 0).astype(jnp.int32)
     return bs, feo
 
 
+# te(n_ref-1) ref-idx bit sizes (x264_cost_ref, analyse.c:300-308)
+def _ref_bits(r: int, n_ref: int) -> int:
+    if n_ref <= 1:
+        return 0
+    if n_ref == 2:
+        return 1
+    return 2 * int(np.floor(np.log2(r + 1))) + 1
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
                                              "mv_range", "dct_decimate",
-                                             "me_parallel", "fast_pskip"))
+                                             "me_parallel", "fast_pskip",
+                                             "partitions", "n_ref",
+                                             "subme"))
 def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                    qp, qpc, lam, mb_w: int, mb_h: int, me_range: int,
                    mv_range: int, dct_decimate: bool,
-                   me_parallel: bool = False, fast_pskip: bool = True):
+                   me_parallel: bool = False, fast_pskip: bool = True,
+                   partitions: bool = False, n_ref: int = 1,
+                   subme: int = 1):
     """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
-    / mc.pad_chroma on the DEBLOCKED previous reference. me_parallel picks
-    the fully-parallel MV decision (the UMH/ESA me_method mapping) over the
-    exact sequential-MVP wavefront (DIA/HEX). fast_pskip runs the batched
+    / mc.pad_chroma on the DEBLOCKED reference(s) — with n_ref > 1 they
+    carry a leading reference axis (nearest first, x264_reference_build
+    order, encoder.c:813-862). me_parallel picks the fully-parallel MV
+    decision (the UMH/ESA me_method mapping) over the exact
+    sequential-MVP wavefront (DIA/HEX). fast_pskip runs the batched
     P-SKIP probe (analyse.c:1095-1118) and forces successful MBs to
-    MC-only skips."""
-    surf = fullpel_cost_surfaces(fenc_y, ref4[0], mb_w, mb_h, me_range)
-    wins4 = MG.luma_windows(ref4, mb_w, mb_h)
-    winsu = MG.chroma_windows(refu, mb_w, mb_h)
-    winsv = MG.chroma_windows(refv, mb_w, mb_h)
+    MC-only skips. partitions enables the 16x8/8x16/8x8 analysis
+    (X264_ANALYSE_PSUB16x16, analyse.c:1141-1182). Multi-ref: per-MB best
+    reference by fullpel cost + λ·ref bits (analyse.c:787-862); partition
+    shapes inherit the MB's reference (:869)."""
+    if n_ref == 1:
+        if ref4.ndim == 4:
+            ref4, refu, refv = ref4[0], refu[0], refv[0]
+        cost8 = fullpel_cost_surfaces_8x8(fenc_y, ref4[0], mb_w, mb_h,
+                                          me_range)
+        wins4 = MG.luma_windows(ref4, mb_w, mb_h)
+        winsu = MG.chroma_windows(refu, mb_w, mb_h)
+        winsv = MG.chroma_windows(refv, mb_w, mb_h)
+        wins4_r0, winsu_r0, winsv_r0 = wins4, winsu, winsv
+        ref_mb = jnp.zeros((mb_h, mb_w), jnp.int32)
+    else:
+        lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
+        cost8_r = [fullpel_cost_surfaces_8x8(fenc_y, ref4[r, 0], mb_w,
+                                             mb_h, me_range)
+                   for r in range(n_ref)]
+        # per-MB best ref: min over fullpel 16x16 SAD + λ·ref bits
+        # (the λ·mvbits term is ref-agnostic at this stage)
+        best = [c8.sum(axis=(2, 3)).reshape(mb_h, mb_w, -1).min(-1)
+                + lam_mb * _ref_bits(r, n_ref)
+                for r, c8 in enumerate(cost8_r)]
+        ref_mb = jnp.argmin(jnp.stack(best), axis=0).astype(jnp.int32)
+        onehot = (jnp.arange(n_ref)[:, None, None]
+                  == ref_mb[None]).astype(cost8_r[0].dtype)
+        cost8 = sum(c8 * onehot[r][:, :, None, None, None, None]
+                    for r, c8 in enumerate(cost8_r))
+        wins_r = [MG.luma_windows(ref4[r], mb_w, mb_h)
+                  for r in range(n_ref)]
+        winsu_r = [MG.chroma_windows(refu[r], mb_w, mb_h)
+                   for r in range(n_ref)]
+        winsv_r = [MG.chroma_windows(refv[r], mb_w, mb_h)
+                   for r in range(n_ref)]
+        ohb = (jnp.arange(n_ref)[:, None]
+               == ref_mb.reshape(-1)[None]).astype(jnp.bfloat16)
+        wins4 = sum(w * ohb[r][:, None, None, None]
+                    for r, w in enumerate(wins_r))
+        winsu = sum(w * ohb[r][:, None, None]
+                    for r, w in enumerate(winsu_r))
+        winsv = sum(w * ohb[r][:, None, None]
+                    for r, w in enumerate(winsv_r))
+        wins4_r0, winsu_r0, winsv_r0 = wins_r[0], winsu_r[0], winsv_r[0]
+    surf = cost8.sum(axis=(2, 3))
     decide = decide_mvs_parallel if me_parallel else decide_mvs
     mv_field = decide(surf, fenc_y, wins4, lam, mb_w, mb_h,
-                      me_range, mv_range)
+                      me_range, mv_range, subme=subme)
     skip_ok = None
     if fast_pskip:
         psk = pskip_mv_field(mv_field, mb_w, mb_h)
+        # the probe always tests reference 0 (macroblock.c:503-506)
         skip_ok, skip_mv = probe_pskip(
-            fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, psk,
+            fenc_y, fenc_u, fenc_v, wins4_r0, winsu_r0, winsv_r0, psk,
             qp, qpc, mb_w, mb_h, mv_range)
         mv_field = jnp.where(skip_ok[..., None], skip_mv, mv_field)
+        ref_mb = jnp.where(skip_ok, 0, ref_mb)
+        if n_ref > 1:
+            # skipped MBs compensate from ref 0
+            ohb = (jnp.arange(n_ref)[:, None]
+                   == ref_mb.reshape(-1)[None]).astype(jnp.bfloat16)
+            wins4 = sum(w * ohb[r][:, None, None, None]
+                        for r, w in enumerate(wins_r))
+            winsu = sum(w * ohb[r][:, None, None]
+                        for r, w in enumerate(winsu_r))
+            winsv = sum(w * ohb[r][:, None, None]
+                        for r, w in enumerate(winsv_r))
+    if partitions:
+        part, mv8 = decide_partitions(cost8, mv_field, fenc_y, wins4, lam,
+                                      mb_w, mb_h, me_range, mv_range,
+                                      skip_mask=skip_ok, subme=subme)
+    else:
+        part = jnp.zeros((mb_h, mb_w), jnp.int32)
+        mv8 = jnp.broadcast_to(mv_field[:, :, None, None, :],
+                               (mb_h, mb_w, 2, 2, 2))
     out = encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv,
-                            mv_field, qp, qpc, mb_w, mb_h, dct_decimate,
+                            mv8, qp, qpc, mb_w, mb_h, dct_decimate,
                             force_skip=skip_ok)
-    out["mv"] = mv_field
+    out["mv"] = mv8[:, :, 0, 0]
+    out["mv8"] = mv8
+    out["partition"] = part
+    out["ref"] = ref_mb
     out["bs"], out["feo"] = compute_strengths_p(
-        out["luma_nnz"], out["cbp_luma"], out["cbp_chroma"], mv_field,
-        mb_w, mb_h)
+        out["luma_nnz"], out["cbp_luma"], out["cbp_chroma"], mv8,
+        mb_w, mb_h, ref_mb=ref_mb)
     return out

@@ -121,7 +121,7 @@ def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
 
 
 def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
-                  syn: dict, qp_mb=None):
+                  syn: dict, qp_mb=None, n_ref: int = 1):
     lib = get_lib()
     if lib is None:
         return None
@@ -143,6 +143,10 @@ def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
         args.append(arr.ctypes.data_as(ctypes.c_void_p))
     args.append(ctypes.byref(skip_count))
     args.append(_qp_arg(keep, qp_mb))
+    args.append(_qp_arg(keep, syn.get("partition")))
+    args.append(_qp_arg(keep, syn.get("mv8")))
+    args.append(_qp_arg(keep, syn.get("ref")))
+    args.append(ctypes.c_int(n_ref))
     n = lib.x264tpu_write_slice_p(*args)
     return out[:n].tobytes(), int(skip_count.value)
 
@@ -160,7 +164,8 @@ def nal_escape(payload: bytes) -> bytes | None:
 
 
 def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
-                      frame_idx: int, is_p: bool, syn: dict, qp_mb=None):
+                      frame_idx: int, is_p: bool, syn: dict, qp_mb=None,
+                      n_ref: int = 1):
     """C++ CABAC slice body. header must be byte-aligned (the
     cabac_alignment_one_bit already written). Returns (payload, counts)
     with counts = [I_16x16, I_4x4, P_L0, P_SKIP], or None if the native
@@ -171,7 +176,7 @@ def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
     cap = mb_w * mb_h * 1024 + len(header) + 4096
     out = np.zeros(cap, np.uint8)
     hdr = np.frombuffer(header, np.uint8)
-    counts = np.zeros(4, np.int32)
+    counts = np.zeros(7, np.int32)
     zeros16 = np.zeros((mb_h, mb_w, 16), np.int32)
     zeros1 = np.zeros((mb_h, mb_w), np.int32)
     zeros2 = np.zeros((mb_h, mb_w, 2), np.int32)
@@ -200,5 +205,9 @@ def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
         args.append(arr.ctypes.data_as(ctypes.c_void_p))
     args.append(counts.ctypes.data_as(ctypes.c_void_p))
     args.append(_qp_arg(keep, qp_mb))
+    args.append(_qp_arg(keep, syn.get("partition") if is_p else None))
+    args.append(_qp_arg(keep, syn.get("mv8") if is_p else None))
+    args.append(_qp_arg(keep, syn.get("ref") if is_p else None))
+    args.append(ctypes.c_int(n_ref))
     n = lib.x264tpu_write_slice_cabac(*args)
     return out[:n].tobytes(), counts

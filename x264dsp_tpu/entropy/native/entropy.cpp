@@ -317,6 +317,148 @@ static void write_mb_i(BitWriter &bw, Ctx &c, int mbx, int mby, int qp,
     write_chroma_residual(bw, c, mb, mbx, mby, cbp_chroma);
 }
 
+// ---------------------------------------------------------------------
+// Block-granularity MV prediction (common/mvpred.c:22-160 twin on a
+// frame 4x4 grid; mirror of entropy/mvpred_host.py). Single-ref P,
+// no intra-in-P: "ref matches" == "block decoded".
+// ---------------------------------------------------------------------
+
+// partition geometry: (rel_bx, rel_by, w4, h4) per index
+static const int PART_GEOM[4][4][4] = {
+    {{0, 0, 4, 4}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}},
+    {{0, 0, 4, 2}, {0, 2, 4, 2}, {0, 0, 0, 0}, {0, 0, 0, 0}},
+    {{0, 0, 2, 4}, {2, 0, 2, 4}, {0, 0, 0, 0}, {0, 0, 0, 0}},
+    {{0, 0, 2, 2}, {2, 0, 2, 2}, {0, 2, 2, 2}, {2, 2, 2, 2}},
+};
+static const int PART_N[4] = {1, 2, 2, 4};
+
+static int part_rank(int part, int rx, int ry) {
+    for (int i = 0; i < PART_N[part]; i++) {
+        const int *g = PART_GEOM[part][i];
+        if (rx >= g[0] && rx < g[0] + g[2] && ry >= g[1] && ry < g[1] + g[3])
+            return i;
+    }
+    return 0;
+}
+
+struct MvGrid4 {
+    int mb_w, mb_h;
+    int32_t *mv;   // (4*mb_h, 4*mb_w, 2)
+    int32_t *ref;  // (4*mb_h, 4*mb_w), nullable (all ref 0)
+
+    bool decoded(int x, int y, int mbx, int mby, int part, int rank) const {
+        if (x < 0 || y < 0 || x >= mb_w * 4 || y >= mb_h * 4) return false;
+        int bx = x >> 2, by = y >> 2;
+        if (by != mby) return by < mby;
+        if (bx != mbx) return bx < mbx;
+        return part_rank(part, x & 3, y & 3) < rank;
+    }
+
+    // returns exists; fills mv and ref-match for cur_ref
+    bool nb(int x, int y, int mbx, int mby, int part, int rank, int cur_ref,
+            int64_t m[2], bool *match) const {
+        if (!decoded(x, y, mbx, mby, part, rank)) {
+            m[0] = m[1] = 0;
+            *match = false;
+            return false;
+        }
+        m[0] = mv[(y * mb_w * 4 + x) * 2];
+        m[1] = mv[(y * mb_w * 4 + x) * 2 + 1];
+        *match = (ref ? ref[y * mb_w * 4 + x] : 0) == cur_ref;
+        return true;
+    }
+
+    void set_mb(int mbx, int mby, int part, const int64_t mvs[][2],
+                int r = 0) {
+        for (int i = 0; i < PART_N[part]; i++) {
+            const int *g = PART_GEOM[part][i];
+            for (int dy = 0; dy < g[3]; dy++)
+                for (int dx = 0; dx < g[2]; dx++) {
+                    int x = mbx * 4 + g[0] + dx, y = mby * 4 + g[1] + dy;
+                    mv[(y * mb_w * 4 + x) * 2] = (int32_t)mvs[i][0];
+                    mv[(y * mb_w * 4 + x) * 2 + 1] = (int32_t)mvs[i][1];
+                    if (ref) ref[y * mb_w * 4 + x] = r;
+                }
+        }
+    }
+
+    void predict(int mbx, int mby, int part, int idx, int cur_ref,
+                 int64_t out[2]) const {
+        const int *g = PART_GEOM[part][idx];
+        int bx0 = mbx * 4 + g[0], by0 = mby * 4 + g[1], w4 = g[2];
+        int64_t a[2], b[2], c[2];
+        bool m_a, m_b, m_c;
+        bool ex_a = nb(bx0 - 1, by0, mbx, mby, part, idx, cur_ref, a, &m_a);
+        bool ex_b = nb(bx0, by0 - 1, mbx, mby, part, idx, cur_ref, b, &m_b);
+        bool ex_c = nb(bx0 + w4, by0 - 1, mbx, mby, part, idx, cur_ref,
+                       c, &m_c);
+        if (!ex_c)
+            ex_c = nb(bx0 - 1, by0 - 1, mbx, mby, part, idx, cur_ref,
+                      c, &m_c);
+        // spec shortcuts (mvpred.c:41-77)
+        if (part == 1) {
+            if (idx == 0 && m_b) { out[0] = b[0]; out[1] = b[1]; return; }
+            if (idx == 1 && m_a) { out[0] = a[0]; out[1] = a[1]; return; }
+        } else if (part == 2) {
+            if (idx == 0 && m_a) { out[0] = a[0]; out[1] = a[1]; return; }
+            if (idx == 1 && m_c) { out[0] = c[0]; out[1] = c[1]; return; }
+        }
+        int count = m_a + m_b + m_c;
+        if (count == 1) {
+            const int64_t *m = m_a ? a : m_b ? b : c;
+            out[0] = m[0]; out[1] = m[1];
+            return;
+        }
+        if (count == 0 && !ex_b && !ex_c && ex_a) {
+            out[0] = a[0]; out[1] = a[1];
+            return;
+        }
+        for (int k = 0; k < 2; k++) {
+            int64_t x = a[k], y = b[k], z = c[k];
+            int64_t mn = x < y ? x : y; mn = mn < z ? mn : z;
+            int64_t mx = x > y ? x : y; mx = mx > z ? mx : z;
+            out[k] = x + y + z - mn - mx;
+        }
+    }
+
+    void pskip(int mbx, int mby, int64_t out[2]) const {
+        int bx0 = mbx * 4, by0 = mby * 4;
+        int64_t a[2], b[2];
+        bool m0_a, m0_b;
+        bool ex_a = nb(bx0 - 1, by0, mbx, mby, 0, 0, 0, a, &m0_a);
+        bool ex_b = nb(bx0, by0 - 1, mbx, mby, 0, 0, 0, b, &m0_b);
+        if (!ex_a || !ex_b || (m0_a && a[0] == 0 && a[1] == 0)
+            || (m0_b && b[0] == 0 && b[1] == 0)) {
+            out[0] = out[1] = 0;
+            return;
+        }
+        predict(mbx, mby, 0, 0, 0, out);
+    }
+};
+
+// load the partition MVs of one MB from the mv8 tensor (mb, 2, 2, 2)
+static void load_part_mvs(const int32_t *mv8, const int32_t *mv, int mb,
+                          int part, int64_t mvs[4][2]) {
+    if (!mv8) {
+        mvs[0][0] = mv[mb * 2];
+        mvs[0][1] = mv[mb * 2 + 1];
+        return;
+    }
+    const int32_t *q = mv8 + mb * 8;  // [qy][qx][2]
+    auto Q = [&](int qy, int qx, int64_t m[2]) {
+        m[0] = q[(qy * 2 + qx) * 2];
+        m[1] = q[(qy * 2 + qx) * 2 + 1];
+    };
+    switch (part) {
+        case 0: Q(0, 0, mvs[0]); break;
+        case 1: Q(0, 0, mvs[0]); Q(1, 0, mvs[1]); break;
+        case 2: Q(0, 0, mvs[0]); Q(0, 1, mvs[1]); break;
+        default:
+            Q(0, 0, mvs[0]); Q(0, 1, mvs[1]);
+            Q(1, 0, mvs[2]); Q(1, 1, mvs[3]);
+    }
+}
+
 static void median_mvp(const int32_t *mv, const uint8_t *avail, int mb_w,
                        int mbx, int mby, int64_t out[2]) {
     auto get = [&](int yy, int xx, int64_t m[2]) -> bool {
@@ -575,7 +717,11 @@ int64_t x264tpu_write_slice_cabac(
     const int32_t *luma_dc_levels, const int32_t *chroma_dc_levels,
     const int32_t *chroma_ac_levels, const int32_t *mv,
     int32_t *mb_count_out,
-    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
+    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
+    const int32_t *partition /* nullable: 0..3 per MB */,
+    const int32_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
+    const int32_t *refidx /* nullable: per-MB ref idx */,
+    int n_ref /* active L0 refs (1 when refidx null) */) {
     (void)cap;
     memcpy(out, header, header_bytes);
     Cabac cb(!is_p, qp, frame_idx, out + header_bytes);
@@ -588,11 +734,15 @@ int64_t x264tpu_write_slice_cabac(
     int *cbp_ext = (int *)malloc((size_t)mb_w * mb_h * sizeof(int));
     int *mbt = (int *)malloc((size_t)mb_w * mb_h * sizeof(int));
     int *cmodes = (int *)calloc((size_t)mb_w * mb_h, sizeof(int));
-    int *mvdc = (int *)calloc((size_t)mb_w * mb_h * 2, sizeof(int));
-    uint8_t *avail = (uint8_t *)malloc((size_t)mb_w * mb_h);
-    memset(avail, 1, (size_t)mb_w * mb_h);
+    // per-4x4-block capped |mvd| cache (h->mb.cache.mvd twin)
+    int *mvdc = (int *)calloc((size_t)mb_w * mb_h * 32, sizeof(int));
+    int32_t *mv4g = (int32_t *)calloc((size_t)mb_w * mb_h * 32,
+                                      sizeof(int32_t));
+    int32_t *ref4g = (int32_t *)calloc((size_t)mb_w * mb_h * 16,
+                                       sizeof(int32_t));
+    MvGrid4 grid{mb_w, mb_h, mv4g, ref4g};
     for (int i = 0; i < mb_w * mb_h; i++) { cbp_ext[i] = -1; mbt[i] = -1; }
-    int counts[4] = {0, 0, 0, 0};
+    int counts[7] = {0, 0, 0, 0, 0, 0, 0};
 
     // i4_modes indexed via the CAVLC Ctx-compatible view for host_mpm
     SynI si{mb_type, nullptr, i4_modes, nullptr, nullptr, nullptr,
@@ -620,16 +770,23 @@ int64_t x264tpu_write_slice_cabac(
             int cl = cbp_luma[mb];
             int cch = cbp_chroma[mb];
 
+            int part = (is_p && partition) ? partition[mb] : 0;
+            int mb_ref = (is_p && refidx) ? refidx[mb] : 0;
+            int64_t mvs[4][2];
+            if (is_p) load_part_mvs(mv8, mv, mb, part, mvs);
+
             if (is_p) {
                 int64_t psk[2];
-                pskip_mv(mv, avail, mb_w, mbx, mby, psk);
-                bool is_skip = cl == 0 && cch == 0 && mv[mb * 2] == psk[0] &&
-                               mv[mb * 2 + 1] == psk[1];
+                grid.pskip(mbx, mby, psk);
+                bool is_skip = part == 0 && mb_ref == 0 && cl == 0 &&
+                               cch == 0 &&
+                               mvs[0][0] == psk[0] && mvs[0][1] == psk[1];
                 int nsk = 0;
                 if (mbx > 0 && mbt[mb - 1] != 3) nsk++;
                 if (mby > 0 && mbt[mb - mb_w] != 3) nsk++;
                 cb.decision(11 + nsk, is_skip ? 1 : 0);
                 if (is_skip) {
+                    grid.set_mb(mbx, mby, 0, mvs, 0);
                     mbt[mb] = 3;
                     cbp_ext[mb] = 0;
                     for (int i = 0; i < 16; i++)
@@ -638,6 +795,7 @@ int64_t x264tpu_write_slice_cabac(
                         for (int d = 0; d < 4; d++)
                             cnnz[(ch * 2 * mb_h + mby * 2 + (d >> 1)) * w2 +
                                  mbx * 2 + (d & 1)] = 0;
+                    for (int d = 0; d < 32; d++) mvdc[mb * 32 + d] = 0;
                     counts[3]++;
                     last_dqp = 0;    // cache_save: qp reverts to last_qp
                     prev_ext = 0;
@@ -648,26 +806,81 @@ int64_t x264tpu_write_slice_cabac(
             int b_intra;
             bool is_i16 = false;
             if (is_p) {
-                // P_L0 16x16: bins 0,0,0 on ctx 14/15/16 (cabac.c:349-357)
-                cb.decision(14, 0);
-                cb.decision(15, 0);
-                cb.decision(16, 0);
-                int64_t mvp[2];
-                median_mvp(mv, avail, mb_w, mbx, mby, mvp);
-                int mdx = (int)(mv[mb * 2] - mvp[0]);
-                int mdy = (int)(mv[mb * 2 + 1] - mvp[1]);
-                int la0 = mbx > 0 ? mvdc[(mb - 1) * 2] : 0;
-                int la1 = mbx > 0 ? mvdc[(mb - 1) * 2 + 1] : 0;
-                int ta0 = mby > 0 ? mvdc[(mb - mb_w) * 2] : 0;
-                int ta1 = mby > 0 ? mvdc[(mb - mb_w) * 2 + 1] : 0;
-                int amvd0 = la0 + ta0, amvd1 = la1 + ta1;
-                int c0 = (amvd0 > 2 ? 1 : 0) + (amvd0 > 32 ? 1 : 0);
-                int c1 = (amvd1 > 2 ? 1 : 0) + (amvd1 > 32 ? 1 : 0);
-                mvdc[mb * 2] = cabac_mvd_cpn(cb, 0, mdx, c0);
-                mvdc[mb * 2 + 1] = cabac_mvd_cpn(cb, 1, mdy, c1);
+                // mb_type bins (x264_cabac_mb_header_p, cabac.c:345-415)
+                if (part == 0) {
+                    cb.decision(14, 0); cb.decision(15, 0); cb.decision(16, 0);
+                } else if (part == 1) {
+                    cb.decision(14, 0); cb.decision(15, 1); cb.decision(17, 1);
+                } else if (part == 2) {
+                    cb.decision(14, 0); cb.decision(15, 1); cb.decision(17, 0);
+                } else {
+                    cb.decision(14, 0); cb.decision(15, 0); cb.decision(16, 1);
+                    for (int i = 0; i < 4; i++)
+                        cb.decision(21, 1);  // sub_mb_type D_L0_8x8
+                }
+                // ref idx (x264_cabac_ref_p, cabac.c:211-230) BEFORE
+                // storing this MB's refs (neighbour ctx uses old state)
+                if (n_ref > 1) {
+                    for (int pi = 0; pi < PART_N[part]; pi++) {
+                        const int *g = PART_GEOM[part][pi];
+                        int bx0 = mbx * 4 + g[0], by0 = mby * 4 + g[1];
+                        auto ref_at = [&](int x, int y) -> int {
+                            if (x < 0 || y < 0) return 0;
+                            // within current MB, earlier partitions have
+                            // this MB's ref; unreached blocks still hold 0
+                            return ref4g[y * mb_w * 4 + x];
+                        };
+                        // note: earlier partitions of this MB must be
+                        // visible; store incrementally below
+                        int ctx = 0;
+                        if (ref_at(bx0 - 1, by0) > 0) ctx++;
+                        if (ref_at(bx0, by0 - 1) > 0) ctx += 2;
+                        for (int r = mb_ref; r > 0; r--) {
+                            cb.decision(54 + ctx, 1);
+                            ctx = (ctx >> 2) + 4;
+                        }
+                        cb.decision(54 + ctx, 0);
+                        // set this partition's ref for later partitions
+                        for (int dy = 0; dy < g[3]; dy++)
+                            for (int dx = 0; dx < g[2]; dx++)
+                                ref4g[(by0 + dy) * mb_w * 4 + bx0 + dx] =
+                                    mb_ref;
+                    }
+                }
+                grid.set_mb(mbx, mby, part, mvs, mb_ref);
+                for (int pi = 0; pi < PART_N[part]; pi++) {
+                    int64_t mvp[2];
+                    grid.predict(mbx, mby, part, pi, mb_ref, mvp);
+                    const int *g = PART_GEOM[part][pi];
+                    int bx0 = mbx * 4 + g[0], by0 = mby * 4 + g[1];
+                    // mvd cache layout: mvdc[(mb*16 + ry*4 + rx)*2 + k],
+                    // frame-indexed below for cross-MB neighbours
+                    auto mvd_at = [&](int x, int y, int k) -> int {
+                        if (x < 0 || y < 0) return 0;
+                        int m = (y >> 2) * mb_w + (x >> 2);
+                        return mvdc[(m * 16 + (y & 3) * 4 + (x & 3)) * 2 + k];
+                    };
+                    int amvd0 = mvd_at(bx0 - 1, by0, 0)
+                              + mvd_at(bx0, by0 - 1, 0);
+                    int amvd1 = mvd_at(bx0 - 1, by0, 1)
+                              + mvd_at(bx0, by0 - 1, 1);
+                    int c0 = (amvd0 > 2 ? 1 : 0) + (amvd0 > 32 ? 1 : 0);
+                    int c1 = (amvd1 > 2 ? 1 : 0) + (amvd1 > 32 ? 1 : 0);
+                    int a0 = cabac_mvd_cpn(cb, 0,
+                                           (int)(mvs[pi][0] - mvp[0]), c0);
+                    int a1 = cabac_mvd_cpn(cb, 1,
+                                           (int)(mvs[pi][1] - mvp[1]), c1);
+                    for (int dy = 0; dy < g[3]; dy++)
+                        for (int dx = 0; dx < g[2]; dx++) {
+                            int m = mb;
+                            int ri = ((g[1] + dy) * 4 + g[0] + dx);
+                            mvdc[(m * 16 + ri) * 2] = a0;
+                            mvdc[(m * 16 + ri) * 2 + 1] = a1;
+                        }
+                }
                 mbt[mb] = 2;
                 b_intra = 0;
-                counts[2]++;
+                counts[part == 0 ? 2 : 3 + part]++;
             } else {
                 bool is_i4 = mb_type[mb] == 1;
                 b_intra = 1;
@@ -864,9 +1077,9 @@ int64_t x264tpu_write_slice_cabac(
 
     cb.flush();
     if (mb_count_out)
-        for (int i = 0; i < 4; i++) mb_count_out[i] = counts[i];
+        for (int i = 0; i < 7; i++) mb_count_out[i] = counts[i];
     free(nnz); free(cnnz); free(cbp_ext); free(mbt); free(cmodes);
-    free(mvdc); free(avail);
+    free(mvdc); free(mv4g); free(ref4g);
     return header_bytes + (int64_t)cb.len;
 }
 
@@ -929,7 +1142,11 @@ int64_t x264tpu_write_slice_p(
     const int32_t *mv, const int32_t *cbp_luma, const int32_t *cbp_chroma,
     const int32_t *luma_levels, const int32_t *chroma_dc_levels,
     const int32_t *chroma_ac_levels, int32_t *skip_count_out,
-    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
+    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
+    const int32_t *partition /* nullable: 0..3 per MB */,
+    const int32_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
+    const int32_t *refidx /* nullable: per-MB ref idx */,
+    int n_ref /* active L0 refs (1 when refidx null) */) {
     BitWriter bw{out, (size_t)cap};
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
     if (header_bits_used) bw.write(header_bits_used,
@@ -940,8 +1157,11 @@ int64_t x264tpu_write_slice_p(
            chroma_ac_levels, mv};
     int *lc = (int *)calloc((size_t)mb_w * mb_h * 16, sizeof(int));
     int *cc = (int *)calloc((size_t)mb_w * mb_h * 8, sizeof(int));
-    uint8_t *avail = (uint8_t *)malloc((size_t)mb_w * mb_h);
-    memset(avail, 1, (size_t)mb_w * mb_h);
+    int32_t *mv4 = (int32_t *)calloc((size_t)mb_w * mb_h * 32,
+                                     sizeof(int32_t));
+    int32_t *ref4 = (int32_t *)calloc((size_t)mb_w * mb_h * 16,
+                                      sizeof(int32_t));
+    MvGrid4 grid{mb_w, mb_h, mv4, ref4};
     Ctx c{mb_w, mb_h, lc, cc, &s};
     int w4 = mb_w * 4;
     int last_qp = qp;
@@ -951,13 +1171,18 @@ int64_t x264tpu_write_slice_p(
         for (int mbx = 0; mbx < mb_w; mbx++) {
             int mb = mby * mb_w + mbx;
             int cl = cbp_luma[mb], cch = cbp_chroma[mb];
+            int part = partition ? partition[mb] : 0;
+            int mb_ref = refidx ? refidx[mb] : 0;
+            int64_t mvs[4][2];
+            load_part_mvs(mv8, mv, mb, part, mvs);
             int64_t psk[2];
-            pskip_mv(mv, avail, mb_w, mbx, mby, psk);
-            bool is_skip = cl == 0 && cch == 0 && mv[mb * 2] == psk[0] &&
-                           mv[mb * 2 + 1] == psk[1];
+            grid.pskip(mbx, mby, psk);
+            bool is_skip = part == 0 && mb_ref == 0 && cl == 0 && cch == 0 &&
+                           mvs[0][0] == psk[0] && mvs[0][1] == psk[1];
             if (is_skip) {
                 skip_run++;
                 n_skip++;
+                grid.set_mb(mbx, mby, 0, mvs, 0);
                 for (int i = 0; i < 16; i++)
                     lc[(mby * 4 + BIY[i]) * w4 + mbx * 4 + BIX[i]] = 0;
                 write_chroma_residual(bw, c, mb, mbx, mby, 0);
@@ -965,11 +1190,26 @@ int64_t x264tpu_write_slice_p(
             }
             bw.write_ue(skip_run);
             skip_run = 0;
-            bw.write(1, 1); // mb_type P_L0 16x16
-            int64_t mvp[2];
-            median_mvp(mv, avail, mb_w, mbx, mby, mvp);
-            bw.write_se((int32_t)(mv[mb * 2] - mvp[0]));
-            bw.write_se((int32_t)(mv[mb * 2 + 1] - mvp[1]));
+            // mb_type (cavlc.c:235-305): P_8x8ref0 (ue 4) when all
+            // sub refs are 0 and refs are active
+            bool sub_ref0 = part == 3 && n_ref > 1 && mb_ref == 0;
+            bw.write_ue(part == 3 && sub_ref0 ? 4 : part);
+            if (part == 3)
+                bw.write(4, 0xF);  // 4x sub_mb_type = L0_8x8 (ue(0))
+            grid.set_mb(mbx, mby, part, mvs, mb_ref);
+            if (n_ref > 1 && !(part == 3 && sub_ref0)) {
+                // te(n_ref-1) coded ref idx per partition
+                for (int pi = 0; pi < PART_N[part]; pi++) {
+                    if (n_ref == 2) bw.write(1, 1 ^ mb_ref);
+                    else bw.write_ue(mb_ref);
+                }
+            }
+            for (int pi = 0; pi < PART_N[part]; pi++) {
+                int64_t mvp[2];
+                grid.predict(mbx, mby, part, pi, mb_ref, mvp);
+                bw.write_se((int32_t)(mvs[pi][0] - mvp[0]));
+                bw.write_se((int32_t)(mvs[pi][1] - mvp[1]));
+            }
             bw.write_ue(CBP_GOLOMB_INTER[(cch << 4) | cl]);
             if (cl | cch) {
                 int mqp = qp_mb ? qp_mb[mb] : qp;
@@ -991,7 +1231,7 @@ int64_t x264tpu_write_slice_p(
     if (skip_run > 0) bw.write_ue(skip_run);
     bw.rbsp_trailing();
     if (skip_count_out) *skip_count_out = n_skip;
-    free(lc); free(cc); free(avail);
+    free(lc); free(cc); free(mv4); free(ref4);
     return (int64_t)bw.len;
 }
 

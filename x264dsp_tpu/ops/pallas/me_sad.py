@@ -25,12 +25,14 @@ def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
     n = 2 * R + 1
     f = f_ref[0]  # (16, W)
 
-    # 16-column segment sums as a matmul with a 0/1 selection matrix (the
-    # (W,)→(mb_w,16) reshape isn't lowerable in Mosaic; the MXU does this
-    # for free, and values < 2^17 are exact in f32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (W, mb_w), 0)
-    mbi = jax.lax.broadcasted_iota(jnp.int32, (W, mb_w), 1)
-    sel = ((col >> 4) == mbi).astype(jnp.float32)
+    # 8-column segment sums as a matmul with a 0/1 selection matrix (the
+    # (W,)→(2*mb_w,8) reshape isn't lowerable in Mosaic; the MXU does this
+    # for free, and values < 2^17 are exact in f32). 8-granularity gives
+    # the four 8x8 quadrant SADs per MB — the P partition cost surfaces
+    # (16x16/16x8/8x16 are quadrant sums).
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, 2 * mb_w), 0)
+    mbi = jax.lax.broadcasted_iota(jnp.int32, (W, 2 * mb_w), 1)
+    sel = ((col >> 3) == mbi).astype(jnp.float32)
 
     # Mosaic requires dynamic sublane/lane offsets to be 8/128-aligned, so
     # both offsets are static unrolls; the compiler lowers the misaligned
@@ -40,21 +42,24 @@ def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
         for dx in range(n):
             win = rows[:, dx:dx + W]
             ad = jnp.abs(f - win)                # (16, W) int32
-            rowsum = ad.sum(axis=0, keepdims=True).astype(jnp.float32)
-            tile = jnp.dot(rowsum, sel,
+            top = ad[:8].sum(axis=0, keepdims=True).astype(jnp.float32)
+            bot = ad[8:].sum(axis=0, keepdims=True).astype(jnp.float32)
+            halves = jnp.concatenate([top, bot], axis=0)   # (2, W)
+            tile = jnp.dot(halves, sel,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
             k = dy * n + dx
-            o_ref[0, k:k + 1, :] = tile.astype(jnp.int32)
+            o_ref[0, 2 * k:2 * k + 2, :] = tile.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "R",
                                              "interpret"))
-def sad_cost_surfaces(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
-                      interpret: bool = False):
-    """fenc_y: (mb_h*16, mb_w*16) int32; ref_strips: (mb_h, 16+2R,
-    mb_w*16+2R) int32 (per-MB-row search windows). Returns
-    (mb_h, mb_w, 2R+1, 2R+1) int32 SADs."""
+def sad_cost_surfaces_8x8(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
+                          interpret: bool = False):
+    """Quadrant SAD surfaces: fenc_y (mb_h*16, mb_w*16) int32; ref_strips
+    (mb_h, 16+2R, mb_w*16+2R) int32. Returns
+    (mb_h, mb_w, 2, 2, 2R+1, 2R+1) int32 — per-MB 8x8 quadrant SADs
+    [qy][qx] at every fullpel offset."""
     W = mb_w * 16
     n = 2 * R + 1
     kernel = functools.partial(_kernel, R, mb_w)
@@ -67,12 +72,24 @@ def sad_cost_surfaces(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
             pl.BlockSpec((1, 16 + 2 * R, W + 2 * R), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n * n, mb_w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, n * n * 2, 2 * mb_w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mb_h, n * n, mb_w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((mb_h, n * n * 2, 2 * mb_w),
+                                       jnp.int32),
         interpret=interpret,
     )(fenc_y.reshape(mb_h, 16, W), ref_strips)
-    return out.transpose(0, 2, 1).reshape(mb_h, mb_w, n, n)
+    # (mb_h, n*n, qy, mb_w, qx) -> (mb_h, mb_w, qy, qx, n, n)
+    out = out.reshape(mb_h, n * n, 2, mb_w, 2)
+    return out.transpose(0, 3, 2, 4, 1).reshape(mb_h, mb_w, 2, 2, n, n)
+
+
+def sad_cost_surfaces(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
+                      interpret: bool = False):
+    """16x16 SAD surfaces (sum of the quadrant surfaces). Returns
+    (mb_h, mb_w, 2R+1, 2R+1) int32."""
+    q = sad_cost_surfaces_8x8(fenc_y, ref_strips, mb_w, mb_h, R,
+                              interpret=interpret)
+    return q.sum(axis=(2, 3))
 
 
 def make_ref_strips(ref_full_pad, pad: int, mb_w: int, mb_h: int, R: int):
