@@ -67,7 +67,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from x264dsp_tpu.encoder.inter_frame import (encode_p_frame, pack_syn_p,
-                                                 unpack_syn_p)
+                                                 pack_syn_p8, unpack_syn_p,
+                                                 unpack_syn_p8)
     from x264dsp_tpu.ops import deblock as DB
     from x264dsp_tpu.ops import mc as MC
     from x264dsp_tpu.entropy import native
@@ -81,7 +82,7 @@ def main():
 
     def device_step(fy, fu, fv, ref4, refu, refv):
         """Full conformant P step: encode + real strengths + deblock +
-        reference update. Returns (one packed int16 syn buffer, refs)."""
+        reference update. Returns (int8 syn pack, int16 fallback, refs)."""
         out = encode_p_frame.__wrapped__(
             fy, fu, fv, ref4, refu, refv, QP, qpc, lam,
             mb_w=MB_W, mb_h=MB_H, me_range=16, mv_range=512,
@@ -91,13 +92,20 @@ def main():
             zero_mb, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H)
         refs = (MC.make_ref_planes(dy), MC.pad_chroma(du),
                 MC.pad_chroma(dv))
-        return pack_syn_p(out, MB_W, MB_H), refs
+        return pack_syn_p8(out, MB_W, MB_H), pack_syn_p(out, MB_W, MB_H), \
+            refs
 
     frames = synth_video(3)
     header = bytes([0x40])  # byte-aligned dummy slice header for timing
 
-    def entropy(buf):
-        syn_np = unpack_syn_p(buf, MB_W, MB_H)
+    def pull(syn8, syn16):
+        """int8 transfer; int16 fallback when levels exceed int8."""
+        syn_np = unpack_syn_p8(np.asarray(syn8), MB_W, MB_H)
+        if syn_np is None:
+            syn_np = unpack_syn_p(np.asarray(syn16), MB_W, MB_H)
+        return syn_np
+
+    def entropy(syn_np):
         res = native.write_slice_cabac(header, MB_W, MB_H, QP, 1, True,
                                        syn_np)
         assert res is not None, "native entropy library unavailable"
@@ -110,34 +118,34 @@ def main():
         refv = MC.pad_chroma(jnp.asarray(frames[0][2]))
         refs = (ref4, refu, refv)
         # warm up compile + entropy lib
-        syn, refs = step(*map(jnp.asarray, frames[1]), *refs)
-        entropy(np.asarray(syn))
+        syn8, syn16, refs = step(*map(jnp.asarray, frames[1]), *refs)
+        entropy(pull(syn8, syn16))
 
-        # timed loop with frame-lag overlap (device N+1 || entropy N)
+        # timed loop, one frame in flight: pull + entropy of frame N
+        # overlap the device encode of frame N+1
         t_dev = t_ent = t_pull = 0.0
-        pending = None
         nbytes = 0
+        prev = step(*map(jnp.asarray, frames[1]), *refs)
+        refs = prev[2]
         t0 = time.perf_counter()
         for i in range(n_frames):
             f = frames[1 + (i % 2)]
             td = time.perf_counter()
-            syn, refs = step(*map(jnp.asarray, f), *refs)   # async
+            cur = step(*map(jnp.asarray, f), *prev[2])      # async
             t_dev += time.perf_counter() - td
-            if pending is not None:
-                te = time.perf_counter()
-                nbytes += entropy(pending)
-                t_ent += time.perf_counter() - te
             tp = time.perf_counter()
-            pending = np.asarray(syn)   # one packed transfer
+            syn_np = pull(prev[0], prev[1])  # transfers while device busy
             t_pull += time.perf_counter() - tp
-        te = time.perf_counter()
-        nbytes += entropy(pending)
-        t_ent += time.perf_counter() - te
+            te = time.perf_counter()
+            nbytes += entropy(syn_np)
+            t_ent += time.perf_counter() - te
+            prev = cur
+        nbytes += entropy(pull(prev[0], prev[1]))
         dt = time.perf_counter() - t0
-        fps = n_frames / dt
+        fps = (n_frames + 1) / dt
         print(f"breakdown: dispatch {t_dev/n_frames*1e3:.1f} ms  "
               f"entropy {t_ent/n_frames*1e3:.1f} ms  "
-              f"pull+sync {t_pull/n_frames*1e3:.1f} ms  "
+              f"pull {t_pull/n_frames*1e3:.1f} ms  "
               f"slice {nbytes//n_frames} B/frame", file=sys.stderr)
         metric = "1080p IPPP end-to-end fps/chip (device + CABAC entropy)"
     else:
@@ -159,22 +167,33 @@ def main():
 
         pool = ThreadPoolExecutor(max_workers=min(S, 8))
 
-        def entropy_batch(bufs):
-            return sum(pool.map(entropy, [bufs[s] for s in range(S)]))
+        def entropy_batch(syn8, syn16):
+            b8 = np.asarray(syn8)
+            b16 = None
 
-        syn, refs = vstep(*batch(0), *refs)
-        entropy_batch(np.asarray(syn))
+            def one(s):
+                nonlocal b16
+                syn_np = unpack_syn_p8(b8[s], MB_W, MB_H)
+                if syn_np is None:
+                    if b16 is None:
+                        b16 = np.asarray(syn16)
+                    syn_np = unpack_syn_p(b16[s], MB_W, MB_H)
+                return entropy(syn_np)
+            return sum(pool.map(one, range(S)))
 
-        pending = None
+        syn8, syn16, refs = vstep(*batch(0), *refs)
+        entropy_batch(syn8, syn16)
+
+        prev = vstep(*batch(0), *refs)
+        refs = prev[2]
         t0 = time.perf_counter()
         for i in range(n_frames):
-            syn, refs = vstep(*batch(i), *refs)
-            if pending is not None:
-                entropy_batch(pending)
-            pending = np.asarray(syn)
-        entropy_batch(pending)
+            cur = vstep(*batch(i), *prev[2])
+            entropy_batch(prev[0], prev[1])
+            prev = cur
+        entropy_batch(prev[0], prev[1])
         dt = time.perf_counter() - t0
-        fps = n_frames * S / dt
+        fps = (n_frames + 1) * S / dt
         metric = (f"1080p IPPP end-to-end fps/chip ({S}-stream batched, "
                   f"aggregate, device + CABAC entropy)")
 

@@ -1,0 +1,190 @@
+"""Quality-parity harness: run the BASELINE.json configs against the
+reference C oracle and record PSNR/bitrate deltas per round.
+
+Usage:
+    python tools/parity.py [--out PARITY.json] [--configs 1,2,3,4]
+
+For each config it encodes the same synthetic clip with this framework
+and with the reference oracle build (tools/build_reference_oracle.sh),
+decodes our stream with the conformance decoder (round-trip check), and
+records {bitrate, PSNR} for both plus the deltas. The oracle takes no
+flags (the fork's CLI parses only in/out filenames, x264.c:94-104), so
+configs are expressed through the fork's DEFAULTS (CRF28, CABAC, DIA,
+subme1, keyint 50) — config 1..4 vary resolution/content; our encoder is
+run with matching parameters.
+
+Results are written as JSON for the round artifacts (PARITY_r{N}.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/x264tpu_jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+import numpy as np  # noqa: E402
+
+
+def synth_clip(w, h, n, seed=3):
+    """Deterministic natural-ish clip: moving textures + noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h * 2, 0:w * 2].astype(np.float32)
+    base = (110 + 55 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+            + 25 * np.sin((xx + yy) / 7.0)
+            + rng.normal(0, 3, (h * 2, w * 2))).clip(0, 255)
+    frames = []
+    for t in range(n):
+        dx, dy = int(2.5 * t), int(1.25 * t)
+        y = base[dy:dy + h, dx:dx + w].astype(np.uint8)
+        u = (120 + 35 * np.sin((xx[:h:2, :w:2] + 3 * t) / 31.0)).clip(
+            0, 255).astype(np.uint8)
+        v = (128 + 35 * np.cos((yy[:h:2, :w:2] + 2 * t) / 29.0)).clip(
+            0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def psnr(a, b):
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d * d).mean()
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+def run_ours(frames, w, h, cfg):
+    import x264dsp_tpu as xt
+    from x264dsp_tpu import params as P
+
+    p = xt.param_default()
+    p.i_width, p.i_height = w, h
+    for k, v in cfg.items():
+        if k.startswith("rc."):
+            setattr(p.rc, k[3:], v)
+        elif k.startswith("analyse."):
+            setattr(p.analyse, k[8:], v)
+        else:
+            setattr(p, k, v)
+    enc = xt.Encoder(p)
+    headers = b"".join(n.payload for n in enc.headers())
+    total = len(headers)
+    stream = headers
+    psnrs = []
+    for (y, u, v) in frames:
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        stream += b"".join(n.payload for n in nals)
+        total += sum(len(n.payload) for n in nals)
+        psnrs.append(psnr(po.y, y))
+    enc.close()
+
+    # conformance: our own decoder must reproduce the recon exactly
+    from h264_decode import Decoder
+    dec = Decoder().decode(stream)
+    assert len(dec) == len(frames), "decode frame count mismatch"
+    dec_psnrs = [psnr(dy, fy) for (dy, _, _), (fy, _, _) in
+                 zip(dec, frames)]
+    return total, float(np.mean(psnrs)), float(np.mean(dec_psnrs))
+
+
+def run_oracle(frames, w, h, workdir, env_cfg):
+    """Encode with the reference via the env-configurable oracle CLI
+    (tools/oracle/oracle_cli.c) at MATCHED settings."""
+    oracle = Path(os.environ.get("X264_ORACLE_DIR", "/tmp/x264ref"))
+    exe = oracle / "oracle_cli"
+    if not exe.exists():
+        subprocess.run(["bash", str(REPO / "tools/build_reference_oracle.sh"),
+                        str(oracle)], check=True, capture_output=True)
+    from x264dsp_tpu.utils.yuv import write_yuv
+    yuv = Path(workdir) / f"{w}x{h}.yuv"
+    out = Path(workdir) / "ref.264"
+    write_yuv(str(yuv), frames)
+    env = dict(os.environ)
+    env.update({k: str(v) for k, v in env_cfg.items()})
+    subprocess.run([str(exe), str(yuv), str(out)], check=True,
+                   capture_output=True, env=env)
+    size = out.stat().st_size
+    from h264_decode import Decoder
+    dec = Decoder().decode(out.read_bytes())
+    psnrs = [psnr(dy, fy) for (dy, _, _), (fy, _, _) in zip(dec, frames)]
+    return size, float(np.mean(psnrs))
+
+
+# configs: name -> (w, h, n_frames, our-params, matched oracle env)
+CONFIGS = {
+    "1_qcif_intra_cavlc_cqp": dict(
+        w=176, h=144, n=4,
+        params={"b_cabac": 0, "rc.i_rc_method": 0, "rc.i_qp_constant": 26,
+                "i_keyint_max": 1},
+        oracle={"ORACLE_CABAC": 0, "ORACLE_QP": 26, "ORACLE_KEYINT": 1}),
+    "2_cif_ippp_cavlc_cqp": dict(
+        # subme=1 floor: the reference crashes at subme 0 (refine_subpel
+        # assumes >= 1), so the "full-pel" config uses the fork's minimum
+        w=352, h=288, n=6,
+        params={"b_cabac": 0, "rc.i_rc_method": 0, "rc.i_qp_constant": 26,
+                "analyse.i_subpel_refine": 1},
+        oracle={"ORACLE_CABAC": 0, "ORACLE_QP": 26, "ORACLE_SUBME": 1}),
+    "3_cif_ippp_subpel_deblock": dict(
+        w=352, h=288, n=6,
+        params={"b_cabac": 0, "rc.i_rc_method": 0, "rc.i_qp_constant": 26,
+                "analyse.i_subpel_refine": 2},
+        oracle={"ORACLE_CABAC": 0, "ORACLE_QP": 26, "ORACLE_SUBME": 2}),
+    "4_cif_ippp_cabac_crf": dict(
+        w=352, h=288, n=6,
+        params={"b_cabac": 1, "rc.i_rc_method": 1,
+                "rc.f_rf_constant": 28.0},
+        oracle={"ORACLE_CABAC": 1, "ORACLE_CRF": 28}),
+    "5_cif_partitions_multiref": dict(
+        w=352, h=288, n=6,
+        params={"b_cabac": 1, "rc.i_rc_method": 0, "rc.i_qp_constant": 26,
+                "analyse.inter": 0x10, "i_frame_reference": 2,
+                "analyse.i_subpel_refine": 2},
+        oracle={"ORACLE_CABAC": 1, "ORACLE_QP": 26, "ORACLE_PSUB16": 1,
+                "ORACLE_REF": 2, "ORACLE_SUBME": 2}),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PARITY.json")
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    args = ap.parse_args()
+    results = {}
+    for name in args.configs.split(","):
+        name = name.strip()
+        if name not in CONFIGS:
+            continue
+        c = CONFIGS[name]
+        frames = synth_clip(c["w"], c["h"], c["n"])
+        with tempfile.TemporaryDirectory() as td:
+            ref_size, ref_psnr = run_oracle(frames, c["w"], c["h"], td,
+                                            c["oracle"])
+        our_size, our_psnr, dec_psnr = run_ours(frames, c["w"], c["h"],
+                                                c["params"])
+        assert abs(our_psnr - dec_psnr) < 1e-9, \
+            "encoder/decoder recon mismatch"
+        results[name] = {
+            "ours": {"bytes": our_size, "psnr_y": round(our_psnr, 3)},
+            "oracle": {"bytes": ref_size, "psnr_y": round(ref_psnr, 3)},
+            "psnr_delta_db": round(our_psnr - ref_psnr, 3),
+            "size_ratio": round(our_size / ref_size, 3),
+        }
+        print(f"{name}: ours {our_size} B / {our_psnr:.2f} dB, "
+              f"oracle {ref_size} B / {ref_psnr:.2f} dB "
+              f"(Δ {our_psnr - ref_psnr:+.2f} dB, "
+              f"size ×{our_size / ref_size:.2f})")
+    Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

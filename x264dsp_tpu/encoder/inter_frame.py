@@ -878,6 +878,27 @@ def pack_syn_p(out: dict, mb_w: int, mb_h: int):
     return jnp.concatenate(parts)
 
 
+def pack_syn_p8(out: dict, mb_w: int, mb_h: int):
+    """int8 variant of pack_syn_p: halves the device->host transfer.
+    Element [0] is a has-big flag — 1 when any level exceeds the int8
+    range (possible at very low QP), in which case the caller must pull
+    the int16 pack instead. MVs are window-clamped to ±76 qpel, all
+    other fields fit int8 by construction."""
+    parts = [out[k].reshape(-1) for k, _ in SYN_PACK_LAYOUT]
+    flat = jnp.concatenate(parts)
+    has_big = jnp.any((flat > 127) | (flat < -128)).astype(jnp.int8)
+    return jnp.concatenate([has_big[None],
+                            jnp.clip(flat, -128, 127).astype(jnp.int8)])
+
+
+def unpack_syn_p8(buf8: np.ndarray, mb_w: int, mb_h: int):
+    """Host-side views for pack_syn_p8. Returns None if the has-big flag
+    is set (caller falls back to the int16 pack)."""
+    if buf8[0]:
+        return None
+    return unpack_syn_p(buf8[1:], mb_w, mb_h)
+
+
 def unpack_syn_p(buf: np.ndarray, mb_w: int, mb_h: int) -> dict:
     """Host-side zero-copy views into a pulled pack_syn_p buffer."""
     B = mb_w * mb_h

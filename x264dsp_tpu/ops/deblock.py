@@ -366,6 +366,94 @@ def effective_qp(qp_mb, coded, slice_qp):
     return jnp.where(got, out, slice_qp).reshape(shape)
 
 
+def _wave_lanes(bs, intra_mb, first_edge_only, qp_mb, qpc_mb,
+                alpha_off, beta_off, mb_w: int, mb_h: int):
+    """Per-diagonal per-slot filter lanes for ALL wavefront steps at once
+    (the step() computation below, vectorized over the diagonal axis) —
+    feeds the single-call wavefront kernel (ops/pallas/deblock_wave)."""
+    n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
+    ys, xs = diag_ys, diag_xs                      # (n_diag, K)
+    valid = ys >= 0
+    yc = jnp.maximum(ys, 0)
+    xc = jnp.maximum(xs, 0)
+
+    bs_mb = bs[yc, xc]                             # (n_diag, K, 2, 4, 4)
+    ic = intra_mb[yc, xc] > 0
+    il = intra_mb[yc, jnp.maximum(xc - 1, 0)] > 0
+    it = intra_mb[jnp.maximum(yc - 1, 0), xc] > 0
+    feo = first_edge_only[yc, xc] > 0
+    has_l = (xs > 0) & valid
+    has_t = (ys > 0) & valid
+
+    def edge_qps(grid, n_edges):
+        cur = grid[yc, xc]
+        left = grid[yc, jnp.maximum(xc - 1, 0)]
+        top = grid[jnp.maximum(yc - 1, 0), xc]
+        qpe = jnp.broadcast_to(cur[..., None, None],
+                               cur.shape + (2, n_edges))
+        qpe = qpe.at[..., 0, 0].set((cur + left + 1) >> 1)
+        qpe = qpe.at[..., 1, 0].set((cur + top + 1) >> 1)
+        return qpe
+
+    qpe_l = edge_qps(qp_mb, 4)
+    qpe_c = edge_qps(qpc_mb, 2)
+    ia_l = jnp.clip(qpe_l + alpha_off, 0, 51)
+    ib_l = jnp.clip(qpe_l + beta_off, 0, 51)
+    ia_c = jnp.clip(qpe_c + alpha_off, 0, 51)
+    ib_c = jnp.clip(qpe_c + beta_off, 0, 51)
+
+    D, K = ys.shape
+    internal = ((~feo) & valid).astype(jnp.int32)
+    f0 = jnp.zeros((D, K), jnp.int32)
+    tc0y = _TC0_J[ia_l[..., None], jnp.clip(bs_mb, 0, 3)]
+    tc0y = tc0y[..., jnp.arange(16) >> 2].reshape(D, K, 128)
+    bsc = bs_mb[:, :, :, ::2]                      # bs edge rows 0, 2
+    tcc = _TC0_J[ia_c[..., None], jnp.clip(bsc, 0, 3)] + 1
+    tcc = tcc[..., jnp.arange(8) >> 1].reshape(D, K, 32)
+    tcc = jnp.repeat(tcc, 2, axis=1)               # interleave (u, v)
+    eny = jnp.stack([has_l.astype(jnp.int32), internal, internal,
+                     internal, has_t.astype(jnp.int32), internal,
+                     internal, internal], axis=-1)
+    uiy = jnp.stack([(ic | il).astype(jnp.int32), f0, f0, f0,
+                     (ic | it).astype(jnp.int32), f0, f0, f0], axis=-1)
+    enc = jnp.repeat(jnp.stack(
+        [has_l.astype(jnp.int32), internal,
+         has_t.astype(jnp.int32), internal], axis=-1), 2, axis=1)
+    uic = jnp.repeat(jnp.stack(
+        [(ic | il).astype(jnp.int32), f0,
+         (ic | it).astype(jnp.int32), f0], axis=-1), 2, axis=1)
+    aly = _ALPHA_J[ia_l].reshape(D, K, 8)
+    bly = _BETA_J[ib_l].reshape(D, K, 8)
+    alc = jnp.repeat(_ALPHA_J[ia_c].reshape(D, K, 4), 2, axis=1)
+    blc = jnp.repeat(_BETA_J[ib_c].reshape(D, K, 4), 2, axis=1)
+    return (tc0y, eny, uiy, aly, bly), (tcc, enc, uic, alc, blc)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+def deblock_frame_wave_batched(y, u, v, bs, intra_mb, first_edge_only,
+                               qp, qpc, alpha_off, beta_off,
+                               mb_w: int, mb_h: int,
+                               interpret: bool = False):
+    """Whole-frame wavefront deblock in ONE Pallas call per plane set
+    (ops/pallas/deblock_wave), batched over a leading stream axis.
+    Arguments as deblock_frame, each with a leading (S, ...) axis;
+    qp/qpc may be scalars or (S, mb_h, mb_w) decoded-QP grids."""
+    from .pallas.deblock_wave import deblock_wave_chroma, deblock_wave_luma
+    S = y.shape[0]
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp), (S, mb_h, mb_w))
+    qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (S, mb_h, mb_w))
+    luma_l, chroma_l = jax.vmap(
+        lambda b, i, f, q, qc: _wave_lanes(b, i, f, q, qc, alpha_off,
+                                           beta_off, mb_w, mb_h))(
+        bs, intra_mb, first_edge_only, qp_mb, qpc_mb)
+    dy = deblock_wave_luma(y.astype(jnp.int32), *luma_l,
+                           mb_w=mb_w, mb_h=mb_h, interpret=interpret)
+    du, dv = deblock_wave_chroma(u.astype(jnp.int32), v.astype(jnp.int32),
+                                 *chroma_l, mb_w=mb_w, mb_h=mb_h,
+                                 interpret=interpret)
+    return dy, du, dv
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_pallas"))
 def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
                   alpha_off, beta_off, mb_w: int, mb_h: int,

@@ -1,0 +1,284 @@
+"""Whole-frame wavefront deblock in ONE Pallas call.
+
+The XLA wavefront in ops/deblock.py dispatches ~(mb_w + 2 mb_h) kernel
+rounds per frame; at 1080p that is ~190 sequential launches whose fixed
+cost dominates (56 ms). Here the whole wavefront runs inside a single
+kernel: the plane stays resident in VMEM across all diagonals (9 MB at
+1080p), each slot's 20x20 (12x12 chroma) region is gathered from a
+128-aligned 256-wide superwindow with a one-hot column matmul (TPU has
+no unaligned dynamic lane slicing; rows ARE dynamically sliceable since
+16y/8y is 8-aligned), filtered with the shared edge math from
+ops/deblock.py, and scattered back as a delta through the transposed
+one-hot. Per-diagonal filter lanes (tc0/alpha/beta/enables) are
+precomputed for ALL diagonals by the caller and pipelined via BlockSpec.
+
+Semantics identical to deblock.c:80-295 + x264_frame_deblock_row order
+(:341-430); bit-exactness vs the golden model is test-enforced.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..deblock import (_filter_intra_chroma, _filter_intra_luma,
+                       _filter_normal_chroma, _filter_normal_luma)
+
+SUPER = 256   # aligned column superwindow (128-aligned base + <=148 used)
+
+
+def _slot_geom(d, k, mb_w: int, mb_h: int):
+    """Slot k of 2:1 diagonal d (x + 2y == d): y = y0 + k."""
+    y0 = jnp.maximum(0, (d - (mb_w - 1) + 1) // 2)
+    y = y0 + k
+    x = d - 2 * y
+    valid = (y < mb_h) & (x >= 0)
+    return jnp.minimum(y, mb_h - 1), jnp.clip(x, 0, mb_w - 1), valid
+
+
+def _onehot_cols(off, n_sel: int):
+    """(SUPER, n_sel) f32 with [c, j] = (c == off + j)."""
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUPER, n_sel), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (SUPER, n_sel), 1)
+    return (c == off + j).astype(jnp.float32)
+
+
+def _filter_luma_regs(regs, tc0y, eny, uiy, aly, bly):
+    """The 8-edge luma chain on (K, 20, 20) regions (shared math with
+    ops/pallas/deblock_filter.py)."""
+    K = regs.shape[0]
+
+    def luma_edge(regs, d, e):
+        if d == 0:
+            c = 4 + e * 4
+            blk = regs[:, 4:20, c - 4:c + 4]
+            cols = [blk[:, :, i] for i in range(8)]
+        else:
+            r = 4 + e * 4
+            blk = regs[:, r - 4:r + 4, 4:20]
+            cols = [blk[:, i, :] for i in range(8)]
+        p3, p2, p1, p0, q0, q1, q2, q3 = cols
+        tc0 = tc0y[:, d * 64 + e * 16:d * 64 + e * 16 + 16]
+        en = (eny[:, d * 4 + e:d * 4 + e + 1] != 0)
+        ui = (uiy[:, d * 4 + e:d * 4 + e + 1] != 0)
+        alpha = aly[:, d * 4 + e:d * 4 + e + 1]
+        beta = bly[:, d * 4 + e:d * 4 + e + 1]
+        p1n, p0n, q0n, q1n = _filter_normal_luma(
+            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta, tc0)
+        p2i, p1i, p0i, q0i, q1i, q2i = _filter_intra_luma(
+            p3, p2, p1, p0, q0, q1, q2, q3, alpha, beta)
+        outs = [jnp.where(ui, p2i, p2), jnp.where(ui, p1i, p1n),
+                jnp.where(ui, p0i, p0n), jnp.where(ui, q0i, q0n),
+                jnp.where(ui, q1i, q1n), jnp.where(ui, q2i, q2)]
+        olds = [p2, p1, p0, q0, q1, q2]
+        outs = [jnp.where(en, o, old) for o, old in zip(outs, olds)]
+        if d == 0:
+            return regs.at[:, 4:20, c - 3:c + 3].set(
+                jnp.stack(outs, axis=2))
+        return regs.at[:, r - 3:r + 3, 4:20].set(jnp.stack(outs, axis=1))
+
+    for e in range(4):
+        regs = luma_edge(regs, 0, e)
+    for e in range(4):
+        regs = luma_edge(regs, 1, e)
+    return regs
+
+
+def _filter_chroma_regs(regs, tcc, enc, uic, alc, blc):
+    """The 4-edge chroma chain on (2K, 12, 12) regions."""
+    def chroma_edge(regs, d, e):
+        if d == 0:
+            c = 4 + e * 4
+            blk = regs[:, 4:12, c - 2:c + 2]
+            p1, p0, q0, q1 = [blk[:, :, i] for i in range(4)]
+        else:
+            r = 4 + e * 4
+            blk = regs[:, r - 2:r + 2, 4:12]
+            p1, p0, q0, q1 = [blk[:, i, :] for i in range(4)]
+        tc = tcc[:, d * 16 + e * 8:d * 16 + e * 8 + 8]
+        en = (enc[:, d * 2 + e:d * 2 + e + 1] != 0)
+        ui = (uic[:, d * 2 + e:d * 2 + e + 1] != 0)
+        alpha = alc[:, d * 2 + e:d * 2 + e + 1]
+        beta = blc[:, d * 2 + e:d * 2 + e + 1]
+        p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
+        p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
+        p0o = jnp.where(en, jnp.where(ui, p0i, p0n), p0)
+        q0o = jnp.where(en, jnp.where(ui, q0i, q0n), q0)
+        if d == 0:
+            return regs.at[:, 4:12, c - 1:c + 1].set(
+                jnp.stack([p0o, q0o], axis=2))
+        return regs.at[:, r - 1:r + 1, 4:12].set(
+            jnp.stack([p0o, q0o], axis=1))
+
+    regs = chroma_edge(regs, 0, 0)
+    regs = chroma_edge(regs, 0, 1)
+    regs = chroma_edge(regs, 1, 0)
+    regs = chroma_edge(regs, 1, 1)
+    return regs
+
+
+def _luma_kernel(mb_w: int, mb_h: int, K: int,
+                 yin_ref, tc0_ref, en_ref, ui_ref, al_ref, bl_ref,
+                 yout_ref, sem):
+    s_idx = pl.program_id(0)   # stream (batch) axis
+    d = pl.program_id(1)       # wavefront diagonal
+
+    @pl.when(d == 0)
+    def _init():
+        dma = pltpu.make_async_copy(yin_ref.at[s_idx], yout_ref.at[0],
+                                    sem)
+        dma.start()
+        dma.wait()
+
+    # ---- gather all slot regions (one-hot column select on the MXU) ----
+    regs = []
+    geoms = []
+    for k in range(K):
+        y, x, _ = _slot_geom(d, k, mb_w, mb_h)
+        row = pl.multiple_of(16 * y, 8)
+        col0 = 16 * x
+        base = pl.multiple_of((col0 // 128) * 128, 128)
+        off = col0 - base
+        win = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
+        Bk = _onehot_cols(off, 20)
+        reg = jnp.dot(win.astype(jnp.float32), Bk,
+                      preferred_element_type=jnp.float32)
+        regs.append(reg.astype(jnp.int32))
+        geoms.append((row, base, Bk))
+    regs_old = jnp.stack(regs)                       # (K, 20, 20)
+
+    regs_new = _filter_luma_regs(regs_old, tc0_ref[0, 0], en_ref[0, 0],
+                                 ui_ref[0, 0], al_ref[0, 0],
+                                 bl_ref[0, 0])
+
+    # ---- scatter deltas back (regions on a diagonal are disjoint) ----
+    delta = (regs_new - regs_old).astype(jnp.float32)
+    for k in range(K):
+        row, base, Bk = geoms[k]
+        wide = jnp.dot(Bk, delta[k].T,
+                       preferred_element_type=jnp.float32)  # (SUPER, 20)
+        cur = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
+        yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)] = (
+            cur + wide.T.astype(jnp.int32))
+
+
+def _chroma_kernel(mb_w: int, mb_h: int, K: int,
+                   cin_ref, tcc_ref, enc_ref, uic_ref, alc_ref, blc_ref,
+                   cout_ref, sem):
+    s_idx = pl.program_id(0)   # stream (batch) axis
+    d = pl.program_id(1)       # wavefront diagonal
+
+    @pl.when(d == 0)
+    def _init():
+        dma = pltpu.make_async_copy(cin_ref.at[s_idx], cout_ref.at[0],
+                                    sem)
+        dma.start()
+        dma.wait()
+
+    regs = []
+    geoms = []
+    for k in range(K):
+        y, x, _ = _slot_geom(d, k, mb_w, mb_h)
+        row = pl.multiple_of(8 * y, 8)
+        col0 = 8 * x
+        base = pl.multiple_of((col0 // 128) * 128, 128)
+        off = col0 - base
+        Bk = _onehot_cols(off, 12)
+        for ch in range(2):
+            win = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
+            reg = jnp.dot(win.astype(jnp.float32), Bk,
+                          preferred_element_type=jnp.float32)
+            regs.append(reg.astype(jnp.int32))
+        geoms.append((row, base, Bk))
+    regs_old = jnp.stack(regs)                       # (2K, 12, 12)
+
+    regs_new = _filter_chroma_regs(regs_old, tcc_ref[0, 0],
+                                   enc_ref[0, 0], uic_ref[0, 0],
+                                   alc_ref[0, 0], blc_ref[0, 0])
+
+    delta = (regs_new - regs_old).astype(jnp.float32)
+    for k in range(K):
+        row, base, Bk = geoms[k]
+        for ch in range(2):
+            wide = jnp.dot(Bk, delta[2 * k + ch].T,
+                           preferred_element_type=jnp.float32)
+            cur = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
+            cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)] = (
+                cur + wide.T.astype(jnp.int32))
+
+
+def _plane_dims(mb_w: int, size: int):
+    w0 = size * mb_w + 8
+    base_max = ((size * (mb_w - 1)) // 128) * 128
+    return max(w0, base_max + SUPER)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+def deblock_wave_luma(y, tc0y, eny, uiy, aly, bly, mb_w: int, mb_h: int,
+                      interpret: bool = False):
+    """y: (S, 16mb_h, 16mb_w) int32 recon planes (leading stream axis).
+    Lane tensors: (S, n_diag, K, ...) per-diagonal per-slot filter params
+    (layouts as in ops/pallas/deblock_filter.py). Returns the filtered
+    planes."""
+    S, n_diag, K = eny.shape[:3]
+    Wp = _plane_dims(mb_w, 16)
+    yp = jnp.pad(y.astype(jnp.int32),
+                 ((0, 0), (4, 4), (4, Wp - 4 - 16 * mb_w)))
+    kernel = functools.partial(_luma_kernel, mb_w, mb_h, K)
+    blk = lambda shp: pl.BlockSpec(
+        shp, lambda si, d: (si, d) + (0,) * (len(shp) - 2),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(S, n_diag),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  blk((1, 1, K, 128)), blk((1, 1, K, 8)),
+                  blk((1, 1, K, 8)), blk((1, 1, K, 8)),
+                  blk((1, 1, K, 8))],
+        out_specs=pl.BlockSpec((1,) + yp.shape[1:],
+                               lambda si, d: (si, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(yp.shape, jnp.int32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(yp, tc0y, eny, uiy, aly, bly)
+    return out[:, 4:4 + 16 * mb_h, 4:4 + 16 * mb_w]
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+def deblock_wave_chroma(u, v, tcc, enc, uic, alc, blc,
+                        mb_w: int, mb_h: int, interpret: bool = False):
+    """u/v: (S, 8mb_h, 8mb_w) int32 (leading stream axis). Chroma lane
+    tensors interleave (u, v) per slot: (S, n_diag, 2K, ...). Returns
+    filtered (u, v)."""
+    S, n_diag, K2 = enc.shape[:3]
+    K = K2 // 2
+    Wp = _plane_dims(mb_w, 8)
+    padw = ((0, 0), (4, 4), (4, Wp - 4 - 8 * mb_w))
+    cp = jnp.stack([jnp.pad(u.astype(jnp.int32), padw),
+                    jnp.pad(v.astype(jnp.int32), padw)], axis=1)
+    kernel = functools.partial(_chroma_kernel, mb_w, mb_h, K)
+    blk = lambda shp: pl.BlockSpec(
+        shp, lambda si, d: (si, d) + (0,) * (len(shp) - 2),
+        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(S, n_diag),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  blk((1, 1, 2 * K, 32)), blk((1, 1, 2 * K, 4)),
+                  blk((1, 1, 2 * K, 4)), blk((1, 1, 2 * K, 4)),
+                  blk((1, 1, 2 * K, 4))],
+        out_specs=pl.BlockSpec((1,) + cp.shape[1:],
+                               lambda si, d: (si, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(cp.shape, jnp.int32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(cp, tcc, enc, uic, alc, blc)
+    return (out[:, 0, 4:4 + 8 * mb_h, 4:4 + 8 * mb_w],
+            out[:, 1, 4:4 + 8 * mb_h, 4:4 + 8 * mb_w])
