@@ -173,26 +173,35 @@ def mc_chroma_batched(winsc, mvx, mvy, bh: int, bw: int,
 # MB <-> coding-order 4x4 block relayout (replaces fancy-index gathers)
 # ---------------------------------------------------------------------------
 
+def _block4_origin(i: int):
+    """Coding-order block i (scan8 order, common/common.h:140-186):
+    quadrant i>>2, raster i&3 inside. Returns its (row, col) in the MB."""
+    q, b = i >> 2, i & 3
+    return ((q >> 1) * 8 + (b >> 1) * 4, (q & 1) * 8 + (b & 1) * 4)
+
+
 def mb_to_blocks4(mb):
-    """(..., 16, 16) -> (..., 16, 4, 4) in coding (quadrant) order:
-    block i covers quadrant i>>2, raster i&3 inside — pure reshape/transpose
-    (scan8 order, common/common.h:140-186)."""
-    s = mb.shape[:-2]
-    t = mb.reshape(*s, 2, 8, 2, 8)
-    t = jnp.moveaxis(t, (-4, -2), (-4, -3))            # (..., 2, 2, 8, 8)
-    t = t.reshape(*s, 2, 2, 2, 4, 2, 4)                # (..qy,qx,by,r,bx,c)
-    t = jnp.moveaxis(t, -2, -3)                        # (...,2,2,2,2,4,4)
-    return t.reshape(*s, 16, 4, 4)
+    """(..., 16, 16) -> (..., 16, 4, 4) in coding (quadrant) order. Built
+    from 16 static slices + one stack: minor-dim transposes lower to
+    per-element relayouts on TPU (~28 ms at 1080p), slices+stack to
+    vector copies (~0 ms)."""
+    blocks = []
+    for i in range(16):
+        r0, c0 = _block4_origin(i)
+        blocks.append(mb[..., r0:r0 + 4, c0:c0 + 4])
+    return jnp.stack(blocks, axis=-3)
 
 
 def blocks4_to_mb(blk):
-    """(..., 16, 4, 4) coding order -> (..., 16, 16)."""
-    s = blk.shape[:-3]
-    t = blk.reshape(*s, 2, 2, 2, 2, 4, 4)              # (..qy,qx,by,bx,r,c)
-    t = jnp.moveaxis(t, -2, -3)                        # (...,2,2,2,4,2,4)
-    t = t.reshape(*s, 2, 2, 8, 8)
-    t = jnp.moveaxis(t, (-4, -3), (-4, -2))            # (..., 2, 8, 2, 8)
-    return t.reshape(*s, 16, 16)
+    """(..., 16, 4, 4) coding order -> (..., 16, 16), by concat (see
+    mb_to_blocks4 for why not a transpose)."""
+    rows = []
+    for qy in range(2):
+        for by in range(2):
+            row = [blk[..., ((qy * 2 + qx) * 4 + by * 2 + bx), :, :]
+                   for qx in range(2) for bx in range(2)]
+            rows.append(jnp.concatenate(row, axis=-1))
+    return jnp.concatenate(rows, axis=-2)
 
 
 def blocks4_grid(vals, mb_h: int, mb_w: int):

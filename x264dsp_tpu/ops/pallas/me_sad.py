@@ -24,6 +24,7 @@ def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
     W = mb_w * 16
     n = 2 * R + 1
     f = f_ref[0]  # (16, W)
+    dy = pl.program_id(1)
 
     # 8-column segment sums as a matmul with a 0/1 selection matrix (the
     # (W,)→(2*mb_w,8) reshape isn't lowerable in Mosaic; the MXU does this
@@ -34,22 +35,23 @@ def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
     mbi = jax.lax.broadcasted_iota(jnp.int32, (W, 2 * mb_w), 1)
     sel = ((col >> 3) == mbi).astype(jnp.float32)
 
-    # Mosaic requires dynamic sublane/lane offsets to be 8/128-aligned, so
-    # both offsets are static unrolls; the compiler lowers the misaligned
+    # The dy sweep runs on the grid (a fully unrolled (2R+1)^2 double loop
+    # compiles for >10 min in Mosaic); dynamic sublane starts must be
+    # 8-aligned, so the 16-row window at offset dy comes from a dynamic
+    # sublane rotate instead of a slice. The dx sweep stays unrolled: lane
+    # offsets can't be dynamic, and the compiler lowers the misaligned
     # static slices to vector shifts.
-    for dy in range(n):
-        rows = r_ref[0, dy:dy + 16, :]
-        for dx in range(n):
-            win = rows[:, dx:dx + W]
-            ad = jnp.abs(f - win)                # (16, W) int32
-            top = ad[:8].sum(axis=0, keepdims=True).astype(jnp.float32)
-            bot = ad[8:].sum(axis=0, keepdims=True).astype(jnp.float32)
-            halves = jnp.concatenate([top, bot], axis=0)   # (2, W)
-            tile = jnp.dot(halves, sel,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            k = dy * n + dx
-            o_ref[0, 2 * k:2 * k + 2, :] = tile.astype(jnp.int32)
+    rows = pltpu.roll(r_ref[0], (16 + 2 * R) - dy, axis=0)[:16]
+    for dx in range(n):
+        win = rows[:, dx:dx + W]
+        ad = jnp.abs(f - win)                # (16, W) int32
+        top = ad[:8].sum(axis=0, keepdims=True).astype(jnp.float32)
+        bot = ad[8:].sum(axis=0, keepdims=True).astype(jnp.float32)
+        halves = jnp.concatenate([top, bot], axis=0)   # (2, W)
+        tile = jnp.dot(halves, sel,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        o_ref[0, 0, 2 * dx:2 * dx + 2, :] = tile.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "R",
@@ -65,16 +67,18 @@ def sad_cost_surfaces_8x8(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
     kernel = functools.partial(_kernel, R, mb_w)
     out = pl.pallas_call(
         kernel,
-        grid=(mb_h,),
+        grid=(mb_h, n),
         in_specs=[
-            pl.BlockSpec((1, 16, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 16, W), lambda i, dy: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16 + 2 * R, W + 2 * R), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 16 + 2 * R, W + 2 * R),
+                         lambda i, dy: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n * n * 2, 2 * mb_w), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, n * 2, 2 * mb_w),
+                               lambda i, dy: (i, dy, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mb_h, n * n * 2, 2 * mb_w),
+        out_shape=jax.ShapeDtypeStruct((mb_h, n, n * 2, 2 * mb_w),
                                        jnp.int32),
         interpret=interpret,
     )(fenc_y.reshape(mb_h, 16, W), ref_strips)

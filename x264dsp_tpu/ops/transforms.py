@@ -90,13 +90,31 @@ def idct_dequant_2x2_dc(dc: jnp.ndarray, qp) -> jnp.ndarray:
     """Inverse 2x2 DC + dequant (encoder/macroblock.c:17-29); qp may be a
     traced scalar or a batched tensor broadcastable against dc[..., 0]."""
     qp = jnp.asarray(qp)
-    dmf = (DEQUANT4_MF_J[qp % 6, 0] << (qp // 6)) >> 5
+    dmf = (table_rows(DEQUANT4_MF_J, qp % 6)[..., 0] << (qp // 6)) >> 5
     d0 = dc[..., 0] + dc[..., 1]
     d1 = dc[..., 2] + dc[..., 3]
     d2 = dc[..., 0] - dc[..., 1]
     d3 = dc[..., 2] - dc[..., 3]
     return jnp.stack([(d0 + d1) * dmf, (d0 - d1) * dmf,
                       (d2 + d3) * dmf, (d2 - d3) * dmf], axis=-1)
+
+
+def table_rows(table, idx):
+    """Row lookup table[idx] for a batched int index tensor, computed as a
+    one-hot matmul on the MXU. TPU gathers are per-element (hundreds of ms
+    for a (B,) lookup at 1080p); a (B, N) one-hot times the (N, K) table is
+    exact in f32 for table values < 2^24 and costs microseconds. Scalar
+    (0-d) indices keep the direct path."""
+    idx = jnp.asarray(idx)
+    if idx.ndim == 0:
+        return table[idx]
+    N, K = table.shape
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]
+          ).astype(jnp.float32)
+    out = jax.lax.dot(oh, table.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    return out.astype(table.dtype).reshape(idx.shape + (K,))
 
 
 def _quant_core(c, mf, bias):
@@ -112,8 +130,14 @@ def quant4x4(dct: jnp.ndarray, qp, intra) -> jnp.ndarray:
     intra: bool scalar or (...,) int tensor (1=intra)."""
     qp = jnp.asarray(qp)
     intra = jnp.asarray(intra, dtype=jnp.int32)
-    mf = QUANT4_MF_J[qp].reshape(qp.shape + (4, 4))
-    bias = QUANT4_BIAS_J[intra, qp].reshape(qp.shape + (4, 4))
+    mf = table_rows(QUANT4_MF_J, qp).reshape(qp.shape + (4, 4))
+    if intra.ndim == 0:
+        bias = table_rows(QUANT4_BIAS_J[intra], qp)
+    else:
+        bias = jnp.where((intra != 0).reshape(intra.shape + (1,)),
+                         table_rows(QUANT4_BIAS_J[1], qp),
+                         table_rows(QUANT4_BIAS_J[0], qp))
+    bias = bias.reshape(qp.shape + (4, 4))
     return _quant_core(dct.astype(jnp.int32), mf, bias)
 
 
@@ -122,8 +146,14 @@ def quant_dc(dct: jnp.ndarray, qp, intra) -> jnp.ndarray:
     dct: (..., N) flat DC coeffs."""
     qp = jnp.asarray(qp)
     intra = jnp.asarray(intra, dtype=jnp.int32)
-    mf = (QUANT4_MF_J[qp, 0] >> 1).reshape(qp.shape + (1,))
-    bias = (QUANT4_BIAS_J[intra, qp, 0] << 1).reshape(qp.shape + (1,))
+    mf = (table_rows(QUANT4_MF_J, qp)[..., 0] >> 1).reshape(qp.shape + (1,))
+    if intra.ndim == 0:
+        bias = table_rows(QUANT4_BIAS_J[intra], qp)[..., 0]
+    else:
+        bias = jnp.where(intra != 0,
+                         table_rows(QUANT4_BIAS_J[1], qp)[..., 0],
+                         table_rows(QUANT4_BIAS_J[0], qp)[..., 0])
+    bias = (bias << 1).reshape(qp.shape + (1,))
     return _quant_core(dct.astype(jnp.int32), mf, bias)
 
 
@@ -131,7 +161,7 @@ def dequant4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
     """Batched dequant_4x4 (common/quant.c:66-83). Handles both the shl
     (qp >= 24) and shr branches with lane-wise select."""
     qp = jnp.asarray(qp)
-    mf = DEQUANT4_MF_J[qp % 6].reshape(qp.shape + (4, 4))
+    mf = table_rows(DEQUANT4_MF_J, qp % 6).reshape(qp.shape + (4, 4))
     qbits = (qp // 6 - 4).reshape(qp.shape + (1, 1))
     q = q.astype(jnp.int32)
     shl = (q * mf) << jnp.maximum(qbits, 0)
@@ -144,7 +174,8 @@ def dequant4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
 def dequant_dc4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
     """Batched dequant_4x4_dc (common/quant.c:85-103); q: (..., 4, 4)."""
     qp = jnp.asarray(qp)
-    dmf = DEQUANT4_MF_J[qp % 6, 0].reshape(qp.shape + (1, 1))
+    dmf = table_rows(DEQUANT4_MF_J, qp % 6)[..., 0].reshape(
+        qp.shape + (1, 1))
     qbits = (qp // 6 - 6).reshape(qp.shape + (1, 1))
     q = q.astype(jnp.int32)
     shl = q * (dmf << jnp.maximum(qbits, 0))
@@ -154,10 +185,21 @@ def dequant_dc4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
     return jnp.where(qbits >= 0, shl, shr)
 
 
+# constant permutation as a 0/1 matrix: out[j] = flat[ZIGZAG[j]]
+_ZIGZAG_P = jnp.asarray(
+    (np.asarray(ZIGZAG_4x4)[:, None] == np.arange(16)[None, :])
+    .astype(np.float32))
+
+
 def zigzag4x4(block: jnp.ndarray) -> jnp.ndarray:
-    """Batched zigzag scan: (..., 4, 4) → (..., 16) levels."""
-    flat = block.reshape(block.shape[:-2] + (16,))
-    return flat[..., ZIGZAG_J]
+    """Batched zigzag scan: (..., 4, 4) → (..., 16) levels. A fixed
+    permutation runs as a matmul with a 0/1 matrix (exact in f32 for
+    |coeff| < 2^24): per-element TPU gathers are orders of magnitude
+    slower."""
+    flat = block.reshape(-1, 16).astype(jnp.float32)
+    out = jax.lax.dot(flat, _ZIGZAG_P.T,
+                      preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32).reshape(block.shape[:-2] + (16,))
 
 
 _DECIMATE_W = jnp.asarray(
