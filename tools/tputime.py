@@ -17,8 +17,12 @@ _BASELINE = None
 
 
 def _pull(out):
-    for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(jax.device_get(leaf.ravel()[0]))
+    # one element of ONE leaf: all outputs of a single executable
+    # complete together, and each device_get is a ~40 ms tunnel RPC —
+    # pulling every leaf charges phantom round trips to multi-output
+    # functions (a 16-plane list would be billed ~640 ms of RPCs)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
 
 
 def baseline(force: bool = False) -> float:

@@ -37,6 +37,7 @@ from ..ops import deblock as DB
 from ..ops import mc as MC
 from ..ops import mcgather as MG
 from ..ops import pixel as PX
+from ..ops import residual_plane as RP
 from ..ops import transforms as T
 from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
 from .intra_frame import _diag_schedule, _encode_chroma_channel
@@ -502,80 +503,138 @@ def _quad_merge(blk):
 def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
                       qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool,
                       force_skip=None):
-    """Batched inter residual encode for all MBs: per-quadrant
-    window-matmul MC (mv8 carries every partition shape) + reshape-only
-    block layout — no per-MB gathers.
+    """Batched inter residual encode for all MBs, plane-resident: MC via
+    window matmuls, then the whole-frame matmul-DCT pipeline of
+    ops/residual_plane (no per-MB block tensors anywhere — a (B,16,4,4)
+    tile wastes 31/32 of every TPU vector register).
     qp/qpc: scalars or per-MB (mb_h, mb_w) grids (AQ / row-VBV).
     force_skip: optional (mb_h, mb_w) bool — MBs whose probe succeeded
     encode as MC-only with all residual dropped (macroblock.c:319-348).
     Returns syntax tensors + recon planes (unfiltered)."""
     B = mb_h * mb_w
-    qp = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w)).reshape(B, 1)
-    qpc = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w)).reshape(B)
-    fs = (jnp.zeros((B,), bool) if force_skip is None
-          else force_skip.reshape(B))
-    f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
-    fu8 = tile_mb(fenc_u.astype(jnp.int32), mb_w, mb_h, 8)
-    fv8 = tile_mb(fenc_v.astype(jnp.int32), mb_w, mb_h, 8)
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w))
+    qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w))
+    fs = (jnp.zeros((mb_h, mb_w), bool) if force_skip is None
+          else force_skip.reshape(mb_h, mb_w))
     mv8f = mv8.reshape(B, 2, 2, 2)
 
-    pred = _mc_luma_mv8(wins4, mv8f)
-    blk_f = MG.mb_to_blocks4(f16)                      # (B, 16, 4, 4)
-    blk_p = MG.mb_to_blocks4(pred)
-    dct = T.sub_dct4x4(blk_f, blk_p)
-    q = T.quant4x4(dct, qp, False)
-    nnz = jnp.any(q.reshape(B, 16, 16) != 0, axis=-1).astype(jnp.int32)
-    nnz = jnp.where(fs[:, None], 0, nnz)
-    levels = T.zigzag4x4(q)                            # (B, 16, 16)
-    levels = jnp.where(fs[:, None, None], 0, levels)
+    # ---- luma ----
+    pred_y = untile_mb(_mc_luma_mv8(wins4, mv8f), mb_w, mb_h, 16)
+    cm = RP.sub_dct_cm(fenc_y.astype(jnp.int32), pred_y)
+    q_cm = RP.quant_cm(cm, qp_mb, False, 4)
+    z_cm = RP.zigzag_order(q_cm)
+    nnz_bg = RP.nnz_cm(z_cm)                           # (4mbh, 4mbw)
+    live_bg = ~jnp.repeat(jnp.repeat(fs, 4, 0), 4, 1)
+    nnz_bg = nnz_bg * live_bg
+    z_cm = RP.mask_cm(z_cm, live_bg)
     if dct_decimate:
-        scores = jnp.where(nnz > 0, T.decimate_score(levels), 0)
-        gsum = _decimate_group(scores.reshape(B, 4, 4))  # (B, 4) saturating
+        sc_bg = jnp.where(nnz_bg > 0, RP.decimate_score_cm(z_cm), 0)
+        sc_mb = RP.luma_nnz_coding(sc_bg, mb_h, mb_w)  # coding order
+        gsum = _decimate_group(sc_mb.reshape(mb_h, mb_w, 4, 4))
         msum = gsum.sum(-1)                 # MB total (plain sum, :431)
-        keep_group = gsum >= 4
-        keep_mb = (msum >= 6)[:, None]
-        keep = keep_group & keep_mb                     # (B, 4)
-        keep_blk = jnp.repeat(keep, 4, axis=-1)         # (B, 16)
-        nnz = jnp.where(keep_blk, nnz, 0)
-        levels = jnp.where(keep_blk[..., None], levels, 0)
-        bits = (1 << jnp.arange(4, dtype=jnp.int32))[None, :]
+        keep = (gsum >= 4) & (msum >= 6)[..., None]    # (mbh, mbw, 4q)
+        keep_bg = jnp.repeat(jnp.repeat(
+            RP.mb_to_blockgrid(keep.reshape(mb_h, mb_w, 2, 2),
+                               mb_h, mb_w, 2), 2, 0), 2, 1)
+        nnz_bg = nnz_bg * keep_bg
+        z_cm = RP.mask_cm(z_cm, keep_bg)
+        bits = (1 << jnp.arange(4, dtype=jnp.int32))
         cbp_luma = jnp.where(keep, bits, 0).sum(-1)
     else:
-        has = jnp.any(nnz.reshape(B, 4, 4) > 0, axis=-1)
-        bits = (1 << jnp.arange(4, dtype=jnp.int32))[None, :]
+        nnz_mb = RP.luma_nnz_coding(nnz_bg, mb_h, mb_w)
+        has = jnp.any(nnz_mb.reshape(mb_h, mb_w, 4, 4) > 0, axis=-1)
+        bits = (1 << jnp.arange(4, dtype=jnp.int32))
         cbp_luma = jnp.where(has, bits, 0).sum(-1)
-
-    dq = T.dequant4x4(q, qp)
-    coded = nnz > 0
-    rec_blocks = jnp.where(coded[..., None, None],
-                           T.idct4x4_add(blk_p, dq), blk_p)
-    recon_y = MG.blocks4_to_mb(rec_blocks)             # (B, 16, 16)
+    dq_cm = RP.mask_cm(RP.dequant_cm(q_cm, qp_mb, 4), nnz_bg)
+    recon_y = RP.idct_add_plane(pred_y, dq_cm)
+    levels = RP.luma_levels_coding(z_cm, mb_h, mb_w)
+    nnz = RP.luma_nnz_coding(nnz_bg, mb_h, mb_w)
 
     # ---- chroma ----
-    predu = _mc_chroma_mv8(winsu, mv8f)
-    predv = _mc_chroma_mv8(winsv, mv8f)
-    eu = _encode_chroma_p(fu8, predu, qpc, dct_decimate, force_skip=fs)
-    ev = _encode_chroma_p(fv8, predv, qpc, dct_decimate, force_skip=fs)
+    pred_u = untile_mb(_mc_chroma_mv8(winsu, mv8f), mb_w, mb_h, 8)
+    pred_v = untile_mb(_mc_chroma_mv8(winsv, mv8f), mb_w, mb_h, 8)
+    eu = _encode_chroma_plane(fenc_u, pred_u, qpc_mb, dct_decimate, fs,
+                              mb_h, mb_w)
+    ev = _encode_chroma_plane(fenc_v, pred_v, qpc_mb, dct_decimate, fs,
+                              mb_h, mb_w)
     any_ac = eu["has_ac"] | ev["has_ac"]
     any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
     cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
 
-    def grid(x):
-        return x.reshape(mb_h, mb_w, *x.shape[1:])
-
     return dict(
-        cbp_luma=grid(cbp_luma), cbp_chroma=grid(cbp_chroma),
-        luma_levels=grid(levels), luma_nnz=grid(nnz),
-        recon_y=untile_mb(recon_y, mb_w, mb_h, 16),
-        recon_u=untile_mb(eu["recon"], mb_w, mb_h, 8),
-        recon_v=untile_mb(ev["recon"], mb_w, mb_h, 8),
-        chroma_dc_levels=grid(jnp.stack([eu["dc_levels"],
-                                         ev["dc_levels"]], 1)),
-        chroma_ac_levels=grid(jnp.stack([eu["ac_levels"],
-                                         ev["ac_levels"]], 1)),
-        chroma_nnz_ac=grid(jnp.stack([eu["nnz_ac"], ev["nnz_ac"]], 1)),
-        chroma_nz_dc=grid(jnp.stack([eu["nz_dc"], ev["nz_dc"]], 1)),
+        cbp_luma=cbp_luma, cbp_chroma=cbp_chroma,
+        luma_levels=levels, luma_nnz=nnz, luma_nnz_bg=nnz_bg,
+        recon_y=recon_y, recon_u=eu["recon"], recon_v=ev["recon"],
+        chroma_dc_levels=jnp.stack([eu["dc_levels"],
+                                    ev["dc_levels"]], 2),
+        chroma_ac_levels=jnp.stack([eu["ac_levels"],
+                                    ev["ac_levels"]], 2),
+        chroma_nnz_ac=jnp.stack([eu["nnz_ac"], ev["nnz_ac"]], 2),
+        chroma_nz_dc=jnp.stack([eu["nz_dc"], ev["nz_dc"]], 2),
     )
+
+
+def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
+                         mb_h: int, mb_w: int):
+    """One chroma channel of x264_mb_encode_chroma (b_inter=1,
+    encoder/macroblock.c:175-300), plane-resident. fenc8p/pred8p:
+    (8mb_h, 8mb_w) planes; qpc_mb/fs: (mb_h, mb_w). The variance
+    early-skip is approximated by the AC decimate path (see the tile
+    twin's docstring history — identical streams for the cases it
+    prunes). Returns per-MB syntax + the recon plane."""
+    cm = RP.sub_dct_cm(fenc8p.astype(jnp.int32), pred8p)
+    dc_bg = cm[0]                                      # (2mbh, 2mbw)
+    cm_ac = [jnp.zeros_like(cm[0])] + cm[1:]
+    q_cm = RP.quant_cm(cm_ac, qpc_mb, False, 2)
+    z_cm = RP.zigzag_order(q_cm)
+    nnz_ac_bg = RP.nnz_cm(z_cm)                        # (2mbh, 2mbw)
+    ac_levels = RP.chroma_levels_coding(z_cm, mb_h, mb_w)
+    nnz_ac = RP.blockgrid_to_mb(nnz_ac_bg, mb_h, mb_w, 2) \
+        .reshape(mb_h, mb_w, 4)
+    dc_mb = RP.blockgrid_to_mb(dc_bg, mb_h, mb_w, 2) \
+        .reshape(mb_h, mb_w, 4)                        # raster quadrants
+    dc = T.hadamard2x2(dc_mb)
+    q_dc = T.quant_dc(dc, qpc_mb, False)
+    nz_dc = jnp.any(q_dc != 0, axis=-1)
+
+    if b_decimate:
+        sc_bg = jnp.where(nnz_ac_bg > 0,
+                          RP.decimate_score_cm(z_cm[1:]), 0)
+        sc = RP.blockgrid_to_mb(sc_bg, mb_h, mb_w, 2) \
+            .reshape(mb_h, mb_w, 4).sum(-1)
+        nz_ac = (sc >= 7) & jnp.any(nnz_ac > 0, axis=-1)
+    else:
+        nz_ac = jnp.any(nnz_ac > 0, axis=-1)
+    nz_ac = nz_ac & ~fs
+    nz_dc = nz_dc & ~fs
+
+    from .intra_frame import _optimize_chroma_dc
+    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qpc_mb)
+    use_opt = (~nz_ac) & nz_dc & (qpc_mb <= 22)
+    dc_final = jnp.where(use_opt[..., None], opt_dc, q_dc)
+    nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
+
+    dc_levels = jnp.where(nz_dc_final[..., None],
+                          dc_final[..., jnp.asarray([0, 2, 1, 3])], 0)
+    dq_dc = T.idct_dequant_2x2_dc(dc_final, qpc_mb)    # (mbh, mbw, 4)
+    dq_cm = RP.dequant_cm(q_cm, qpc_mb, 2)
+    dq_dc_bg = RP.mb_to_blockgrid(dq_dc.reshape(mb_h, mb_w, 2, 2),
+                                  mb_h, mb_w, 2)
+    nz_dc_bg = jnp.repeat(jnp.repeat(nz_dc_final, 2, 0), 2, 1)
+    dq_cm = [jnp.where(nz_dc_bg, dq_dc_bg, 0)] + dq_cm[1:]
+    rec_ac = RP.idct_add_plane(pred8p, dq_cm)
+    dc_shift = jnp.repeat(jnp.repeat((dq_dc_bg + 32) >> 6, 4, 0), 4, 1)
+    rec_dc = jnp.clip(pred8p.astype(jnp.int32) + dc_shift, 0, 255)
+    sel_ac = jnp.repeat(jnp.repeat(nz_ac, 8, 0), 8, 1)
+    sel_dc = jnp.repeat(jnp.repeat(nz_dc_final, 8, 0), 8, 1)
+    recon = jnp.where(sel_ac, rec_ac,
+                      jnp.where(sel_dc, rec_dc,
+                                pred8p.astype(jnp.int32)))
+    nnz_ac = jnp.where(nz_ac[..., None], nnz_ac, 0)
+    ac_levels = jnp.where(nz_ac[..., None, None], ac_levels, 0)
+    return dict(recon=recon, dc_levels=dc_levels, ac_levels=ac_levels,
+                nnz_ac=nnz_ac, nz_dc=nz_dc_final.astype(jnp.int32),
+                has_ac=nz_ac)
 
 
 def _encode_chroma_p(fenc8, pred8, qpc, b_decimate, force_skip=None):
@@ -611,7 +670,7 @@ def _encode_chroma_p(fenc8, pred8, qpc, b_decimate, force_skip=None):
         nz_dc = nz_dc & ~force_skip
 
     from .intra_frame import _optimize_chroma_dc
-    opt_dc, opt_nz = jax.vmap(_optimize_chroma_dc)(q_dc, qpc)
+    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qpc)
     use_opt = (~nz_ac) & nz_dc & (qpc <= 22)
     dc_final = jnp.where(use_opt[:, None], opt_dc, q_dc)
     nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
@@ -828,40 +887,42 @@ def probe_pskip(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, pskip_mv,
         pskip_mv[..., 1],
         mvmin_y[:, None], mvmax_y[:, None])).reshape(B)
 
-    f16 = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
-    pred = MG.mc_luma_batched(wins4, mvx, mvy, 16, 16)
-    dct = T.sub_dct4x4(MG.mb_to_blocks4(f16), MG.mb_to_blocks4(pred))
-    q = T.quant4x4(dct, qp[:, None], False)
-    lv = T.zigzag4x4(q)                                    # (B, 16, 16)
-    coded = jnp.any(q.reshape(B, 16, 16) != 0, axis=-1)
-    score = jnp.where(coded, T.decimate_score(lv), 0).sum(-1)
+    qp_g = qp.reshape(mb_h, mb_w)
+    qpc_g = qpc.reshape(mb_h, mb_w)
+    pred_y = untile_mb(MG.mc_luma_batched(wins4, mvx, mvy, 16, 16),
+                       mb_w, mb_h, 16)
+    z_cm = RP.zigzag_order(RP.quant_cm(
+        RP.sub_dct_cm(fenc_y.astype(jnp.int32), pred_y), qp_g, False, 4))
+    nnz_bg = RP.nnz_cm(z_cm)
+    sc_bg = jnp.where(nnz_bg > 0, RP.decimate_score_cm(z_cm), 0)
+    score = sc_bg.reshape(mb_h, 4, mb_w, 4).sum((1, 3))
     luma_ok = score < 6
 
-    thresh = (LAMBDA2_J[jnp.clip(qpc, 0, 51)] + 32) >> 6
+    thresh = (LAMBDA2_J[jnp.clip(qpc_g, 0, 51)] + 32) >> 6
 
     def chroma_ok(fenc_c, winsc):
-        f8 = tile_mb(fenc_c.astype(jnp.int32), mb_w, mb_h, 8)
-        predc = MG.mc_chroma_batched(winsc, mvx, mvy, 8, 8)
-        ssd = ((f8 - predc) ** 2).sum((1, 2))
-        blocks_f = _quad_split(f8)
-        blocks_p = _quad_split(predc)
-        cdct = T.sub_dct4x4(blocks_f, blocks_p)
-        dc = cdct[..., 0, 0]                               # raster order
-        q_dc = T.quant_dc(dc, qpc, False)
+        predc = untile_mb(MG.mc_chroma_batched(winsc, mvx, mvy, 8, 8),
+                          mb_w, mb_h, 8)
+        d = fenc_c.astype(jnp.int32) - predc
+        ssd = (d * d).reshape(mb_h, 8, mb_w, 8).sum((1, 3))
+        cm = RP.sub_dct_cm(fenc_c.astype(jnp.int32), predc)
+        dc_bg = cm[0]                                  # (2mbh, 2mbw)
+        q_dc = T.quant_dc(
+            RP.blockgrid_to_mb(dc_bg, mb_h, mb_w, 2).reshape(
+                mb_h, mb_w, 4), qpc_g, False)
         dc_nz = jnp.any(q_dc != 0, axis=-1)
-        cdct_ac = _set_dc(cdct)
-        q_ac = T.quant4x4(cdct_ac, qpc[:, None], False)
-        aclv = T.zigzag4x4(q_ac)
-        ac_coded = jnp.any(q_ac.reshape(B, 4, 16) != 0, axis=-1)
-        ac_score = jnp.where(ac_coded,
-                             T.decimate_score(aclv[..., 1:]), 0).sum(-1)
+        cm_ac = [jnp.zeros_like(cm[0])] + cm[1:]
+        zc = RP.zigzag_order(RP.quant_cm(cm_ac, qpc_g, False, 2))
+        ac_bg = RP.nnz_cm(zc)
+        acs_bg = jnp.where(ac_bg > 0, RP.decimate_score_cm(zc[1:]), 0)
+        ac_score = acs_bg.reshape(mb_h, 2, mb_w, 2).sum((1, 3))
         # the chain: ssd<t → pass; DC nz → fail; ssd<4t → pass;
         # AC decimate >= 7 → fail
         return ((ssd < thresh)
                 | (~dc_nz & ((ssd < (thresh << 2)) | (ac_score < 7))))
 
     ok = luma_ok & chroma_ok(fenc_u, winsu) & chroma_ok(fenc_v, winsv)
-    return (ok.reshape(mb_h, mb_w),
+    return (ok,
             jnp.stack([mvx.reshape(mb_h, mb_w),
                        mvy.reshape(mb_h, mb_w)], axis=-1))
 
@@ -935,11 +996,14 @@ def mv8_to_mv4(mv8, mb_w: int, mb_h: int):
 
 
 def compute_strengths_p(luma_nnz, cbp_luma, cbp_chroma, mv8,
-                        mb_w: int, mb_h: int, ref_mb=None):
+                        mb_w: int, mb_h: int, ref_mb=None, nnz_bg=None):
     """Device deblock-strength computation for a P frame from the syntax
     tensors (x264_macroblock_deblock_strength, common/macroblock.c:677;
-    strengths saved at encode time, encoder.c:1651). Returns (bs, feo)."""
-    nnz4 = MG.blocks4_grid(luma_nnz, mb_h, mb_w)
+    strengths saved at encode time, encoder.c:1651). Returns (bs, feo).
+    nnz_bg: optional (4mb_h, 4mb_w) nnz block grid — skips the
+    coding-order relayout when the caller already has the plane form."""
+    nnz4 = (nnz_bg if nnz_bg is not None
+            else MG.blocks4_grid(luma_nnz, mb_h, mb_w))
     mv4 = mv8_to_mv4(mv8, mb_w, mb_h)
     if ref_mb is None:
         ref4 = jnp.zeros((mb_h * 4, mb_w * 4), jnp.int32)
@@ -1062,5 +1126,6 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
     out["ref"] = ref_mb
     out["bs"], out["feo"] = compute_strengths_p(
         out["luma_nnz"], out["cbp_luma"], out["cbp_chroma"], mv8,
-        mb_w, mb_h, ref_mb=ref_mb)
+        mb_w, mb_h, ref_mb=ref_mb, nnz_bg=out["luma_nnz_bg"])
+    del out["luma_nnz_bg"]
     return out

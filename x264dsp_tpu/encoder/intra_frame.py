@@ -126,55 +126,58 @@ def _encode_4x4(fenc_blk, pred, qp):
     return recon, levels, nz.astype(jnp.int32)
 
 
+# 2x2 hadamard signs H[j][c]: out_j = sum_c H[j][c] * d_c (the butterfly
+# in optimize_chroma_idct_dequant_2x2, common/quant.c:127-143)
+_HAD2x2 = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, 1, -1), (1, -1, -1, 1))
+
+
 def _optimize_chroma_dc(dc, qp):
-    """optimize_chroma_2x2_dc (common/quant.c:141-196): losslessly round
-    DC coefficients toward zero while the (>>6) reconstruction is unchanged.
-    dc: (4,) quantized chroma DC (reference storage order). Returns
-    (new_dc, nz)."""
-    dmf = (T.DEQUANT4_MF_J[qp % 6, 0] << (qp // 6))
+    """optimize_chroma_2x2_dc (common/quant.c:157-192): losslessly round
+    DC coefficients toward zero while the (>>6) reconstruction is
+    unchanged. Closed form instead of the reference's unit-step while
+    loop: with w(a) = (a*dmf)>>5 and r = (w+32)>>6, r is monotone in the
+    hadamard output a, so r stays at its original value R_j exactly while
+    a_j lies in the integer band [ceil(32*(64R-32)/dmf),
+    floor((32*(64R+32)-1)/dmf)]; the maximal lossless reduction of each
+    coefficient is the distance to the nearest band edge, taken in the
+    reference's 3,2,1,0 order. Fully batched: dc (..., 4) in reference
+    storage order, qp scalar or (...,). Returns (new_dc, nz)."""
+    dc = jnp.asarray(dc)
+    qp = jnp.asarray(qp)
+    dmf = T.table_rows(T.DEQUANT4_MF_J, qp % 6)[..., 0] << (qp // 6)
 
-    def idct_deq(d):
-        d0, d1 = d[0] + d[1], d[2] + d[3]
-        d2, d3 = d[0] - d[1], d[2] - d[3]
-        out = jnp.stack([d0 + d1, d0 - d1, d2 + d3, d2 - d3])
-        return ((out * dmf) >> 5) + 32
+    def had(d):
+        return [sum(h * d[c] for c, h in enumerate(row)) for row in _HAD2x2]
 
-    ref = idct_deq(dc)
-    # early exit: if the original already rounds to zero everywhere
-    already_zero = jnp.all((ref >> 6) == 0)
+    d = [dc[..., c] for c in range(4)]
+    a = had(d)                                # running hadamard outputs
+    w = [(aj * dmf) >> 5 for aj in a]
+    already_zero = jnp.ones_like(dc[..., 0], dtype=bool)
+    for wj in w:
+        already_zero &= ((wj + 32) >> 6) == 0
 
-    def round_differs(d):
-        return jnp.any(((ref ^ idct_deq(d)) >> 6) != 0)
-
-    def reduce_coeff(c, d):
-        sign = jnp.where(d[c] < 0, -1, 1)
-
-        def cond(state):
-            level, _ = state
-            return level != 0
-
-        def body(state):
-            level, dd = state
-            trial = dd.at[c].set(level - sign)
-            stop = round_differs(trial)
-            # on stop: keep current level; else accept the reduction
-            new_level = jnp.where(stop, jnp.int32(0), level - sign)
-            new_d = jnp.where(stop, dd.at[c].set(level), trial)
-            # encode "stopped with nonzero" by negative marker channel:
-            return (new_level, new_d)
-
-        level0 = d[c]
-        _, d_out = jax.lax.while_loop(cond, body, (level0, d))
-        return d_out
-
-    def run(d):
-        for c in (3, 2, 1, 0):
-            d = reduce_coeff(c, d)
-        return d
-
-    new_dc = jnp.where(already_zero, jnp.zeros_like(dc), run(dc))
-    nz = jnp.any(new_dc != 0) & ~already_zero
-    return jnp.where(already_zero, jnp.zeros_like(dc), new_dc), nz
+    # per-output allowed band from the ORIGINAL rounding R_j (the
+    # reference checks every trial against dct_orig, quant.c:166-180)
+    amin, amax = [], []
+    for wj in w:
+        R = (wj + 32) >> 6
+        amin.append(-((-32 * (64 * R - 32)) // dmf))   # ceil div
+        amax.append((32 * (64 * R + 32) - 1) // dmf)    # floor of <
+    for c in (3, 2, 1, 0):
+        s = jnp.where(d[c] < 0, -1, 1)
+        k = jnp.abs(d[c])                     # cap: reduce at most to 0
+        for j in range(4):
+            eps_pos = (-s * _HAD2x2[j][c]) > 0     # a_j moves up
+            k = jnp.minimum(k, jnp.where(eps_pos, amax[j] - a[j],
+                                         a[j] - amin[j]))
+        k = jnp.maximum(k, 0)
+        d[c] = d[c] - s * k
+        for j in range(4):
+            a[j] = a[j] - s * _HAD2x2[j][c] * k
+    new_dc = jnp.stack(d, axis=-1)
+    zero = already_zero[..., None]
+    nz = jnp.any(new_dc != 0, axis=-1) & ~already_zero
+    return jnp.where(zero, 0, new_dc), nz
 
 
 def _encode_chroma_channel(fenc8, pred8, qp, intra: bool):
