@@ -24,7 +24,8 @@ from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
 from ..ops.tables import CHROMA_QP_TABLE
 from ..ops import deblock as DB
 from ..ops import mc as MC
-from .sets import PPS, SPS
+from .sets import (PPS, SPS, filler_rbsp, sei_buffering_period_rbsp,
+                   sei_pic_timing_rbsp)
 from .ratecontrol import RateControl
 from .slicetype import SlicetypeDecider
 from . import intra_frame, inter_frame
@@ -103,6 +104,7 @@ class EncoderCore:
         self.i_frame = 0          # input frame counter
         self.frame_num = 0        # frame_num syntax element
         self.idr_pic_id = 0
+        self._cpb_delay = 0       # pic-timing SEI ticks since IDR
 
         # open-time logging (encoder.c:624-631 profile/level line)
         profile = "Main" if p.b_cabac else "Constrained Baseline"
@@ -384,6 +386,22 @@ class EncoderCore:
             nals.extend(self.headers()[:2])
         if is_idr:
             self.frame_num = 0
+        if self.sps.vui_nal_hrd_present and is_idr:
+            # buffering-period SEI on every IDR (set.c:577-597)
+            delay, offset = self.rc.hrd_fullness(self.sps)
+            nals.append(NAL(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                            nal_unit(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                                     sei_buffering_period_rbsp(
+                                         self.sps, delay, offset))))
+            self._cpb_delay = 0
+        if (self.sps.vui_nal_hrd_present
+                or self.sps.vui_pic_struct_present):
+            # pic-timing SEI per frame (set.c:599-630)
+            nals.append(NAL(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                            nal_unit(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                                     sei_pic_timing_rbsp(
+                                         self.sps, self._cpb_delay, 0))))
+            self._cpb_delay += 2
 
         def write_slice(syn_cur, qp_mb_cur):
             if p.b_cabac:
@@ -439,7 +457,14 @@ class EncoderCore:
         st.i_frame_count[slice_type] += 1
         total = sum(len(n.payload) for n in nals)
         st.i_frame_size[slice_type] += total
-        self.rc.end(slice_type, total * 8)
+        filler = self.rc.end(slice_type, total * 8)
+        if filler > 0:
+            # CBR-HRD filler NAL (update_vbv :945-952, x264_filler_write)
+            nals.append(NAL(P.NAL_FILLER, P.NAL_PRIORITY_DISPOSABLE,
+                            nal_unit(P.NAL_FILLER,
+                                     P.NAL_PRIORITY_DISPOSABLE,
+                                     filler_rbsp(filler))))
+            st.i_frame_size[slice_type] += len(nals[-1].payload)
         st.f_frame_qp[slice_type] += float(qp_mb.mean())
         h, w = pic.y.shape
         for plane, (rec, src) in enumerate(

@@ -160,6 +160,8 @@ class RateControl:
             self.b_vbv_min_rate = (
                 p.rc.i_rc_method == P.RC_ABR
                 and p.rc.i_vbv_max_bitrate <= p.rc.i_bitrate)
+        # CBR-HRD filler mode (set.h:161, update_vbv :945-952)
+        self.b_cbr_hrd = p.i_nal_hrd == P.NAL_HRD_CBR
         self._mincr_level = next(
             (l for l in P.LEVELS if l.level_idc == p.i_level_idc), None)
 
@@ -315,18 +317,29 @@ class RateControl:
         self.buffer_fill = min(self.buffer_fill_final, self.buffer_size)
         self.buffer_fill -= overhead
 
-    def _update_vbv(self, pict_type: int, bits: int):
-        """update_vbv (ratecontrol.c:924-957); CBR-HRD filler is not
-        wired (the fork never sets b_cbr_hrd: no i_nal_hrd param)."""
+    def _update_vbv(self, pict_type: int, bits: int) -> int:
+        """update_vbv (ratecontrol.c:924-957). Returns the CBR-HRD
+        filler payload size in bytes (0 unless i_nal_hrd == CBR and the
+        buffer would overflow, :945-952)."""
+        filler = 0
         if self.last_satd >= self.nmb:
             self.pred[pict_type].update(qp2qscale(self.qpa_rc),
                                         self.last_satd, bits)
         if not self.b_vbv:
-            return
+            return filler
         self.buffer_fill_final -= bits
         self.buffer_fill_final = max(self.buffer_fill_final, 0.0)
-        self.buffer_fill_final = min(self.buffer_fill_final
-                                     + self.buffer_rate, self.buffer_size)
+        self.buffer_fill_final += self.buffer_rate
+        if self.b_cbr_hrd and self.buffer_fill_final > self.buffer_size:
+            filler = int(math.ceil(
+                (self.buffer_fill_final - self.buffer_size) / 8.0))
+            # FILLER_OVERHEAD = NALU_OVERHEAD + 1 (common/common.h:59-60)
+            fbits = max(6 - self.param.b_annexb, filler) * 8
+            self.buffer_fill_final -= fbits
+        else:
+            self.buffer_fill_final = min(self.buffer_fill_final,
+                                         self.buffer_size)
+        return filler
 
     # ------------------------------------------------------------------
     def start(self, pict_type: int, frame_satd: int,
@@ -361,16 +374,29 @@ class RateControl:
         self.last_non_b_pict_type = pict_type
         return int(np.clip(q + 0.5, 0, P.QP_MAX))
 
-    def end(self, pict_type: int, bits: int):
-        """x264_ratecontrol_end (:813-860) + update_vbv, frame-level."""
+    def end(self, pict_type: int, bits: int) -> int:
+        """x264_ratecontrol_end (:813-860) + update_vbv, frame-level.
+        Returns the CBR-HRD filler size in bytes (0 when none due)."""
         if self.b_abr:
             self.cplxr_sum += bits * qp2qscale(self.qpa_rc) / self.last_rceq
             self.cplxr_sum *= self.cbr_decay
             self.wanted_bits_window += self.bitrate / self.fps
             self.wanted_bits_window *= self.cbr_decay
-        self._update_vbv(pict_type, bits)
+        filler = self._update_vbv(pict_type, bits)
         self.total_bits += bits
         self.i_frame += 1
+        return filler
+
+    def hrd_fullness(self, sps) -> tuple:
+        """x264_hrd_fullness analog: (initial_cpb_removal_delay,
+        initial_cpb_removal_delay_offset) in 90 kHz ticks for the
+        buffering-period SEI, from the current CPB fill."""
+        bitrate = float(sps.hrd_bit_rate_unscaled) or 1.0
+        cpb_size = float(sps.hrd_cpb_size_unscaled)
+        fill = float(np.clip(self.buffer_fill_final, 0.0, cpb_size))
+        delay = int(round(90000.0 * fill / bitrate))
+        offset = int(round(90000.0 * (cpb_size - fill) / bitrate))
+        return delay, offset
 
 
 def aq_offsets(fenc_y, fenc_u, fenc_v, strength: float,

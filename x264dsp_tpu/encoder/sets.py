@@ -64,6 +64,22 @@ class SPS:
     vui_num_reorder_frames: int = 0
     vui_max_dec_frame_buffering: int = 1
 
+    # NAL HRD (common/set.h:146-165; the fork keeps the SPS write path
+    # at set.c:359-375 but dropped the scale derivation — recomputed
+    # here so i_nal_hrd produces a conformant stream)
+    hrd_cpb_cnt: int = 1
+    hrd_bit_rate_scale: int = 0
+    hrd_cpb_size_scale: int = 0
+    hrd_bit_rate_value: int = 0
+    hrd_cpb_size_value: int = 0
+    hrd_bit_rate_unscaled: int = 0
+    hrd_cpb_size_unscaled: int = 0
+    hrd_cbr: int = 0
+    hrd_initial_cpb_removal_delay_length: int = 24
+    hrd_cpb_removal_delay_length: int = 24
+    hrd_dpb_output_delay_length: int = 24
+    hrd_time_offset_length: int = 0
+
     @staticmethod
     def init(param: P.Param, i_id: int = 0) -> "SPS":
         """x264_sps_init (encoder/set.c:71-243)."""
@@ -160,6 +176,21 @@ class SPS:
             sps.vui_time_scale = param.i_timebase_den * 2
             sps.vui_fixed_frame_rate = int(not param.b_vfr_input)
         sps.vui_nal_hrd_present = int(bool(param.i_nal_hrd))
+        if sps.vui_nal_hrd_present:
+            # scale derivation (E.2.2): value * 2^(6+scale) == rate.
+            # Largest scale that keeps the value exact (trailing-zero
+            # count), clipped to the 4-bit field.
+            bitrate = param.rc.i_vbv_max_bitrate * 1000
+            bufsize = param.rc.i_vbv_buffer_size * 1000
+            brs = min(max(_ctz(bitrate) - 6, 0), 15)
+            cps = min(max(_ctz(bufsize) - 4, 0), 15)
+            sps.hrd_bit_rate_scale = brs
+            sps.hrd_cpb_size_scale = cps
+            sps.hrd_bit_rate_value = bitrate >> (6 + brs)
+            sps.hrd_cpb_size_value = bufsize >> (4 + cps)
+            sps.hrd_bit_rate_unscaled = sps.hrd_bit_rate_value << (6 + brs)
+            sps.hrd_cpb_size_unscaled = sps.hrd_cpb_size_value << (4 + cps)
+            sps.hrd_cbr = int(param.i_nal_hrd == P.NAL_HRD_CBR)
         sps.vui_pic_struct_present = param.b_pic_struct
         sps.vui_bitstream_restriction = 1
         sps.vui_log2_max_mv_length = int(
@@ -244,8 +275,21 @@ class SPS:
             bw.write32(self.vui_time_scale)
             bw.write1(self.vui_fixed_frame_rate)
         bw.write1(self.vui_nal_hrd_present)
-        assert not self.vui_nal_hrd_present, "NAL HRD not supported yet"
-        bw.write1(0)  # vcl_hrd_parameters_present
+        if self.vui_nal_hrd_present:
+            # hrd_parameters (set.c:360-375)
+            bw.write_ue(self.hrd_cpb_cnt - 1)
+            bw.write(4, self.hrd_bit_rate_scale)
+            bw.write(4, self.hrd_cpb_size_scale)
+            bw.write_ue(self.hrd_bit_rate_value - 1)
+            bw.write_ue(self.hrd_cpb_size_value - 1)
+            bw.write1(self.hrd_cbr)
+            bw.write(5, self.hrd_initial_cpb_removal_delay_length - 1)
+            bw.write(5, self.hrd_cpb_removal_delay_length - 1)
+            bw.write(5, self.hrd_dpb_output_delay_length - 1)
+            bw.write(5, self.hrd_time_offset_length)
+        bw.write1(0)  # vcl_hrd_parameters_present (set.c:228)
+        if self.vui_nal_hrd_present:
+            bw.write1(0)  # low_delay_hrd_flag (set.c:380)
         bw.write1(self.vui_pic_struct_present)
         bw.write1(self.vui_bitstream_restriction)
         if self.vui_bitstream_restriction:
@@ -321,3 +365,136 @@ class PPS:
         bw.write1(self.b_redundant_pic_cnt)
         assert not self.b_transform_8x8_mode and self.i_cqm_preset == P.CQM_FLAT
         bw.rbsp_trailing()
+
+
+# ---------------------------------------------------------------------------
+# SEI / filler writers (encoder/set.c:50-69, 528-760)
+# ---------------------------------------------------------------------------
+
+SEI_BUFFERING_PERIOD = 0
+SEI_PIC_TIMING = 1
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_RECOVERY_POINT = 6
+SEI_DEC_REF_PIC_MARKING = 7
+SEI_FRAME_PACKING = 45
+
+# clock timestamp count per pic_struct (set.c:11)
+NUM_CLOCK_TS = (0, 1, 1, 1, 2, 2, 3, 3, 2, 3)
+
+
+def _ctz(x: int) -> int:
+    """Count of trailing zero bits (x > 0)."""
+    return (x & -x).bit_length() - 1
+
+
+def write_sei(bw: BitWriter, payload: bytes, payload_type: int) -> None:
+    """x264_sei_write (encoder/set.c:50-69): 255-escaped type and size,
+    payload bytes, rbsp trailing."""
+    t = payload_type
+    while t >= 255:
+        bw.write(8, 255)
+        t -= 255
+    bw.write(8, t)
+    n = len(payload)
+    while n >= 255:
+        bw.write(8, 255)
+        n -= 255
+    bw.write(8, n)
+    for b in payload:
+        bw.write(8, b)
+    bw.rbsp_trailing()
+
+
+def _payload(inner: BitWriter) -> bytes:
+    inner.align_10()
+    return inner.get_bytes()
+
+
+def sei_recovery_point_rbsp(recovery_frame_cnt: int) -> bytes:
+    """x264_sei_recovery_point_write (set.c:528-545)."""
+    q = BitWriter()
+    q.write_ue(recovery_frame_cnt)
+    q.write1(1)      # exact_match_flag
+    q.write1(0)      # broken_link_flag
+    q.write(2, 0)    # changing_slice_group
+    bw = BitWriter()
+    write_sei(bw, _payload(q), SEI_RECOVERY_POINT)
+    return bw.get_bytes()
+
+
+def sei_buffering_period_rbsp(sps: SPS, initial_cpb_removal_delay: int,
+                              initial_cpb_removal_delay_offset: int) -> bytes:
+    """x264_sei_buffering_period_write (set.c:577-597)."""
+    q = BitWriter()
+    q.write_ue(sps.i_id)
+    if sps.vui_nal_hrd_present:
+        L = sps.hrd_initial_cpb_removal_delay_length
+        q.write(L, initial_cpb_removal_delay)
+        q.write(L, initial_cpb_removal_delay_offset)
+    bw = BitWriter()
+    write_sei(bw, _payload(q), SEI_BUFFERING_PERIOD)
+    return bw.get_bytes()
+
+
+def sei_pic_timing_rbsp(sps: SPS, cpb_removal_delay: int,
+                        dpb_output_delay: int, pic_struct: int = 1) -> bytes:
+    """x264_sei_pic_timing_write (set.c:599-630)."""
+    q = BitWriter()
+    if sps.vui_nal_hrd_present:
+        q.write(sps.hrd_cpb_removal_delay_length, cpb_removal_delay)
+        q.write(sps.hrd_dpb_output_delay_length, dpb_output_delay)
+    if sps.vui_pic_struct_present:
+        q.write(4, pic_struct - 1)
+        for _ in range(NUM_CLOCK_TS[pic_struct]):
+            q.write1(0)  # clock_timestamp_flag
+    bw = BitWriter()
+    write_sei(bw, _payload(q), SEI_PIC_TIMING)
+    return bw.get_bytes()
+
+
+def sei_frame_packing_rbsp(frame_packing: int, is_frame0: bool) -> bytes:
+    """x264_sei_frame_packing_write (set.c:632-668)."""
+    quincunx = int(frame_packing == 0)
+    q = BitWriter()
+    q.write_ue(0)                    # arrangement_id
+    q.write1(0)                      # cancel_flag
+    q.write(7, frame_packing)        # arrangement_type
+    q.write1(quincunx)
+    q.write(6, 1)                    # content_interpretation_type
+    q.write1(0)                      # spatial_flipping_flag
+    q.write1(0)                      # frame0_flipped_flag
+    q.write1(0)                      # field_views_flag
+    q.write1(int(frame_packing == 5 and is_frame0))
+    q.write1(0)                      # frame0_self_contained_flag
+    q.write1(0)                      # frame1_self_contained_flag
+    if quincunx == 0 and frame_packing != 5:
+        for _ in range(4):
+            q.write(4, 0)            # grid positions
+    q.write(8, 0)                    # reserved byte
+    q.write_ue(1)                    # repetition_period
+    q.write1(0)                      # extension_flag
+    bw = BitWriter()
+    write_sei(bw, _payload(q), SEI_FRAME_PACKING)
+    return bw.get_bytes()
+
+
+def sei_dec_ref_pic_marking_rbsp(frame_num: int, mmco: list) -> bytes:
+    """x264_sei_dec_ref_pic_marking_write (set.c:686-714);
+    mmco: list of difference_of_pic_nums values."""
+    q = BitWriter()
+    q.write1(0)                      # original_idr_flag
+    q.write_ue(frame_num)            # original_frame_num
+    q.write1(int(bool(mmco)))
+    if mmco:
+        for diff in mmco:
+            q.write_ue(1)
+            q.write_ue(diff - 1)
+        q.write_ue(0)
+    bw = BitWriter()
+    write_sei(bw, _payload(q), SEI_DEC_REF_PIC_MARKING)
+    return bw.get_bytes()
+
+
+def filler_rbsp(n_bytes: int) -> bytes:
+    """x264_filler_write (set.c:671-683): n 0xff bytes + rbsp trailing."""
+    return b"\xff" * n_bytes + b"\x80"

@@ -30,6 +30,11 @@ NAL_PPS = 8
 NAL_AUD = 9
 NAL_FILLER = 12
 
+# NAL HRD modes (common/x264.h:185-187)
+NAL_HRD_NONE = 0
+NAL_HRD_VBR = 1
+NAL_HRD_CBR = 2
+
 NAL_PRIORITY_DISPOSABLE = 0
 NAL_PRIORITY_LOW = 1
 NAL_PRIORITY_HIGH = 2
@@ -409,6 +414,16 @@ def validate_parameters(p: Param) -> Param:
     elif rc.i_vbv_max_bitrate:
         rc.i_vbv_max_bitrate = 0
     rc.i_lookahead = clip3(rc.i_lookahead, 0, LOOKAHEAD_MAX)
+
+    # NAL HRD signalling (encoder.c:360-372)
+    p.i_nal_hrd = clip3(p.i_nal_hrd, NAL_HRD_NONE, NAL_HRD_CBR)
+    if p.i_nal_hrd and not rc.i_vbv_buffer_size:
+        x264_log(p, LOG_WARNING, "NAL HRD parameters require VBV parameters")
+        p.i_nal_hrd = NAL_HRD_NONE
+    if p.i_nal_hrd == NAL_HRD_CBR and (
+            rc.i_rc_method != RC_ABR or rc.i_bitrate != rc.i_vbv_max_bitrate):
+        x264_log(p, LOG_WARNING, "CBR HRD requires constant bitrate")
+        p.i_nal_hrd = NAL_HRD_VBR
 
     # no B-frames in the fork → zero B-only features (encoder.c:183-188)
     a = p.analyse
