@@ -329,6 +329,44 @@ def parse_pps(rbsp: bytes) -> PPSInfo:
     p.deblock_control = br.bit()
     p.constrained_intra = br.bit()
     p.redundant = br.bit()
+    p.scaling_list = None            # 4 raster 16-lists (4IY/4PY/4IC/4PC)
+    if br.more_rbsp_data():
+        # high-profile trailer (encoder/set.c:491-524)
+        assert br.bit() == 0, "8x8 transform unsupported"
+        if br.bit():                 # pic_scaling_matrix_present
+            jvt = (G.CQM_JVT4I, G.CQM_JVT4P)
+
+            def read_list(fallback, default):
+                """scaling_list() (spec 7.3.2.1.1.1): delta-decoded in
+                zigzag order; absent -> fallback list, j==0 nextScale==0
+                -> the default (JVT) list."""
+                if not br.bit():     # scaling_list_present_flag
+                    return list(fallback)
+                last, nxt = 8, 8
+                zz = [0] * 16
+                use_default = False
+                for j in range(16):
+                    if nxt != 0:
+                        nxt = (last + br.se() + 256) % 256
+                        if j == 0 and nxt == 0:
+                            use_default = True
+                    zz[j] = last if nxt == 0 else nxt
+                    last = zz[j]
+                if use_default:
+                    return list(default)
+                ras = [0] * 16
+                for j in range(16):
+                    ras[int(ZIGZAG_4x4[j])] = zz[j]
+                return ras
+
+            l4iy = read_list(jvt[0], jvt[0])
+            l4ic = read_list(l4iy, jvt[0])
+            br.bit()                 # Cr = Cb flag
+            l4py = read_list(jvt[1], jvt[1])
+            l4pc = read_list(l4py, jvt[1])
+            br.bit()                 # Cr = Cb flag
+            p.scaling_list = (l4iy, l4py, l4ic, l4pc)
+        p.second_chroma_qp_offset = br.se()
     return p
 
 
@@ -372,6 +410,7 @@ class Decoder:
     def __init__(self):
         self.sps = None
         self.pps = None
+        self.dmf = (None,) * 4
         self.frames = []
         self.recon = None    # (y, u, v) current planes (pre-deblock)
         self.ref = None      # previous deblocked (y, u, v) + hpel planes
@@ -385,6 +424,15 @@ class Decoder:
                 self.sps = parse_sps(rbsp)
             elif nal_type == 8:
                 self.pps = parse_pps(rbsp)
+                if self.pps.scaling_list is not None:
+                    self.dmf = tuple(
+                        np.array([[int(G.DEQUANT4_SCALE[rem][
+                            (i & 1) + ((i >> 2) & 1)]) * int(lst[i])
+                            for i in range(16)] for rem in range(6)],
+                            np.int32)
+                        for lst in self.pps.scaling_list)
+                else:
+                    self.dmf = (None,) * 4
             elif nal_type in (1, 5):
                 self._decode_slice(rbsp, idr=(nal_type == 5))
             # SEI (6) and others ignored
@@ -1029,7 +1077,7 @@ class Decoder:
             if (cbp_luma >> (i >> 2)) & 1 and np.any(luma_levels[i]):
                 blk = np.zeros(16, np.int32)
                 blk[ZIGZAG_4x4] = luma_levels[i]
-                dq = G.dequant_4x4(blk.reshape(4, 4), qp)
+                dq = G.dequant_4x4(blk.reshape(4, 4), qp, self.dmf[1])
                 out[by:by+4, bx:bx+4] = G.add4x4_idct(
                     pred[by:by+4, bx:bx+4].astype(np.uint8), dq)
         y[y0:y0+16, x0:x0+16] = out.astype(np.uint8)
@@ -1039,13 +1087,13 @@ class Decoder:
             outc = predc.astype(np.int32).copy()
             dc = np.zeros(4, np.int32)
             dc[G.ZIGZAG_2x2_DC] = chroma_dc[ch]
-            dq_dc = G.idct_dequant_2x2_dc(dc, qpc)
+            dq_dc = G.idct_dequant_2x2_dc(dc, qpc, self.dmf[3])
             for i in range(4):
                 bx, by = (i & 1) * 4, (i >> 1) * 4
                 if cbp_chroma == 2:
                     blk = np.zeros(16, np.int32)
                     blk[ZIGZAG_4x4] = chroma_ac[ch, i]
-                    dq = G.dequant_4x4(blk.reshape(4, 4), qpc)
+                    dq = G.dequant_4x4(blk.reshape(4, 4), qpc, self.dmf[3])
                     dq[0, 0] = dq_dc[i]
                     outc[by:by+4, bx:bx+4] = G.add4x4_idct(
                         predc[by:by+4, bx:bx+4].astype(np.uint8), dq)
@@ -1180,14 +1228,14 @@ class Decoder:
         dcq = np.zeros(16, np.int32)
         dcq[ZIGZAG_4x4] = dc_levels
         dct_dc = G.idct4x4dc(dcq.reshape(4, 4))
-        dct_dc = G.dequant_4x4_dc(dct_dc, qp)
+        dct_dc = G.dequant_4x4_dc(dct_dc, qp, self.dmf[0])
         out = np.zeros((16, 16), np.int32)
         for i in range(16):
             bx, by = int(BIX[i]) * 4, int(BIY[i]) * 4
             blk = np.zeros(16, np.int32)
             blk[ZIGZAG_4x4] = ac_levels[i]
             q = blk.reshape(4, 4)
-            dq = G.dequant_4x4(q, qp)
+            dq = G.dequant_4x4(q, qp, self.dmf[0])
             dq[0, 0] = dct_dc[int(BIY[i]), int(BIX[i])]
             if cbp_luma:
                 out[by:by + 4, bx:bx + 4] = G.add4x4_idct(
@@ -1255,7 +1303,7 @@ class Decoder:
             blk = np.zeros(16, np.int32)
             blk[ZIGZAG_4x4] = levels[i]
             if np.any(blk):
-                dq = G.dequant_4x4(blk.reshape(4, 4), qp)
+                dq = G.dequant_4x4(blk.reshape(4, 4), qp, self.dmf[0])
                 rec = G.add4x4_idct(pred.astype(np.uint8), dq)
             else:
                 rec = pred.astype(np.uint8)
@@ -1283,14 +1331,14 @@ class Decoder:
         # DC chain
         dc = np.zeros(4, np.int32)
         dc[G.ZIGZAG_2x2_DC] = dc_levels
-        dq_dc = G.idct_dequant_2x2_dc(dc, qpc)
+        dq_dc = G.idct_dequant_2x2_dc(dc, qpc, self.dmf[2])
         for i in range(4):
             bx, by = (i & 1) * 4, (i >> 1) * 4
             blk = np.zeros(16, np.int32)
             blk[ZIGZAG_4x4] = ac_levels[i]
             q = blk.reshape(4, 4)
             if cbp_chroma == 2:
-                dq = G.dequant_4x4(q, qpc)
+                dq = G.dequant_4x4(q, qpc, self.dmf[2])
                 dq[0, 0] = dq_dc[i]
                 out[by:by + 4, bx:bx + 4] = G.add4x4_idct(
                     pred[by:by + 4, bx:bx + 4].astype(np.uint8), dq)

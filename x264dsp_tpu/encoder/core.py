@@ -68,6 +68,18 @@ class Stats:
         self.i_mb_count = {}       # mb type histogram
         self.ssd = np.zeros(3, np.int64)
         self.pixels = np.zeros(3, np.int64)
+        # per-type PSNR accumulators (h->stat.f_psnr_mean_*, encoder.c
+        # :2198-2209) and ref/pred-mode histograms (:2262-2367)
+        self.ssd_type = {P.SLICE_TYPE_I: np.zeros(3, np.int64),
+                         P.SLICE_TYPE_P: np.zeros(3, np.int64)}
+        self.pixels_type = {P.SLICE_TYPE_I: np.zeros(3, np.int64),
+                            P.SLICE_TYPE_P: np.zeros(3, np.int64)}
+        self.i_mb_count_ref = np.zeros(P.REF_MAX, np.int64)
+        self.i16_modes = np.zeros(7, np.int64)
+        self.i4_modes = np.zeros(12, np.int64)
+        self.chroma_modes = np.zeros(7, np.int64)
+        self.cbp_coded = np.zeros(3, np.int64)  # y, uvDC, uvAC (intra)
+        self.cbp_mbs = 0
         self.f_ssim = 0.0
         self.i_ssim_cnt = 0
 
@@ -79,6 +91,13 @@ class Stats:
             psnr = [float(10 * np.log10(255.0 ** 2 * p / s)) if s else float("inf")
                     for s, p in zip(self.ssd, self.pixels)]
         out["psnr_yuv"] = psnr
+        if self.i_mb_count_ref.sum():
+            out["ref_histogram"] = self.i_mb_count_ref.tolist()
+        out["psnr_yuv_by_type"] = {
+            t: [float(10 * np.log10(255.0 ** 2 * px / s)) if s else
+                float("inf")
+                for s, px in zip(self.ssd_type[t], self.pixels_type[t])]
+            for t in self.ssd_type if self.pixels_type[t][0]}
         if self.i_ssim_cnt:
             out["ssim_y"] = self.f_ssim / self.i_ssim_cnt
         return out
@@ -105,6 +124,18 @@ class EncoderCore:
         self.frame_num = 0        # frame_num syntax element
         self.idr_pic_id = 0
         self._cpb_delay = 0       # pic-timing SEI ticks since IDR
+
+        # CQM key for the device pipelines: None = flat (table globals),
+        # else a hashable tuple of 4 scaling lists (jit static arg)
+        from ..ops import tables as TB
+        if p.i_cqm_preset == P.CQM_JVT:
+            self.cqm = TB.CQM_JVT_LISTS
+        elif p.i_cqm_preset == P.CQM_CUSTOM:
+            self.cqm = tuple(tuple(int(v) for v in l)
+                             for l in (p.cqm_4iy, p.cqm_4py,
+                                       p.cqm_4ic, p.cqm_4pc))
+        else:
+            self.cqm = None
 
         # open-time logging (encoder.c:624-631 profile/level line)
         profile = "Main" if p.b_cabac else "Constrained Baseline"
@@ -337,7 +368,8 @@ class EncoderCore:
                 dev = intra_frame.encode_i_frame(
                     fy, fu, fv, qp_mb_cur, qpc_cur, lam_cur,
                     mb_w=self.mb_w, mb_h=self.mb_h,
-                    use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled)
+                    use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled,
+                    cqm=self.cqm)
             else:
                 n_ref = n_ref_active
                 if n_ref == 1:
@@ -360,7 +392,8 @@ class EncoderCore:
                     partitions=bool(p.analyse.inter
                                     & P.ANALYSE_PSUB16x16),
                     n_ref=n_ref,
-                    subme=min(max(p.analyse.i_subpel_refine, 0), 5))
+                    subme=min(max(p.analyse.i_subpel_refine, 0), 5),
+                    cqm=self.cqm)
             return {k: np.asarray(v) for k, v in dev.items()}
 
         syn = device_encode(qp_mb)
@@ -417,6 +450,7 @@ class EncoderCore:
             return self._write_slice_p_cavlc(syn_cur, qp, qp_mb=qp_mb_cur,
                                              n_ref=n_ref_active)
 
+        _skips_before = self.stats.i_mb_count.get("P_SKIP", 0)
         slice_payload = write_slice(syn, qp_mb)
 
         # -- in-band recovery (b): VBV/MinCR hard overshoot → re-encode
@@ -471,8 +505,31 @@ class EncoderCore:
                 zip(self.last_recon, (pic.y, pic.u, pic.v))):
             ph, pw = src.shape
             d = rec[:ph, :pw].astype(np.int64) - src.astype(np.int64)
-            st.ssd[plane] += int((d * d).sum())
+            ssd_p = int((d * d).sum())
+            st.ssd[plane] += ssd_p
             st.pixels[plane] += ph * pw
+            st.ssd_type[slice_type][plane] += ssd_p
+            st.pixels_type[slice_type][plane] += ph * pw
+        if slice_type == P.SLICE_TYPE_P:
+            # ref-usage histogram (encoder.c:1612, :2348-2367); P_SKIP MBs
+            # always reference frame 0 and are excluded like the reference
+            rh = np.bincount(np.asarray(syn["ref"]).ravel(),
+                             minlength=P.REF_MAX)[:P.REF_MAX]
+            rh[0] -= st.i_mb_count.get("P_SKIP", 0) - _skips_before
+            st.i_mb_count_ref += np.maximum(rh, 0)
+        else:
+            # intra pred-mode histograms (encoder.c:2262-2341)
+            is_i4 = np.asarray(syn["mb_type"]) == 1
+            st.i16_modes += np.bincount(
+                np.asarray(syn["i16_mode"])[~is_i4].ravel(), minlength=7)[:7]
+            st.i4_modes += np.bincount(
+                np.asarray(syn["i4_modes"])[is_i4].ravel(), minlength=12)[:12]
+            st.chroma_modes += np.bincount(
+                np.asarray(syn["chroma_mode"]).ravel(), minlength=7)[:7]
+            st.cbp_coded += [int((np.asarray(syn["cbp_luma"]) != 0).sum()),
+                             int((np.asarray(syn["cbp_chroma"]) >= 1).sum()),
+                             int((np.asarray(syn["cbp_chroma"]) == 2).sum())]
+            st.cbp_mbs += self.mb_w * self.mb_h
         if self.param.analyse.b_ssim:
             # offset (2,2) so ssim blocks don't align with dct blocks
             # (encoder.c:1416-1427)
@@ -1192,8 +1249,39 @@ class EncoderCore:
             P.x264_log(p, P.LOG_INFO, "mb " + "  ".join(
                 f"{k}:{100.0 * v / tot_mb:.1f}%"
                 for k, v in sorted(mbs.items())))
+        if st.cbp_mbs:
+            cy, cdc, cac = (100.0 * st.cbp_coded / st.cbp_mbs)
+            P.x264_log(p, P.LOG_INFO,
+                       f"coded y,uvDC,uvAC intra: {cy:.1f}% {cdc:.1f}% "
+                       f"{cac:.1f}%")
+            tot16 = max(int(st.i16_modes.sum()), 1)
+            v, h_, dc, pl = (100.0 * st.i16_modes[[0, 1, 2, 3]] / tot16)
+            P.x264_log(p, P.LOG_INFO,
+                       f"i16 v,h,dc,p: {v:2.0f}% {h_:2.0f}% {dc:2.0f}% "
+                       f"{pl:2.0f}%")
+            if st.i4_modes.sum():
+                m = 100.0 * st.i4_modes[:9] / st.i4_modes.sum()
+                P.x264_log(p, P.LOG_INFO,
+                           "i4 v,h,dc,ddl,ddr,vr,hd,vl,hu: "
+                           + " ".join(f"{x:2.0f}%" for x in m))
+            totc = max(int(st.chroma_modes.sum()), 1)
+            dc, h_, v, pl = (100.0 * st.chroma_modes[[0, 1, 2, 3]] / totc)
+            P.x264_log(p, P.LOG_INFO,
+                       f"i8c dc,h,v,p: {dc:2.0f}% {h_:2.0f}% {v:2.0f}% "
+                       f"{pl:2.0f}%")
+        if st.i_mb_count_ref.sum():
+            den = st.i_mb_count_ref.sum()
+            P.x264_log(p, P.LOG_INFO, "ref P L0:" + "".join(
+                f" {100.0 * n / den:4.1f}%"
+                for n in st.i_mb_count_ref if n))
         if p.analyse.b_psnr and st.pixels[0]:
             psnr = out["psnr_yuv"]
+            for stype, ch in ((P.SLICE_TYPE_I, "I"), (P.SLICE_TYPE_P, "P")):
+                if st.pixels_type[stype][0]:
+                    py = out["psnr_yuv_by_type"][stype]
+                    P.x264_log(p, P.LOG_INFO,
+                               f"frame {ch} PSNR Mean Y:{py[0]:.3f} "
+                               f"U:{py[1]:.3f} V:{py[2]:.3f}")
             P.x264_log(p, P.LOG_INFO,
                        f"PSNR Mean Y:{psnr[0]:.3f} U:{psnr[1]:.3f} "
                        f"V:{psnr[2]:.3f}")

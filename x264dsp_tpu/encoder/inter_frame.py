@@ -502,7 +502,7 @@ def _quad_merge(blk):
 
 def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
                       qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool,
-                      force_skip=None):
+                      force_skip=None, cqm=None):
     """Batched inter residual encode for all MBs, plane-resident: MC via
     window matmuls, then the whole-frame matmul-DCT pipeline of
     ops/residual_plane (no per-MB block tensors anywhere — a (B,16,4,4)
@@ -521,7 +521,7 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
     # ---- luma ----
     pred_y = untile_mb(_mc_luma_mv8(wins4, mv8f), mb_w, mb_h, 16)
     cm = RP.sub_dct_cm(fenc_y.astype(jnp.int32), pred_y)
-    q_cm = RP.quant_cm(cm, qp_mb, False, 4)
+    q_cm = RP.quant_cm(cm, qp_mb, False, 4, cqm, 1)
     z_cm = RP.zigzag_order(q_cm)
     nnz_bg = RP.nnz_cm(z_cm)                           # (4mbh, 4mbw)
     live_bg = ~jnp.repeat(jnp.repeat(fs, 4, 0), 4, 1)
@@ -545,7 +545,7 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
         has = jnp.any(nnz_mb.reshape(mb_h, mb_w, 4, 4) > 0, axis=-1)
         bits = (1 << jnp.arange(4, dtype=jnp.int32))
         cbp_luma = jnp.where(has, bits, 0).sum(-1)
-    dq_cm = RP.mask_cm(RP.dequant_cm(q_cm, qp_mb, 4), nnz_bg)
+    dq_cm = RP.mask_cm(RP.dequant_cm(q_cm, qp_mb, 4, cqm, 1), nnz_bg)
     recon_y = RP.idct_add_plane(pred_y, dq_cm)
     levels = RP.luma_levels_coding(z_cm, mb_h, mb_w)
     nnz = RP.luma_nnz_coding(nnz_bg, mb_h, mb_w)
@@ -554,9 +554,9 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
     pred_u = untile_mb(_mc_chroma_mv8(winsu, mv8f), mb_w, mb_h, 8)
     pred_v = untile_mb(_mc_chroma_mv8(winsv, mv8f), mb_w, mb_h, 8)
     eu = _encode_chroma_plane(fenc_u, pred_u, qpc_mb, dct_decimate, fs,
-                              mb_h, mb_w)
+                              mb_h, mb_w, cqm)
     ev = _encode_chroma_plane(fenc_v, pred_v, qpc_mb, dct_decimate, fs,
-                              mb_h, mb_w)
+                              mb_h, mb_w, cqm)
     any_ac = eu["has_ac"] | ev["has_ac"]
     any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
     cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
@@ -575,7 +575,7 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
 
 
 def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
-                         mb_h: int, mb_w: int):
+                         mb_h: int, mb_w: int, cqm=None):
     """One chroma channel of x264_mb_encode_chroma (b_inter=1,
     encoder/macroblock.c:175-300), plane-resident. fenc8p/pred8p:
     (8mb_h, 8mb_w) planes; qpc_mb/fs: (mb_h, mb_w). The variance
@@ -585,7 +585,7 @@ def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
     cm = RP.sub_dct_cm(fenc8p.astype(jnp.int32), pred8p)
     dc_bg = cm[0]                                      # (2mbh, 2mbw)
     cm_ac = [jnp.zeros_like(cm[0])] + cm[1:]
-    q_cm = RP.quant_cm(cm_ac, qpc_mb, False, 2)
+    q_cm = RP.quant_cm(cm_ac, qpc_mb, False, 2, cqm, 3)
     z_cm = RP.zigzag_order(q_cm)
     nnz_ac_bg = RP.nnz_cm(z_cm)                        # (2mbh, 2mbw)
     ac_levels = RP.chroma_levels_coding(z_cm, mb_h, mb_w)
@@ -594,7 +594,7 @@ def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
     dc_mb = RP.blockgrid_to_mb(dc_bg, mb_h, mb_w, 2) \
         .reshape(mb_h, mb_w, 4)                        # raster quadrants
     dc = T.hadamard2x2(dc_mb)
-    q_dc = T.quant_dc(dc, qpc_mb, False)
+    q_dc = T.quant_dc(dc, qpc_mb, False, cqm, 3)
     nz_dc = jnp.any(q_dc != 0, axis=-1)
 
     if b_decimate:
@@ -609,15 +609,15 @@ def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
     nz_dc = nz_dc & ~fs
 
     from .intra_frame import _optimize_chroma_dc
-    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qpc_mb)
+    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qpc_mb, cqm, 3)
     use_opt = (~nz_ac) & nz_dc & (qpc_mb <= 22)
     dc_final = jnp.where(use_opt[..., None], opt_dc, q_dc)
     nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
 
     dc_levels = jnp.where(nz_dc_final[..., None],
                           dc_final[..., jnp.asarray([0, 2, 1, 3])], 0)
-    dq_dc = T.idct_dequant_2x2_dc(dc_final, qpc_mb)    # (mbh, mbw, 4)
-    dq_cm = RP.dequant_cm(q_cm, qpc_mb, 2)
+    dq_dc = T.idct_dequant_2x2_dc(dc_final, qpc_mb, cqm, 3)
+    dq_cm = RP.dequant_cm(q_cm, qpc_mb, 2, cqm, 3)
     dq_dc_bg = RP.mb_to_blockgrid(dq_dc.reshape(mb_h, mb_w, 2, 2),
                                   mb_h, mb_w, 2)
     nz_dc_bg = jnp.repeat(jnp.repeat(nz_dc_final, 2, 0), 2, 1)
@@ -869,7 +869,8 @@ def pskip_mv_field(mv_field, mb_w: int, mb_h: int):
 
 
 def probe_pskip(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, pskip_mv,
-                qp_mb, qpc_mb, mb_w: int, mb_h: int, mv_range: int):
+                qp_mb, qpc_mb, mb_w: int, mb_h: int, mv_range: int,
+                cqm=None):
     """Batched x264_macroblock_probe_pskip (encoder/macroblock.c:492-604):
     at the P-SKIP MV, the luma residual must fully decimate (score < 6,
     DC included) and each chroma channel must pass the SSD/DC/AC-decimate
@@ -892,7 +893,8 @@ def probe_pskip(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, pskip_mv,
     pred_y = untile_mb(MG.mc_luma_batched(wins4, mvx, mvy, 16, 16),
                        mb_w, mb_h, 16)
     z_cm = RP.zigzag_order(RP.quant_cm(
-        RP.sub_dct_cm(fenc_y.astype(jnp.int32), pred_y), qp_g, False, 4))
+        RP.sub_dct_cm(fenc_y.astype(jnp.int32), pred_y), qp_g, False, 4,
+        cqm, 1))
     nnz_bg = RP.nnz_cm(z_cm)
     sc_bg = jnp.where(nnz_bg > 0, RP.decimate_score_cm(z_cm), 0)
     score = sc_bg.reshape(mb_h, 4, mb_w, 4).sum((1, 3))
@@ -909,10 +911,11 @@ def probe_pskip(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, pskip_mv,
         dc_bg = cm[0]                                  # (2mbh, 2mbw)
         q_dc = T.quant_dc(
             RP.blockgrid_to_mb(dc_bg, mb_h, mb_w, 2).reshape(
-                mb_h, mb_w, 4), qpc_g, False)
+                mb_h, mb_w, 4), qpc_g, False, cqm, 3)
         dc_nz = jnp.any(q_dc != 0, axis=-1)
         cm_ac = [jnp.zeros_like(cm[0])] + cm[1:]
-        zc = RP.zigzag_order(RP.quant_cm(cm_ac, qpc_g, False, 2))
+        zc = RP.zigzag_order(RP.quant_cm(cm_ac, qpc_g, False, 2,
+                                         cqm, 3))
         ac_bg = RP.nnz_cm(zc)
         acs_bg = jnp.where(ac_bg > 0, RP.decimate_score_cm(zc[1:]), 0)
         ac_score = acs_bg.reshape(mb_h, 2, mb_w, 2).sum((1, 3))
@@ -1024,7 +1027,7 @@ def _ref_bits(r: int, n_ref: int) -> int:
     return 2 * int(np.floor(np.log2(r + 1))) + 1
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "me_range",
+@functools.partial(jax.jit, static_argnames=("cqm", "mb_w", "mb_h", "me_range",
                                              "mv_range", "dct_decimate",
                                              "me_parallel", "fast_pskip",
                                              "partitions", "n_ref",
@@ -1034,7 +1037,7 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                    mv_range: int, dct_decimate: bool,
                    me_parallel: bool = False, fast_pskip: bool = True,
                    partitions: bool = False, n_ref: int = 1,
-                   subme: int = 1):
+                   subme: int = 1, cqm=None):
     """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
     / mc.pad_chroma on the DEBLOCKED reference(s) — with n_ref > 1 they
     carry a leading reference axis (nearest first, x264_reference_build
@@ -1096,7 +1099,7 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
         # the probe always tests reference 0 (macroblock.c:503-506)
         skip_ok, skip_mv = probe_pskip(
             fenc_y, fenc_u, fenc_v, wins4_r0, winsu_r0, winsv_r0, psk,
-            qp, qpc, mb_w, mb_h, mv_range)
+            qp, qpc, mb_w, mb_h, mv_range, cqm=cqm)
         mv_field = jnp.where(skip_ok[..., None], skip_mv, mv_field)
         ref_mb = jnp.where(skip_ok, 0, ref_mb)
         if n_ref > 1:
@@ -1119,7 +1122,7 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                                (mb_h, mb_w, 2, 2, 2))
     out = encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv,
                             mv8, qp, qpc, mb_w, mb_h, dct_decimate,
-                            force_skip=skip_ok)
+                            force_skip=skip_ok, cqm=cqm)
     out["mv"] = mv8[:, :, 0, 0]
     out["mv8"] = mv8
     out["partition"] = part

@@ -115,13 +115,13 @@ def _serial_i4(costs12, order, mpm, lam, init_best, init_mode):
     return best, mode
 
 
-def _encode_4x4(fenc_blk, pred, qp):
+def _encode_4x4(fenc_blk, pred, qp, cqm=None):
     """x264_mb_encode_i4x4 core (encoder/macroblock.h:37-63)."""
     dct = T.sub_dct4x4(fenc_blk, pred)
-    q = T.quant4x4(dct, qp, True)
+    q = T.quant4x4(dct, qp, True, cqm, 0)
     nz = jnp.any(q != 0)
     levels = T.zigzag4x4(q)
-    dq = T.dequant4x4(q, qp)
+    dq = T.dequant4x4(q, qp, cqm, 0)
     recon = jnp.where(nz, T.idct4x4_add(pred, dq), pred)
     return recon, levels, nz.astype(jnp.int32)
 
@@ -131,7 +131,7 @@ def _encode_4x4(fenc_blk, pred, qp):
 _HAD2x2 = ((1, 1, 1, 1), (1, 1, -1, -1), (1, -1, 1, -1), (1, -1, -1, 1))
 
 
-def _optimize_chroma_dc(dc, qp):
+def _optimize_chroma_dc(dc, qp, cqm=None, cqm_set: int = 2):
     """optimize_chroma_2x2_dc (common/quant.c:157-192): losslessly round
     DC coefficients toward zero while the (>>6) reconstruction is
     unchanged. Closed form instead of the reference's unit-step while
@@ -144,7 +144,8 @@ def _optimize_chroma_dc(dc, qp):
     storage order, qp scalar or (...,). Returns (new_dc, nz)."""
     dc = jnp.asarray(dc)
     qp = jnp.asarray(qp)
-    dmf = T.table_rows(T.DEQUANT4_MF_J, qp % 6)[..., 0] << (qp // 6)
+    _, _, DMF = T.cqm_mf(cqm, cqm_set)
+    dmf = T.table_rows(DMF, qp % 6)[..., 0] << (qp // 6)
 
     def had(d):
         return [sum(h * d[c] for c, h in enumerate(row)) for row in _HAD2x2]
@@ -180,10 +181,11 @@ def _optimize_chroma_dc(dc, qp):
     return jnp.where(zero, 0, new_dc), nz
 
 
-def _encode_chroma_channel(fenc8, pred8, qp, intra: bool):
+def _encode_chroma_channel(fenc8, pred8, qp, intra: bool, cqm=None):
     """One chroma channel of x264_mb_encode_chroma (b_decimate=0 path,
     encoder/macroblock.c:233-300). Returns dict with recon, dc/ac levels,
     nnz flags."""
+    cs = 2 if intra else 3  # CQM_4IC / CQM_4PC (set.h:63-64)
     # 4 quadrant blocks in raster order (sub8x8_dct, common/dct.c:157)
     blocks_f = jnp.stack([fenc8[0:4, 0:4], fenc8[0:4, 4:8],
                           fenc8[4:8, 0:4], fenc8[4:8, 4:8]])
@@ -193,15 +195,15 @@ def _encode_chroma_channel(fenc8, pred8, qp, intra: bool):
     dc_raw = dct[:, 0, 0]
     dct = dct.at[:, 0, 0].set(0)
     dc = T.hadamard2x2(dc_raw)                        # reference storage order
-    q_ac = T.quant4x4(dct, qp, intra)                 # (4, 4, 4)
+    q_ac = T.quant4x4(dct, qp, intra, cqm, cs)        # (4, 4, 4)
     nnz_ac = jnp.any(q_ac.reshape(4, 16) != 0, axis=-1).astype(jnp.int32)
     nz_ac = jnp.any(nnz_ac != 0)
     ac_levels = T.zigzag4x4(q_ac)                     # (4, 16)
-    q_dc = T.quant_dc(dc, qp, intra)
+    q_dc = T.quant_dc(dc, qp, intra, cqm, cs)
     nz_dc = jnp.any(q_dc != 0)
 
     # DC-only path with lossless rounding at low QP (macroblock.c:262-284)
-    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qp)
+    opt_dc, opt_nz = _optimize_chroma_dc(q_dc, qp, cqm, cs)
     use_opt = (~nz_ac) & nz_dc & (qp <= 22)
     dc_final = jnp.where(use_opt, opt_dc, q_dc)
     nz_dc_final = jnp.where(use_opt, opt_nz, nz_dc)
@@ -209,9 +211,9 @@ def _encode_chroma_channel(fenc8, pred8, qp, intra: bool):
     dc_levels = dc_final[jnp.asarray([0, 2, 1, 3])]   # zigzag_scan_2x2_dc
 
     # reconstruction:
-    dq_dc = T.idct_dequant_2x2_dc(dc_final, qp)       # (4,) per-quadrant DC
+    dq_dc = T.idct_dequant_2x2_dc(dc_final, qp, cqm, cs)
     # AC path recon: dct4x4 blocks with DC inserted, idct
-    dq_ac = T.dequant4x4(q_ac, qp)
+    dq_ac = T.dequant4x4(q_ac, qp, cqm, cs)
     dq_ac = dq_ac.at[:, 0, 0].set(jnp.where(nz_dc_final, dq_dc, 0))
     rec_blocks_ac = T.idct4x4_add(blocks_p, dq_ac)
     # DC-only recon: (dc+32)>>6 added (add8x8_idct_dc, common/dct.c:253)
@@ -236,7 +238,7 @@ def _encode_chroma_channel(fenc8, pred8, qp, intra: bool):
                 has_ac=nz_ac)
 
 
-def _encode_i16(fenc16, pred16, qp):
+def _encode_i16(fenc16, pred16, qp, cqm=None):
     """x264_mb_encode_i16x16 (encoder/macroblock.c:72-170), I-slice
     (no decimation)."""
     bx = jnp.asarray(BLOCK_IDX_X * 4)
@@ -249,22 +251,22 @@ def _encode_i16(fenc16, pred16, qp):
     dct = T.sub_dct4x4(blk_f, blk_p)                  # (16, 4, 4)
     dc_raw = dct[:, 0, 0]
     dct = dct.at[:, 0, 0].set(0)
-    q = T.quant4x4(dct, qp, True)
+    q = T.quant4x4(dct, qp, True, cqm, 0)
     nnz = jnp.any(q.reshape(16, 16) != 0, axis=-1).astype(jnp.int32)
     any_ac = jnp.any(nnz != 0)
     cbp_luma = jnp.where(any_ac, 0xF, 0)
     levels = T.zigzag4x4(q)                           # (16, 16), [:,0] == 0
-    dq_ac = T.dequant4x4(q, qp)
+    dq_ac = T.dequant4x4(q, qp, cqm, 0)
 
     # DC: natural 4x4 grid position = (block_y, block_x)
     dc_grid = jnp.zeros((4, 4), jnp.int32).at[
         jnp.asarray(BLOCK_IDX_Y), jnp.asarray(BLOCK_IDX_X)].set(dc_raw)
     dc_t = T.hadamard4x4(dc_grid, forward=True)
-    q_dc = T.quant_dc(dc_t.reshape(16), qp, True)
+    q_dc = T.quant_dc(dc_t.reshape(16), qp, True, cqm, 0)
     nz_dc = jnp.any(q_dc != 0)
     dc_levels = T.zigzag4x4(q_dc.reshape(4, 4))
     dc_it = T.hadamard4x4(q_dc.reshape(4, 4), forward=False)
-    dc_dq = T.dequant_dc4x4(dc_it, qp)
+    dc_dq = T.dequant_dc4x4(dc_it, qp, cqm, 0)
     dc_per_block = jnp.where(
         nz_dc, dc_dq[jnp.asarray(BLOCK_IDX_Y), jnp.asarray(BLOCK_IDX_X)], 0)
 
@@ -291,7 +293,7 @@ _TR_STATIC = jnp.asarray(np.array(
     np.int32))
 
 
-def _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam, thresh,
+def _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam, thresh, cqm,
                        avail_l, avail_t, avail_tl, avail_tr,
                        left_modes, top_modes, use_satd):
     """i4x4 analysis + inline encode (analyse.c:640-760 + macroblock.h:37).
@@ -404,7 +406,7 @@ def _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam, thresh,
 
         # ---- encode the block with the chosen mode ----
         pred = preds[mode]
-        recon_blk, levels, nz = _encode_4x4(fenc_blk, pred, qp)
+        recon_blk, levels, nz = _encode_4x4(fenc_blk, pred, qp, cqm)
         L = jax.lax.dynamic_update_slice(L, recon_blk, (y0 + 1, x0 + 1))
         M = M.at[1 + by, 1 + bx].set(mode)
         all_levels = all_levels.at[idx].set(levels)
@@ -423,7 +425,7 @@ def _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam, thresh,
     return cost, valid, decided, cur, all_levels, all_nnz
 
 
-def make_encode_mb(use_satd: bool, i4x4_enabled: bool):
+def make_encode_mb(use_satd: bool, i4x4_enabled: bool, cqm=None):
     """Build the per-MB analyse+encode function (to be vmapped)."""
 
     def encode_mb(fenc16, fenc_u8, fenc_v8,
@@ -445,7 +447,7 @@ def make_encode_mb(use_satd: bool, i4x4_enabled: bool):
         if i4x4_enabled:
             i4_cost, i4_valid, i4_modes, i4_recon, i4_levels, i4_nnz = \
                 _analyse_encode_i4(fenc16, ytop25, yleft16, qp, lam,
-                                   i16_cost, avail_l, avail_t, avail_tl,
+                                   i16_cost, cqm, avail_l, avail_t, avail_tl,
                                    avail_tr, left_modes, top_modes, use_satd)
             i4_cost = jnp.where(i4_valid, i4_cost, COST_MAX)
         else:
@@ -459,7 +461,7 @@ def make_encode_mb(use_satd: bool, i4x4_enabled: bool):
         is_i4 = i4_cost < i16_cost
 
         # ---------- I16x16 encode ----------
-        e16 = _encode_i16(fenc16, preds16[i16_mode], qp)
+        e16 = _encode_i16(fenc16, preds16[i16_mode], qp, cqm)
 
         recon_y = jnp.where(is_i4, i4_recon, e16["recon"])
         luma_levels = jnp.where(is_i4, i4_levels, e16["levels"])
@@ -484,8 +486,10 @@ def make_encode_mb(use_satd: bool, i4x4_enabled: bool):
         _, chroma_mode = _ordered_pick(cc, _ORDERC[case])
 
         # ---------- chroma encode ----------
-        eu = _encode_chroma_channel(fenc_u8, predsU[chroma_mode], qpc, True)
-        ev = _encode_chroma_channel(fenc_v8, predsV[chroma_mode], qpc, True)
+        eu = _encode_chroma_channel(fenc_u8, predsU[chroma_mode], qpc,
+                                    True, cqm)
+        ev = _encode_chroma_channel(fenc_v8, predsV[chroma_mode], qpc,
+                                    True, cqm)
         any_ac = eu["has_ac"] | ev["has_ac"]
         any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
         cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
@@ -534,9 +538,10 @@ PAD = 8
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_satd",
-                                             "i4x4_enabled"))
+                                             "i4x4_enabled", "cqm"))
 def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
-                   mb_w: int, mb_h: int, use_satd: bool, i4x4_enabled: bool):
+                   mb_w: int, mb_h: int, use_satd: bool, i4x4_enabled: bool,
+                   cqm=None):
     """Encode one I-frame (single stream). fenc_* are mod16-padded planes
     (uint8/int32); qp/qpc/lam: scalars or per-MB (mb_h, mb_w) grids (AQ).
     Returns the full per-MB syntax tensor dict + recon planes
@@ -553,7 +558,7 @@ def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
     rv = jnp.zeros((H // 2 + 2 * PAD, W // 2 + 2 * PAD), jnp.int32)
 
     n_diag, dmax, diag_ys, diag_xs = _diag_schedule(mb_w, mb_h)
-    encode_mb = make_encode_mb(use_satd, i4x4_enabled)
+    encode_mb = make_encode_mb(use_satd, i4x4_enabled, cqm)
     vmb = jax.vmap(encode_mb)
 
     out = dict(

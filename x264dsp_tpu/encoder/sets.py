@@ -321,6 +321,9 @@ class PPS:
     b_redundant_pic_cnt: int = 0
     b_transform_8x8_mode: int = 0
     i_cqm_preset: int = P.CQM_FLAT
+    # 4x4 scaling lists in set order 4IY/4PY/4IC/4PC (set.h:61-64),
+    # natural raster
+    scaling_list: tuple = ()
 
     @staticmethod
     def init(param: P.Param, sps: SPS, i_id: int = 0) -> "PPS":
@@ -344,6 +347,14 @@ class PPS:
         pps.b_constrained_intra_pred = param.b_constrained_intra
         pps.b_transform_8x8_mode = int(bool(param.analyse.b_transform_8x8))
         pps.i_cqm_preset = param.i_cqm_preset
+        from ..ops.tables import CQM_FLAT_LISTS, CQM_JVT_LISTS
+        if pps.i_cqm_preset == P.CQM_JVT:
+            pps.scaling_list = CQM_JVT_LISTS
+        elif pps.i_cqm_preset == P.CQM_CUSTOM:
+            pps.scaling_list = (tuple(param.cqm_4iy), tuple(param.cqm_4py),
+                                tuple(param.cqm_4ic), tuple(param.cqm_4pc))
+        else:
+            pps.scaling_list = CQM_FLAT_LISTS
         return pps
 
     def write(self, bw: BitWriter) -> None:
@@ -363,8 +374,53 @@ class PPS:
         bw.write1(self.b_deblocking_filter_control)
         bw.write1(self.b_constrained_intra_pred)
         bw.write1(self.b_redundant_pic_cnt)
-        assert not self.b_transform_8x8_mode and self.i_cqm_preset == P.CQM_FLAT
+        assert not self.b_transform_8x8_mode, "8x8 transform not supported"
+        if self.i_cqm_preset != P.CQM_FLAT:
+            # high-profile trailer (set.c:493-524, 4:2:0 / no-8x8 path)
+            bw.write1(self.b_transform_8x8_mode)
+            bw.write1(1)  # pic_scaling_matrix_present
+            self._scaling_list_write(bw, 0)          # 4IY
+            self._scaling_list_write(bw, 2)          # 4IC
+            bw.write1(0)                             # Cr = Cb
+            self._scaling_list_write(bw, 1)          # 4PY
+            self._scaling_list_write(bw, 3)          # 4PC
+            bw.write1(0)                             # Cr = Cb
+            bw.write_se(self.i_chroma_qp_index_offset)
         bw.rbsp_trailing()
+
+    def _scaling_list_write(self, bw: BitWriter, idx: int) -> None:
+        """scaling_list_write (encoder/set.c:13-47), 4x4 lists only."""
+        from ..ops.tables import CQM_JVT_LISTS, ZIGZAG_4x4
+        lst = self.scaling_list[idx]
+        # fallback list: the same-luma list for chroma, else JVT
+        def_list = (self.scaling_list[0] if idx == 2
+                    else self.scaling_list[1] if idx == 3
+                    else CQM_JVT_LISTS[idx])
+        if tuple(lst) == tuple(def_list):
+            bw.write1(0)              # scaling_list_present_flag
+            return
+        bw.write1(1)
+        if tuple(lst) == tuple(CQM_JVT_LISTS[idx]):
+            bw.write_se(-8)           # use default (JVT) list
+            return
+        from ..entropy.bitstream import size_se
+
+        def int8(x):
+            return ((x + 128) & 255) - 128    # the reference's int8_t cast
+
+        zz = [int(lst[i]) for i in ZIGZAG_4x4]
+        # run-length compress trailing equal values (set.c:35-40); after
+        # the loop zz[run-1..15] are all equal, so -zz[run] drives
+        # nextScale to 0 and the decoder repeats lastScale
+        run = 16
+        while run > 1 and zz[run - 1] == zz[run - 2]:
+            run -= 1
+        if run < 16 and 16 - run < size_se(int8(-zz[run])):
+            run = 16                           # truncation saves nothing
+        for j in range(run):
+            bw.write_se(int8(zz[j] - (zz[j - 1] if j > 0 else 8)))
+        if run < 16:
+            bw.write_se(int8(-zz[run]))
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .tables import (CHROMA_QP_TABLE, DECIMATE_TABLE4, DEQUANT4_MF,
+from .tables import (CHROMA_QP_TABLE, CQM_JVT4I, CQM_JVT4P,  # noqa: F401
+                     DECIMATE_TABLE4, DEQUANT4_MF, DEQUANT4_SCALE,
                      QUANT4_BIAS_INTER, QUANT4_BIAS_INTRA, QUANT4_MF,
                      ZIGZAG_4x4)
 
@@ -116,10 +117,12 @@ def dct2x2dc(dc: np.ndarray) -> np.ndarray:
     return np.array([d0 + d1, d0 - d1, d2 + d3, d2 - d3], dtype=np.int32)
 
 
-def idct_dequant_2x2_dc(dc: np.ndarray, qp: int) -> np.ndarray:
+def idct_dequant_2x2_dc(dc: np.ndarray, qp: int, dmf_tab=None) -> np.ndarray:
     """Inverse 2x2 DC + dequant (encoder/macroblock.c:17-29). Returns the
-    4 dequantized DC values (raster quadrant order)."""
-    dmf = (int(DEQUANT4_MF[qp % 6][0]) << (qp // 6)) >> 5
+    4 dequantized DC values (raster quadrant order). dmf_tab: optional
+    (6, 16) dequant table (scaling-list sets); default flat."""
+    tab = DEQUANT4_MF if dmf_tab is None else dmf_tab
+    dmf = (int(tab[qp % 6][0]) << (qp // 6)) >> 5
     d0, d1 = dc[0] + dc[1], dc[2] + dc[3]
     d2, d3 = dc[0] - dc[1], dc[2] - dc[3]
     return np.array([(d0 + d1) * dmf, (d0 - d1) * dmf,
@@ -153,9 +156,11 @@ def quant_dc(dct: np.ndarray, qp: int, intra: bool):
     return q.astype(np.int32), bool(np.any(q))
 
 
-def dequant_4x4(q: np.ndarray, qp: int) -> np.ndarray:
-    """dequant_4x4 (common/quant.c:66-83)."""
-    mf = DEQUANT4_MF[qp % 6].reshape(4, 4).astype(np.int32)
+def dequant_4x4(q: np.ndarray, qp: int, dmf_tab=None) -> np.ndarray:
+    """dequant_4x4 (common/quant.c:66-83). dmf_tab: optional (6, 16)
+    dequant table for scaling-list sets (flat when None)."""
+    tab = DEQUANT4_MF if dmf_tab is None else np.asarray(dmf_tab)
+    mf = tab[qp % 6].reshape(4, 4).astype(np.int32)
     qbits = qp // 6 - 4
     q = q.astype(np.int32)
     if qbits >= 0:
@@ -164,9 +169,10 @@ def dequant_4x4(q: np.ndarray, qp: int) -> np.ndarray:
     return (q * mf + f) >> (-qbits)
 
 
-def dequant_4x4_dc(q: np.ndarray, qp: int) -> np.ndarray:
+def dequant_4x4_dc(q: np.ndarray, qp: int, dmf_tab=None) -> np.ndarray:
     """dequant_4x4_dc (common/quant.c:85-103)."""
-    dmf = int(DEQUANT4_MF[qp % 6][0])
+    tab = DEQUANT4_MF if dmf_tab is None else dmf_tab
+    dmf = int(tab[qp % 6][0])
     qbits = qp // 6 - 6
     q = q.astype(np.int32)
     if qbits >= 0:

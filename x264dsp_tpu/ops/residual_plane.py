@@ -112,12 +112,14 @@ def _up4(x, k: int):
     return jnp.repeat(jnp.repeat(x, k, axis=0), k, axis=1)
 
 
-def quant_cm(cm, qp_mb, intra: bool, k_up: int):
+def quant_cm(cm, qp_mb, intra: bool, k_up: int, cqm=None,
+             cqm_set: int = 0):
     """Quant the 16 coefficient planes (QUANT_ONE semantics,
     common/quant.c:31-38). qp_mb: (mb_h, mb_w) int; k_up = blocks per MB
-    axis (4 luma, 2 chroma)."""
-    mf_mb = T.table_rows(T.QUANT4_MF_J, qp_mb)        # (mb_h, mb_w, 16)
-    bias_mb = T.table_rows(T.QUANT4_BIAS_J[1 if intra else 0], qp_mb)
+    axis (4 luma, 2 chroma); cqm/cqm_set pick a scaling-list table set."""
+    QMF, QBIAS, _ = T.cqm_mf(cqm, cqm_set)
+    mf_mb = T.table_rows(QMF, qp_mb)                  # (mb_h, mb_w, 16)
+    bias_mb = T.table_rows(QBIAS[1 if intra else 0], qp_mb)
     out = []
     for c in range(16):
         mf = _up4(mf_mb[..., c], k_up)
@@ -126,9 +128,10 @@ def quant_cm(cm, qp_mb, intra: bool, k_up: int):
     return out
 
 
-def dequant_cm(q_cm, qp_mb, k_up: int):
+def dequant_cm(q_cm, qp_mb, k_up: int, cqm=None, cqm_set: int = 0):
     """Dequant (common/quant.c:66-83), shl/shr branches per qp."""
-    dmf_mb = T.table_rows(T.DEQUANT4_MF_J, qp_mb % 6)  # (mb_h, mb_w, 16)
+    _, _, DMF = T.cqm_mf(cqm, cqm_set)
+    dmf_mb = T.table_rows(DMF, qp_mb % 6)             # (mb_h, mb_w, 16)
     qbits_mb = qp_mb // 6 - 4
     qb = _up4(qbits_mb, k_up)
     nq = jnp.maximum(-qb, 0)

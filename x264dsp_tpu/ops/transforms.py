@@ -36,6 +36,22 @@ DEQUANT4_MF_J = jnp.asarray(DEQUANT4_MF)             # (6, 16)
 ZIGZAG_J = jnp.asarray(ZIGZAG_4x4)
 
 
+def cqm_mf(cqm, cqm_set: int):
+    """(quant_mf (70,16), bias (2,70,16), dequant_mf (6,16)) for one
+    scaling-list set. cqm: None (flat — the module globals) or a tuple
+    of 4 16-tuples (4IY/4PY/4IC/4PC, common/set.h:61-64) usable as a
+    jit static arg; the derived tables bake into the trace as
+    constants."""
+    if cqm is None:
+        return QUANT4_MF_J, QUANT4_BIAS_J, DEQUANT4_MF_J
+    from .tables import cqm_tables
+    qmf, bi, binter, dmf = cqm_tables(cqm)
+    return (jnp.asarray(qmf[cqm_set]),
+            jnp.stack([jnp.asarray(binter[cqm_set]),
+                       jnp.asarray(bi[cqm_set])]),
+            jnp.asarray(dmf[cqm_set]))
+
+
 def sub_dct4x4(pix1: jnp.ndarray, pix2: jnp.ndarray) -> jnp.ndarray:
     """Batched forward 4x4 DCT of (pix1 - pix2): D = C·X·Cᵀ
     (sub4x4_dct, common/dct.c:121; natural orientation)."""
@@ -86,11 +102,13 @@ def hadamard2x2(dc: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([d0 + d1, d0 - d1, d2 + d3, d2 - d3], axis=-1)
 
 
-def idct_dequant_2x2_dc(dc: jnp.ndarray, qp) -> jnp.ndarray:
+def idct_dequant_2x2_dc(dc: jnp.ndarray, qp, cqm=None,
+                        cqm_set: int = 0) -> jnp.ndarray:
     """Inverse 2x2 DC + dequant (encoder/macroblock.c:17-29); qp may be a
     traced scalar or a batched tensor broadcastable against dc[..., 0]."""
     qp = jnp.asarray(qp)
-    dmf = (table_rows(DEQUANT4_MF_J, qp % 6)[..., 0] << (qp // 6)) >> 5
+    _, _, DMF = cqm_mf(cqm, cqm_set)
+    dmf = (table_rows(DMF, qp % 6)[..., 0] << (qp // 6)) >> 5
     d0 = dc[..., 0] + dc[..., 1]
     d1 = dc[..., 2] + dc[..., 3]
     d2 = dc[..., 0] - dc[..., 1]
@@ -125,43 +143,50 @@ def _quant_core(c, mf, bias):
     return jnp.where(c > 0, pos, -neg).astype(jnp.int32)
 
 
-def quant4x4(dct: jnp.ndarray, qp, intra) -> jnp.ndarray:
+def quant4x4(dct: jnp.ndarray, qp, intra, cqm=None,
+             cqm_set: int = 0) -> jnp.ndarray:
     """Batched quant_4x4 (common/quant.c:40). qp: scalar or (...,) batch;
-    intra: bool scalar or (...,) int tensor (1=intra)."""
+    intra: bool scalar or (...,) int tensor (1=intra); cqm/cqm_set pick
+    a scaling-list table set (None = flat)."""
     qp = jnp.asarray(qp)
     intra = jnp.asarray(intra, dtype=jnp.int32)
-    mf = table_rows(QUANT4_MF_J, qp).reshape(qp.shape + (4, 4))
+    QMF, QBIAS, _ = cqm_mf(cqm, cqm_set)
+    mf = table_rows(QMF, qp).reshape(qp.shape + (4, 4))
     if intra.ndim == 0:
-        bias = table_rows(QUANT4_BIAS_J[intra], qp)
+        bias = table_rows(QBIAS[intra], qp)
     else:
         bias = jnp.where((intra != 0).reshape(intra.shape + (1,)),
-                         table_rows(QUANT4_BIAS_J[1], qp),
-                         table_rows(QUANT4_BIAS_J[0], qp))
+                         table_rows(QBIAS[1], qp),
+                         table_rows(QBIAS[0], qp))
     bias = bias.reshape(qp.shape + (4, 4))
     return _quant_core(dct.astype(jnp.int32), mf, bias)
 
 
-def quant_dc(dct: jnp.ndarray, qp, intra) -> jnp.ndarray:
+def quant_dc(dct: jnp.ndarray, qp, intra, cqm=None,
+             cqm_set: int = 0) -> jnp.ndarray:
     """Batched DC quant: mf[0]>>1, bias[0]<<1 (encoder/macroblock.c:124).
     dct: (..., N) flat DC coeffs."""
     qp = jnp.asarray(qp)
     intra = jnp.asarray(intra, dtype=jnp.int32)
-    mf = (table_rows(QUANT4_MF_J, qp)[..., 0] >> 1).reshape(qp.shape + (1,))
+    QMF, QBIAS, _ = cqm_mf(cqm, cqm_set)
+    mf = (table_rows(QMF, qp)[..., 0] >> 1).reshape(qp.shape + (1,))
     if intra.ndim == 0:
-        bias = table_rows(QUANT4_BIAS_J[intra], qp)[..., 0]
+        bias = table_rows(QBIAS[intra], qp)[..., 0]
     else:
         bias = jnp.where(intra != 0,
-                         table_rows(QUANT4_BIAS_J[1], qp)[..., 0],
-                         table_rows(QUANT4_BIAS_J[0], qp)[..., 0])
+                         table_rows(QBIAS[1], qp)[..., 0],
+                         table_rows(QBIAS[0], qp)[..., 0])
     bias = (bias << 1).reshape(qp.shape + (1,))
     return _quant_core(dct.astype(jnp.int32), mf, bias)
 
 
-def dequant4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
+def dequant4x4(q: jnp.ndarray, qp, cqm=None,
+               cqm_set: int = 0) -> jnp.ndarray:
     """Batched dequant_4x4 (common/quant.c:66-83). Handles both the shl
     (qp >= 24) and shr branches with lane-wise select."""
     qp = jnp.asarray(qp)
-    mf = table_rows(DEQUANT4_MF_J, qp % 6).reshape(qp.shape + (4, 4))
+    _, _, DMF = cqm_mf(cqm, cqm_set)
+    mf = table_rows(DMF, qp % 6).reshape(qp.shape + (4, 4))
     qbits = (qp // 6 - 4).reshape(qp.shape + (1, 1))
     q = q.astype(jnp.int32)
     shl = (q * mf) << jnp.maximum(qbits, 0)
@@ -171,10 +196,12 @@ def dequant4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
     return jnp.where(qbits >= 0, shl, shr)
 
 
-def dequant_dc4x4(q: jnp.ndarray, qp) -> jnp.ndarray:
+def dequant_dc4x4(q: jnp.ndarray, qp, cqm=None,
+                  cqm_set: int = 0) -> jnp.ndarray:
     """Batched dequant_4x4_dc (common/quant.c:85-103); q: (..., 4, 4)."""
     qp = jnp.asarray(qp)
-    dmf = table_rows(DEQUANT4_MF_J, qp % 6)[..., 0].reshape(
+    _, _, DMF = cqm_mf(cqm, cqm_set)
+    dmf = table_rows(DMF, qp % 6)[..., 0].reshape(
         qp.shape + (1, 1))
     qbits = (qp // 6 - 6).reshape(qp.shape + (1, 1))
     q = q.astype(jnp.int32)

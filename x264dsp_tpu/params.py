@@ -283,6 +283,12 @@ class Param:
     b_fake_interlaced: int = 0
 
     i_cqm_preset: int = CQM_FLAT
+    # custom 4x4 scaling lists (x264_param_t cqm_4iy/4py/4ic/4pc,
+    # x264.h:500-507), natural raster order; used when CQM_CUSTOM
+    cqm_4iy: tuple = (16,) * 16
+    cqm_4py: tuple = (16,) * 16
+    cqm_4ic: tuple = (16,) * 16
+    cqm_4pc: tuple = (16,) * 16
 
     rc: RcParam = field(default_factory=RcParam)
     analyse: AnalyseParam = field(default_factory=AnalyseParam)
@@ -414,6 +420,23 @@ def validate_parameters(p: Param) -> Param:
     elif rc.i_vbv_max_bitrate:
         rc.i_vbv_max_bitrate = 0
     rc.i_lookahead = clip3(rc.i_lookahead, 0, LOOKAHEAD_MAX)
+
+    # CQM preset (common/x264.h:122-124, pps scaling lists set.c:429-465)
+    p.i_cqm_preset = clip3(p.i_cqm_preset, CQM_FLAT, CQM_CUSTOM)
+    if p.i_cqm_preset == CQM_CUSTOM:
+        from .ops.tables import CQM_JVT_LISTS
+        lists = []
+        for k, jvt in zip(("cqm_4iy", "cqm_4py", "cqm_4ic", "cqm_4pc"),
+                          CQM_JVT_LISTS):
+            l = tuple(int(v) for v in getattr(p, k))
+            if len(l) != 16:
+                raise ValidationError(f"{k} must have 16 entries")
+            if any(v == 0 for v in l):
+                l = jvt           # zero entry -> JVT list (set.c:458-462)
+            if any(not 0 < v <= 255 for v in l):
+                raise ValidationError(f"{k} entries must be in 1..255")
+            lists.append(l)
+        p.cqm_4iy, p.cqm_4py, p.cqm_4ic, p.cqm_4pc = lists
 
     # NAL HRD signalling (encoder.c:360-372)
     p.i_nal_hrd = clip3(p.i_nal_hrd, NAL_HRD_NONE, NAL_HRD_CBR)
