@@ -83,7 +83,9 @@ def get_lib():
 
 
 def _i32(a):
-    return np.ascontiguousarray(a, np.int32)
+    # the C side reads int16 (dctcoef width, common/common.h:126); the
+    # syntax pack is already int16 so this is usually zero-copy
+    return np.ascontiguousarray(a, np.int16)
 
 
 def _qp_arg(keep, qp_mb):
@@ -94,6 +96,28 @@ def _qp_arg(keep, qp_mb):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
+_out_bufs: dict = {}
+_zero_bufs: dict = {}
+
+
+def _zeros_cached(shape) -> np.ndarray:
+    buf = _zero_bufs.get(shape)
+    if buf is None:
+        buf = np.zeros(shape, np.int16)
+        _zero_bufs[shape] = buf
+    return buf
+
+
+def _out_buf(cap: int) -> np.ndarray:
+    """Reused output buffer: an 8 MB np.zeros costs ~35 ms on this
+    host — never allocate per slice."""
+    buf = _out_bufs.get(cap)
+    if buf is None:
+        buf = np.empty(cap, np.uint8)
+        _out_bufs[cap] = buf
+    return buf
+
+
 def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
                   syn: dict, qp_mb=None) -> bytes | None:
     lib = get_lib()
@@ -102,7 +126,7 @@ def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
     header, nbits = header_bits          # header includes a partial byte
     full = len(header) - 1
     cap = mb_w * mb_h * 1024 + full + 4096
-    out = np.zeros(cap, np.uint8)
+    out = _out_buf(cap)
     hdr = np.frombuffer(header, np.uint8)
     keep = []
     args = [out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(cap),
@@ -128,7 +152,7 @@ def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
     header, nbits = header_bits          # header includes a partial byte
     full = len(header) - 1
     cap = mb_w * mb_h * 1024 + full + 4096
-    out = np.zeros(cap, np.uint8)
+    out = _out_buf(cap)
     hdr = np.frombuffer(header, np.uint8)
     skip_count = ctypes.c_int32(0)
     keep = []
@@ -174,13 +198,13 @@ def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
     if lib is None:
         return None
     cap = mb_w * mb_h * 1024 + len(header) + 4096
-    out = np.zeros(cap, np.uint8)
+    out = _out_buf(cap)
     hdr = np.frombuffer(header, np.uint8)
     counts = np.zeros(7, np.int32)
-    zeros16 = np.zeros((mb_h, mb_w, 16), np.int32)
-    zeros1 = np.zeros((mb_h, mb_w), np.int32)
-    zeros2 = np.zeros((mb_h, mb_w, 2), np.int32)
-    zeros24 = np.zeros((mb_h, mb_w, 2, 4), np.int32)
+    zeros16 = _zeros_cached((mb_h, mb_w, 16))
+    zeros1 = _zeros_cached((mb_h, mb_w))
+    zeros2 = _zeros_cached((mb_h, mb_w, 2))
+    zeros24 = _zeros_cached((mb_h, mb_w, 2, 4))
 
     def get(k, fb):
         return _i32(syn[k]) if k in syn and syn[k] is not None else fb

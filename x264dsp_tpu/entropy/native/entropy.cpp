@@ -112,7 +112,7 @@ static bool write_coeff_level(BitWriter &bw, int level, int suffix_len) {
 }
 
 // returns total_coeff
-static int write_block_residual(BitWriter &bw, const int32_t *levels, int n,
+static int write_block_residual(BitWriter &bw, const int16_t *levels, int n,
                                 int nC, bool chroma_dc) {
     int nz[16], nnz = 0;
     for (int i = 0; i < n; i++)
@@ -173,13 +173,13 @@ static int write_block_residual(BitWriter &bw, const int32_t *levels, int n,
 
 struct SynI {
     // per-MB syntax arrays, all int32, row-major (mb_h, mb_w, ...)
-    const int32_t *mb_type, *i16_mode, *i4_modes, *chroma_mode;
-    const int32_t *cbp_luma, *cbp_chroma, *nz_luma_dc;
-    const int32_t *luma_levels;       // (mb, 16, 16)
-    const int32_t *luma_dc_levels;    // (mb, 16)
-    const int32_t *chroma_dc_levels;  // (mb, 2, 4)
-    const int32_t *chroma_ac_levels;  // (mb, 2, 4, 16)
-    const int32_t *mv;                // (mb, 2) — P only
+    const int16_t *mb_type, *i16_mode, *i4_modes, *chroma_mode;
+    const int16_t *cbp_luma, *cbp_chroma, *nz_luma_dc;
+    const int16_t *luma_levels;       // (mb, 16, 16)
+    const int16_t *luma_dc_levels;    // (mb, 16)
+    const int16_t *chroma_dc_levels;  // (mb, 2, 4)
+    const int16_t *chroma_ac_levels;  // (mb, 2, 4, 16)
+    const int16_t *mv;                // (mb, 2) — P only
 };
 
 struct Ctx {
@@ -437,14 +437,14 @@ struct MvGrid4 {
 };
 
 // load the partition MVs of one MB from the mv8 tensor (mb, 2, 2, 2)
-static void load_part_mvs(const int32_t *mv8, const int32_t *mv, int mb,
+static void load_part_mvs(const int16_t *mv8, const int16_t *mv, int mb,
                           int part, int64_t mvs[4][2]) {
     if (!mv8) {
         mvs[0][0] = mv[mb * 2];
         mvs[0][1] = mv[mb * 2 + 1];
         return;
     }
-    const int32_t *q = mv8 + mb * 8;  // [qy][qx][2]
+    const int16_t *q = mv8 + mb * 8;  // [qy][qx][2]
     auto Q = [&](int qy, int qx, int64_t m[2]) {
         m[0] = q[(qy * 2 + qx) * 2];
         m[1] = q[(qy * 2 + qx) * 2 + 1];
@@ -459,7 +459,7 @@ static void load_part_mvs(const int32_t *mv8, const int32_t *mv, int mb,
     }
 }
 
-static void median_mvp(const int32_t *mv, const uint8_t *avail, int mb_w,
+static void median_mvp(const int16_t *mv, const uint8_t *avail, int mb_w,
                        int mbx, int mby, int64_t out[2]) {
     auto get = [&](int yy, int xx, int64_t m[2]) -> bool {
         if (yy < 0 || xx < 0 || xx >= mb_w) { m[0] = m[1] = 0; return false; }
@@ -490,7 +490,7 @@ static void median_mvp(const int32_t *mv, const uint8_t *avail, int mb_w,
     }
 }
 
-static void pskip_mv(const int32_t *mv, const uint8_t *avail, int mb_w,
+static void pskip_mv(const int16_t *mv, const uint8_t *avail, int mb_w,
                      int mbx, int mby, int64_t out[2]) {
     bool ok_a = mbx > 0 && avail[mby * mb_w + mbx - 1];
     bool ok_b = mby > 0 && avail[(mby - 1) * mb_w + mbx];
@@ -618,7 +618,7 @@ static const int LEVELGT1_CTX[8] = {5, 5, 5, 5, 6, 7, 8, 9};
 static const int LEVEL_TRANS[2][8] = {{1, 2, 3, 3, 4, 5, 6, 7},
                                       {4, 4, 4, 4, 5, 6, 7, 7}};
 
-static void cabac_block_residual(Cabac &cb, int cat, const int32_t *levels,
+static void cabac_block_residual(Cabac &cb, int cat, const int16_t *levels,
                                  int n) {
     int last = -1;
     for (int i = 0; i < n; i++)
@@ -709,18 +709,18 @@ void x264tpu_set_cabac_tables(const uint8_t *contexts,   // (2,52,276)
 int64_t x264tpu_write_slice_cabac(
     uint8_t *out, int64_t cap, const uint8_t *header, int64_t header_bytes,
     int is_p, int mb_w, int mb_h, int qp, int frame_idx,
-    const int32_t *mb_type, const int32_t *i16_mode, const int32_t *i4_modes,
-    const int32_t *chroma_mode, const int32_t *cbp_luma,
-    const int32_t *cbp_chroma, const int32_t *nz_luma_dc,
-    const int32_t *chroma_nz_dc, const int32_t *luma_nnz,
-    const int32_t *chroma_nnz_ac, const int32_t *luma_levels,
-    const int32_t *luma_dc_levels, const int32_t *chroma_dc_levels,
-    const int32_t *chroma_ac_levels, const int32_t *mv,
+    const int16_t *mb_type, const int16_t *i16_mode, const int16_t *i4_modes,
+    const int16_t *chroma_mode, const int16_t *cbp_luma,
+    const int16_t *cbp_chroma, const int16_t *nz_luma_dc,
+    const int16_t *chroma_nz_dc, const int16_t *luma_nnz,
+    const int16_t *chroma_nnz_ac, const int16_t *luma_levels,
+    const int16_t *luma_dc_levels, const int16_t *chroma_dc_levels,
+    const int16_t *chroma_ac_levels, const int16_t *mv,
     int32_t *mb_count_out,
-    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
-    const int32_t *partition /* nullable: 0..3 per MB */,
-    const int32_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
-    const int32_t *refidx /* nullable: per-MB ref idx */,
+    const int16_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
+    const int16_t *partition /* nullable: 0..3 per MB */,
+    const int16_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
+    const int16_t *refidx /* nullable: per-MB ref idx */,
     int n_ref /* active L0 refs (1 when refidx null) */) {
     (void)cap;
     memcpy(out, header, header_bytes);
@@ -1107,12 +1107,12 @@ void x264tpu_set_cavlc_tables(const uint16_t *coeff0,      // (6,2)
 int64_t x264tpu_write_slice_i(
     uint8_t *out, int64_t cap, const uint8_t *header, int64_t header_bytes,
     int header_bits_used, int mb_w, int mb_h, int qp,
-    const int32_t *mb_type, const int32_t *i16_mode, const int32_t *i4_modes,
-    const int32_t *chroma_mode, const int32_t *cbp_luma,
-    const int32_t *cbp_chroma, const int32_t *nz_luma_dc,
-    const int32_t *luma_levels, const int32_t *luma_dc_levels,
-    const int32_t *chroma_dc_levels, const int32_t *chroma_ac_levels,
-    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
+    const int16_t *mb_type, const int16_t *i16_mode, const int16_t *i4_modes,
+    const int16_t *chroma_mode, const int16_t *cbp_luma,
+    const int16_t *cbp_chroma, const int16_t *nz_luma_dc,
+    const int16_t *luma_levels, const int16_t *luma_dc_levels,
+    const int16_t *chroma_dc_levels, const int16_t *chroma_ac_levels,
+    const int16_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
     BitWriter bw{out, (size_t)cap};
     // preload the already-written header bits
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
@@ -1139,13 +1139,13 @@ int64_t x264tpu_write_slice_i(
 int64_t x264tpu_write_slice_p(
     uint8_t *out, int64_t cap, const uint8_t *header, int64_t header_bytes,
     int header_bits_used, int mb_w, int mb_h, int qp,
-    const int32_t *mv, const int32_t *cbp_luma, const int32_t *cbp_chroma,
-    const int32_t *luma_levels, const int32_t *chroma_dc_levels,
-    const int32_t *chroma_ac_levels, int32_t *skip_count_out,
-    const int32_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
-    const int32_t *partition /* nullable: 0..3 per MB */,
-    const int32_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
-    const int32_t *refidx /* nullable: per-MB ref idx */,
+    const int16_t *mv, const int16_t *cbp_luma, const int16_t *cbp_chroma,
+    const int16_t *luma_levels, const int16_t *chroma_dc_levels,
+    const int16_t *chroma_ac_levels, int32_t *skip_count_out,
+    const int16_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
+    const int16_t *partition /* nullable: 0..3 per MB */,
+    const int16_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
+    const int16_t *refidx /* nullable: per-MB ref idx */,
     int n_ref /* active L0 refs (1 when refidx null) */) {
     BitWriter bw{out, (size_t)cap};
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
