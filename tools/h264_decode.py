@@ -406,6 +406,28 @@ def _compute_bs(nnz4, mv4, ref4, intra_mb):
     return bs
 
 
+class _FrameState:
+    """Per-frame decode state shared by all its slices (multi-slice:
+    each slice writes a band of rows)."""
+
+    def __init__(self, mb_w, mb_h):
+        H, W = mb_h * 16, mb_w * 16
+        self.y = np.zeros((H, W), np.uint8)
+        self.u = np.zeros((H // 2, W // 2), np.uint8)
+        self.v = np.zeros((H // 2, W // 2), np.uint8)
+        self.luma_cnt = -np.ones((mb_h * 4, mb_w * 4), np.int32)
+        self.chroma_cnt = -np.ones((2, mb_h * 2, mb_w * 2), np.int32)
+        self.i4_modes = -np.ones((mb_h * 4, mb_w * 4), np.int32)
+        self.mb_is_i4 = np.zeros((mb_h, mb_w), bool)
+        self.intra_mb = np.zeros((mb_h, mb_w), bool)
+        self.cbp_all = np.zeros((mb_h, mb_w), np.int32)
+        self.qp_grid = np.zeros((mb_h, mb_w), np.int32)
+        self.mv4 = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
+        self.ref4 = np.zeros((mb_h * 4, mb_w * 4), np.int32)
+        self.deblock = (1, 0, 0)
+        self.idr = False
+
+
 class Decoder:
     def __init__(self):
         self.sps = None
@@ -415,6 +437,7 @@ class Decoder:
         self.recon = None    # (y, u, v) current planes (pre-deblock)
         self.ref = None      # previous deblocked (y, u, v) + hpel planes
         self.ref_list = []   # DPB, nearest first (sliding window)
+        self._pending = []   # buffered slice NALs of the open frame
 
     def decode(self, stream: bytes):
         for nal in split_nals(stream):
@@ -434,16 +457,36 @@ class Decoder:
                 else:
                     self.dmf = (None,) * 4
             elif nal_type in (1, 5):
-                self._decode_slice(rbsp, idr=(nal_type == 5))
+                first_mb = BitReader(rbsp).ue()
+                if first_mb == 0 and self._pending:
+                    self._decode_frame(self._pending)
+                    self._pending = []
+                self._pending.append((rbsp, nal_type == 5, first_mb))
             # SEI (6) and others ignored
+        if self._pending:
+            self._decode_frame(self._pending)
+            self._pending = []
         return self.frames
 
+    def _decode_frame(self, slices):
+        """Decode one frame's slice NALs (row-aligned multi-slice,
+        i_slice_count: each slice covers consecutive MB rows)."""
+        sps = self.sps
+        mb_w, mb_h = sps.mb_w, sps.mb_h
+        H, W = mb_h * 16, mb_w * 16
+        st = _FrameState(mb_w, mb_h)
+        bounds = [s[2] // mb_w for s in slices] + [mb_h]
+        for (rbsp, idr, first_mb), y0, y1 in zip(slices, bounds, bounds[1:]):
+            assert first_mb == y0 * mb_w, "slices must be row-aligned"
+            self._decode_slice(rbsp, idr, y0, y1, st)
+        self._finish_frame(st)
+
     # ------------------------------------------------------------------
-    def _decode_slice(self, rbsp: bytes, idr: bool):
+    def _decode_slice(self, rbsp: bytes, idr: bool, y0: int, y1: int,
+                      st: "_FrameState"):
         sps, pps = self.sps, self.pps
         br = BitReader(rbsp)
         first_mb = br.ue()
-        assert first_mb == 0, "one slice per frame only"
         slice_type = br.ue() % 5
         assert slice_type in (0, 2), "only I/P slices"
         pps_id = br.ue()
@@ -475,22 +518,25 @@ class Decoder:
             if disable_deblock != 1:
                 a_off, b_off = br.se(), br.se()
 
-        H, W = sps.mb_h * 16, sps.mb_w * 16
-        y = np.zeros((H, W), np.uint8)
-        u = np.zeros((H // 2, W // 2), np.uint8)
-        v = np.zeros((H // 2, W // 2), np.uint8)
-        mb_w, mb_h = sps.mb_w, sps.mb_h
-
-        luma_cnt = -np.ones((mb_h * 4, mb_w * 4), np.int32)
-        chroma_cnt = -np.ones((2, mb_h * 2, mb_w * 2), np.int32)
-        i4_modes = -np.ones((mb_h * 4, mb_w * 4), np.int32)  # fix()ed modes
-        mb_is_i4 = np.zeros((mb_h, mb_w), bool)
-        intra_mb = np.zeros((mb_h, mb_w), bool)
-        grid = MvGrid(mb_w, mb_h)      # block-granularity decoded MVs
-        cbp_all = np.zeros((mb_h, mb_w), np.int32)
-        # decoded per-MB QP (MBs without qp_delta inherit the running QP)
-        qp_grid = np.full((mb_h, mb_w), qp, np.int32)
+        mb_w = sps.mb_w
+        mb_h = y1 - y0                 # band rows; first band row is the
+        # slice start, so the loops' row-0 unavailability IS the slice
+        # boundary rule — views put every write into the frame arrays
+        y = st.y[y0 * 16:y1 * 16]
+        u = st.u[y0 * 8:y1 * 8]
+        v = st.v[y0 * 8:y1 * 8]
+        luma_cnt = st.luma_cnt[y0 * 4:y1 * 4]
+        chroma_cnt = st.chroma_cnt[:, y0 * 2:y1 * 2]
+        i4_modes = st.i4_modes[y0 * 4:y1 * 4]
+        mb_is_i4 = st.mb_is_i4[y0:y1]
+        intra_mb = st.intra_mb[y0:y1]
+        grid = MvGrid(mb_w, mb_h)      # fresh per slice (cross-slice MV
+        cbp_all = st.cbp_all[y0:y1]    # prediction is unavailable)
+        qp_grid = st.qp_grid[y0:y1]
+        qp_grid[:] = qp
         last_qp = qp
+        st.idr = idr
+        st.band_rows = (y0, y1)
 
         if self.pps.cabac:
             # cabac_alignment_one_bit
@@ -498,7 +544,8 @@ class Decoder:
                 assert br.bit() == 1
             last_qp = self._decode_mbs_cabac(
                 br, slice_type, qp, y, u, v, luma_cnt, chroma_cnt,
-                i4_modes, grid, cbp_all, intra_mb, qp_grid, n_ref)
+                i4_modes, grid, cbp_all, intra_mb, qp_grid, n_ref,
+                band=(y0, y1))
         elif slice_type == 2:
             intra_mb[:] = True
             for mby in range(mb_h):
@@ -510,20 +557,33 @@ class Decoder:
         else:
             last_qp = self._decode_p_mbs(
                 br, y, u, v, last_qp, luma_cnt, chroma_cnt, grid,
-                cbp_all, intra_mb, i4_modes, qp_grid, n_ref)
+                cbp_all, intra_mb, i4_modes, qp_grid, n_ref,
+                band=(y0, y1))
 
-        # in-loop deblocking (scalar golden model, independent of the
-        # encoder's wavefront kernel)
+        # accumulate the band's MV/ref state for frame-level deblock
+        st.mv4[y0 * 4:y1 * 4] = grid.mv4
+        st.ref4[y0 * 4:y1 * 4] = grid.ref4
+        st.deblock = (disable_deblock, a_off, b_off)
+
+    def _finish_frame(self, st: "_FrameState"):
+        """Deblock + append once every slice of the frame decoded.
+        disable_deblocking_filter_idc 0 filters across slice boundaries
+        (the only idc our encoder emits when deblock is on), so one
+        frame-level pass over the assembled state is exact."""
+        sps = self.sps
+        H, W = sps.mb_h * 16, sps.mb_w * 16
+        y, u, v = st.y, st.u, st.v
+        disable_deblock, a_off, b_off = st.deblock
         if disable_deblock != 1:
             qpc_grid = CHROMA_QP_TABLE[np.clip(
-                qp_grid + self.pps.chroma_qp_offset, 0, 51)].astype(np.int32)
-            nnz4 = (luma_cnt > 0).astype(np.int32)
-            mv4 = grid.mv4.astype(np.int32)
-            ref4 = grid.ref4.astype(np.int32)
-            bs = _compute_bs(nnz4, mv4, ref4, intra_mb)
-            feo = ((cbp_all == 0) & ~intra_mb).astype(np.int32)
+                st.qp_grid + self.pps.chroma_qp_offset,
+                0, 51)].astype(np.int32)
+            nnz4 = (st.luma_cnt > 0).astype(np.int32)
+            bs = _compute_bs(nnz4, st.mv4.astype(np.int32),
+                             st.ref4.astype(np.int32), st.intra_mb)
+            feo = ((st.cbp_all == 0) & ~st.intra_mb).astype(np.int32)
             yd, ud, vd = G.deblock_frame_golden(
-                y, u, v, bs, intra_mb.astype(np.int32), feo, qp_grid,
+                y, u, v, bs, st.intra_mb.astype(np.int32), feo, st.qp_grid,
                 qpc_grid, a_off * 2, b_off * 2)
             y2, u2, v2 = (yd.astype(np.uint8), ud.astype(np.uint8),
                           vd.astype(np.uint8))
@@ -533,7 +593,7 @@ class Decoder:
         self.recon = (y, u, v)  # pre-deblock (intra prediction source)
         self.ref = (y2, u2, v2)
         # sliding-window DPB, nearest first; IDR resets it
-        if idr:
+        if st.idr:
             self.ref_list = []
         self.ref_list.insert(0, (y2, u2, v2))
         del self.ref_list[max(self.sps.num_ref_frames, 1):]
@@ -573,22 +633,33 @@ class Decoder:
               rbx // 2:(rbx + w4 + 1) // 2] = mv
         return q
 
-    def _ref_planes(self, n_ref):
-        """hpel/padded plane sets for the active reference list."""
+    def _ref_planes(self, n_ref, band=None):
+        """hpel/padded plane sets for the active reference list; band
+        crops rows so band-relative MB coordinates index correctly
+        (PAD_MC rows of margin on each side, like the encoder's
+        per-slice device bands)."""
         from x264dsp_tpu.ops import mc as MCJ
         refs = []
         for (ry, ru, rv) in self.ref_list[:max(n_ref, 1)]:
-            refs.append((np.asarray(MCJ.make_ref_planes(ry)),
-                         np.asarray(MCJ.pad_chroma(ru)),
-                         np.asarray(MCJ.pad_chroma(rv))))
+            r4 = np.asarray(MCJ.make_ref_planes(ry))
+            ru_p = np.asarray(MCJ.pad_chroma(ru))
+            rv_p = np.asarray(MCJ.pad_chroma(rv))
+            if band is not None:
+                y0, y1 = band
+                r4 = r4[:, y0 * 16:y1 * 16 + 2 * MCJ.PAD_MC]
+                ru_p = ru_p[y0 * 8:y1 * 8 + MCJ.PAD_MC]
+                rv_p = rv_p[y0 * 8:y1 * 8 + MCJ.PAD_MC]
+            refs.append((r4, ru_p, rv_p))
         return refs
 
     def _decode_p_mbs(self, br, y, u, v, last_qp, luma_cnt, chroma_cnt,
                       grid, cbp_all, intra_mb, i4_modes, qp_grid=None,
-                      n_ref=1):
+                      n_ref=1, band=None):
         sps, pps = self.sps, self.pps
-        mb_w, mb_h = sps.mb_w, sps.mb_h
-        refs = self._ref_planes(n_ref)
+        mb_w = sps.mb_w
+        y0, y1 = band if band is not None else (0, sps.mb_h)
+        mb_h = y1 - y0
+        refs = self._ref_planes(n_ref, band=(y0, y1))
 
         n_mbs = mb_w * mb_h
         idx = 0
@@ -692,7 +763,8 @@ class Decoder:
     # ------------------------------------------------------------------
     def _decode_mbs_cabac(self, br, slice_type, slice_qp, y, u, v,
                           luma_cnt, chroma_cnt, i4_modes, grid,
-                          cbp_all, intra_mb, qp_grid=None, n_ref=1):
+                          cbp_all, intra_mb, qp_grid=None, n_ref=1,
+                          band=None):
         from x264dsp_tpu.entropy.cabac import (CAT_CHROMA_AC, CAT_CHROMA_DC,
                                                CAT_LUMA_4x4, CAT_LUMA_AC,
                                                CAT_LUMA_DC, CBF_BASE,
@@ -701,7 +773,9 @@ class Decoder:
                                                _LEVEL1_CTX, _LEVELGT1_CTX,
                                                _LEVEL_TRANS)
         sps, pps = self.sps, self.pps
-        mb_w, mb_h = sps.mb_w, sps.mb_h
+        mb_w = sps.mb_w
+        by0, by1 = band if band is not None else (0, sps.mb_h)
+        mb_h = by1 - by0
         is_p = slice_type == 0
         cd = CabacDecoder(br.data, br.pos, slice_type == 2, slice_qp)
         qp = slice_qp
@@ -709,7 +783,7 @@ class Decoder:
         prev_ext = 0   # extended cbp of previous MB in raster order
 
         if is_p:
-            refs = self._ref_planes(n_ref)
+            refs = self._ref_planes(n_ref, band=(by0, by1))
 
         nnz = np.zeros((mb_h * 4, mb_w * 4), np.int32)
         cnnz = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)

@@ -195,6 +195,32 @@ class EncoderCore:
                             bw.get_bytes()))
 
     # ------------------------------------------------------------------
+    def _band_syn(self, syn, qp_mb, band):
+        """Row-slice the syntax dict for one slice band. Returns
+        (syn_band, qp_mb_band, mb_h_band, first_mb)."""
+        if band is None:
+            return syn, qp_mb, self.mb_h, 0
+        y0, y1 = band
+        out = {k: v[y0:y1] for k, v in syn.items()
+               if hasattr(v, "shape") and len(v.shape) >= 2
+               and v.shape[0] == self.mb_h and v.shape[1] == self.mb_w}
+        qpb = None if qp_mb is None else qp_mb[y0:y1]
+        return out, qpb, y1 - y0, y0 * self.mb_w
+
+    def _slice_ranges(self):
+        """Row-aligned slice bands from i_slice_count / i_slice_max_mbs
+        (x264 distributes slices evenly; ours are MB-row granular — the
+        device bands make row 0 of each band the slice boundary)."""
+        p = self.param
+        n = max(1, p.i_slice_count)
+        if p.i_slice_max_mbs:
+            rows = max(1, p.i_slice_max_mbs // self.mb_w)
+            n = max(n, -(-self.mb_h // rows))
+        n = min(n, self.mb_h)
+        bounds = [round(i * self.mb_h / n) for i in range(n + 1)]
+        return [(bounds[i], bounds[i + 1]) for i in range(n)
+                if bounds[i + 1] > bounds[i]]
+
     def _deblock_enabled(self, qp: int) -> bool:
         p = self.param
         thresh = qp + 2 * min(p.i_deblocking_filter_alphac0,
@@ -359,29 +385,48 @@ class EncoderCore:
         n_ref_active = (min(len(self.dpb), p.i_frame_reference)
                         if slice_type == P.SLICE_TYPE_P else 1)
 
-        def device_encode(qp_mb_cur):
+        slices = self._slice_ranges()
+
+        def encode_band(qp_mb_cur, y0, y1):
+            """Encode MB rows [y0, y1) as an independent band (a slice:
+            row 0 of the band is the slice top, so the device pipelines'
+            row-0 unavailability IS the slice-boundary rule)."""
+            qpb = qp_mb_cur[y0:y1]
             qpc_cur = CHROMA_QP_TABLE[np.clip(
-                qp_mb_cur + p.analyse.i_chroma_qp_offset,
+                qpb + p.analyse.i_chroma_qp_offset,
                 0, 51)].astype(np.int32)
-            lam_cur = LAMBDA_TAB[qp_mb_cur].astype(np.int32)
+            lam_cur = LAMBDA_TAB[qpb].astype(np.int32)
+            mb_hb = y1 - y0
             if slice_type == P.SLICE_TYPE_I:
                 dev = intra_frame.encode_i_frame(
-                    fy, fu, fv, qp_mb_cur, qpc_cur, lam_cur,
-                    mb_w=self.mb_w, mb_h=self.mb_h,
+                    fy[y0 * 16:y1 * 16], fu[y0 * 8:y1 * 8],
+                    fv[y0 * 8:y1 * 8], qpb, qpc_cur, lam_cur,
+                    mb_w=self.mb_w, mb_h=mb_hb,
                     use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled,
                     cqm=self.cqm)
             else:
                 n_ref = n_ref_active
+                PAD = MC.PAD_MC
+
+                def crop(r):
+                    r4, ru, rv = r
+                    if len(slices) == 1:
+                        return r4, ru, rv
+                    return (r4[:, y0 * 16:y1 * 16 + 2 * PAD],
+                            ru[y0 * 8:y1 * 8 + PAD],
+                            rv[y0 * 8:y1 * 8 + PAD])
                 if n_ref == 1:
-                    ref4, refu, refv = self.dpb[0]
+                    ref4, refu, refv = crop(self.dpb[0])
                 else:
-                    ref4 = jnp.stack([r[0] for r in self.dpb[:n_ref]])
-                    refu = jnp.stack([r[1] for r in self.dpb[:n_ref]])
-                    refv = jnp.stack([r[2] for r in self.dpb[:n_ref]])
+                    cropped = [crop(r) for r in self.dpb[:n_ref]]
+                    ref4 = jnp.stack([r[0] for r in cropped])
+                    refu = jnp.stack([r[1] for r in cropped])
+                    refv = jnp.stack([r[2] for r in cropped])
                 dev = inter_frame.encode_p_frame(
-                    fy, fu, fv, ref4, refu, refv, qp_mb_cur, qpc_cur,
+                    fy[y0 * 16:y1 * 16], fu[y0 * 8:y1 * 8],
+                    fv[y0 * 8:y1 * 8], ref4, refu, refv, qpb, qpc_cur,
                     lam_cur,
-                    mb_w=self.mb_w, mb_h=self.mb_h,
+                    mb_w=self.mb_w, mb_h=mb_hb,
                     me_range=p.analyse.i_me_range,
                     mv_range=p.analyse.i_mv_range,
                     dct_decimate=bool(p.analyse.b_dct_decimate),
@@ -395,6 +440,26 @@ class EncoderCore:
                     subme=min(max(p.analyse.i_subpel_refine, 0), 5),
                     cqm=self.cqm)
             return {k: np.asarray(v) for k, v in dev.items()}
+
+        def device_encode(qp_mb_cur):
+            if len(slices) == 1:
+                return encode_band(qp_mb_cur, 0, self.mb_h)
+            bands = [encode_band(qp_mb_cur, y0, y1) for y0, y1 in slices]
+            syn = {k: np.concatenate([b[k] for b in bands], axis=0)
+                   for k in bands[0]}
+            if slice_type == P.SLICE_TYPE_P:
+                # band strengths miss cross-slice top edges; recompute
+                # from the assembled syntax (deblocking crosses slice
+                # boundaries at idc 0, common/deblock.c:341)
+                bs, feo = inter_frame.compute_strengths_p(
+                    jnp.asarray(syn["luma_nnz"]),
+                    jnp.asarray(syn["cbp_luma"]),
+                    jnp.asarray(syn["cbp_chroma"]),
+                    jnp.asarray(syn["mv8"]), self.mb_w, self.mb_h,
+                    ref_mb=jnp.asarray(syn["ref"]))
+                syn["bs"] = np.asarray(bs)
+                syn["feo"] = np.asarray(feo)
+            return syn
 
         syn = device_encode(qp_mb)
 
@@ -437,21 +502,30 @@ class EncoderCore:
             self._cpb_delay += 2
 
         def write_slice(syn_cur, qp_mb_cur):
-            if p.b_cabac:
-                return self._write_slice_cabac(
-                    syn_cur, slice_type, qp,
-                    idr_pic_id=self.idr_pic_id if is_idr else -1,
-                    qp_mb=qp_mb_cur, n_ref=n_ref_active)
-            if slice_type == P.SLICE_TYPE_I:
-                return self._write_slice_cavlc(
-                    syn_cur, slice_type, qp,
-                    idr_pic_id=self.idr_pic_id if is_idr else -1,
-                    qp_mb=qp_mb_cur)
-            return self._write_slice_p_cavlc(syn_cur, qp, qp_mb=qp_mb_cur,
-                                             n_ref=n_ref_active)
+            """One payload per slice band (first_mb_in_slice = band
+            start, independent entropy state per slice)."""
+            payloads = []
+            for (y0, y1) in slices:
+                band = None if len(slices) == 1 else (y0, y1)
+                if p.b_cabac:
+                    pl = self._write_slice_cabac(
+                        syn_cur, slice_type, qp,
+                        idr_pic_id=self.idr_pic_id if is_idr else -1,
+                        qp_mb=qp_mb_cur, n_ref=n_ref_active, band=band)
+                elif slice_type == P.SLICE_TYPE_I:
+                    pl = self._write_slice_cavlc(
+                        syn_cur, slice_type, qp,
+                        idr_pic_id=self.idr_pic_id if is_idr else -1,
+                        qp_mb=qp_mb_cur, band=band)
+                else:
+                    pl = self._write_slice_p_cavlc(
+                        syn_cur, qp, qp_mb=qp_mb_cur, n_ref=n_ref_active,
+                        band=band)
+                payloads.append(pl)
+            return payloads
 
         _skips_before = self.stats.i_mb_count.get("P_SKIP", 0)
-        slice_payload = write_slice(syn, qp_mb)
+        slice_payloads = write_slice(syn, qp_mb)
 
         # -- in-band recovery (b): VBV/MinCR hard overshoot → re-encode
         # the frame at higher QP (ratecontrol.c:651-780 + the bitstream
@@ -459,20 +533,21 @@ class EncoderCore:
         # predictors' job is done by measuring the actual slice size)
         if self.rc.b_vbv:
             for _ in range(8):
-                bits = len(slice_payload) * 8
+                bits = sum(len(s) for s in slice_payloads) * 8
                 limit = self.rc.frame_size_limit()
                 if bits <= limit or qp_mb.min() >= P.QP_MAX_SPEC:
                     break
                 step = max(1, int(round(6 * math.log2(bits / limit))))
                 qp_mb = np.minimum(qp_mb + step, P.QP_MAX_SPEC)
                 syn = device_encode(qp_mb)
-                slice_payload = write_slice(syn, qp_mb)
+                slice_payloads = write_slice(syn, qp_mb)
             self._last_qp_mb = qp_mb
 
         nal_type = P.NAL_SLICE_IDR if is_idr else P.NAL_SLICE
-        nals.append(NAL(nal_type, P.NAL_PRIORITY_HIGHEST,
-                        nal_unit(nal_type, P.NAL_PRIORITY_HIGHEST,
-                                 slice_payload)))
+        for pl in slice_payloads:
+            nals.append(NAL(nal_type, P.NAL_PRIORITY_HIGHEST,
+                            nal_unit(nal_type, P.NAL_PRIORITY_HIGHEST,
+                                     pl)))
 
         if is_idr:
             self.idr_pic_id = (self.idr_pic_id + 1) % 65536
@@ -549,7 +624,7 @@ class EncoderCore:
 
     # ------------------------------------------------------------------
     def _write_slice_cavlc(self, syn, slice_type, qp, idr_pic_id,
-                           qp_mb=None) -> bytes:
+                           qp_mb=None, band=None) -> bytes:
         """Slice header (x264_slice_header_write, encoder.c:1047-1196) +
         I-slice MB loop of x264_slice_write (:1503-1664), CAVLC.
 
@@ -557,23 +632,25 @@ class EncoderCore:
         (entropy/native/entropy.cpp); this Python path is its behavioral
         twin and fallback."""
         p = self.param
+        syn, qp_mb, mb_h_b, first_mb = self._band_syn(syn, qp_mb, band)
         bw = BitWriter()
-        self._write_slice_header_common(bw, slice_type, qp, idr_pic_id)
+        self._write_slice_header_common(bw, slice_type, qp, idr_pic_id,
+                                        first_mb=first_mb)
 
         from ..entropy import native
         payload = native.write_slice_i(bw.get_unaligned(), self.mb_w,
-                                       self.mb_h, qp, syn, qp_mb=qp_mb)
+                                       mb_h_b, qp, syn, qp_mb=qp_mb)
         if payload is not None:
             n_i4 = int((syn["mb_type"] == 1).sum())
             self.stats.i_mb_count["I_4x4"] = \
                 self.stats.i_mb_count.get("I_4x4", 0) + n_i4
             self.stats.i_mb_count["I_16x16"] = \
                 self.stats.i_mb_count.get("I_16x16", 0) \
-                + self.mb_w * self.mb_h - n_i4
+                + self.mb_w * mb_h_b - n_i4
             return payload
 
         # -- MB loop (Python fallback) --
-        mb_w, mb_h = self.mb_w, self.mb_h
+        mb_w, mb_h = self.mb_w, mb_h_b
         luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int32)
         chroma_cnt = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
         last_qp = qp
@@ -701,9 +778,9 @@ class EncoderCore:
     # (encoder.c:1470-1480, 1532-1546, 1668-1672)
     # ------------------------------------------------------------------
     def _write_slice_header_common(self, bw, slice_type, qp, idr_pic_id,
-                                   n_ref=1):
+                                   n_ref=1, first_mb=0):
         p = self.param
-        bw.write_ue(0)
+        bw.write_ue(first_mb)
         bw.write_ue(slice_type + 5)
         bw.write_ue(self.pps.i_id)
         bw.write(self.sps.i_log2_max_frame_num,
@@ -734,13 +811,14 @@ class EncoderCore:
             bw.write_se(p.i_deblocking_filter_beta)
 
     def _write_slice_cabac(self, syn, slice_type, qp, idr_pic_id,
-                           qp_mb=None, n_ref=1) -> bytes:
+                           qp_mb=None, n_ref=1, band=None) -> bytes:
         from ..entropy import cabac as CB
         p = self.param
-        mb_w, mb_h = self.mb_w, self.mb_h
+        syn, qp_mb, mb_h_b, first_mb = self._band_syn(syn, qp_mb, band)
+        mb_w, mb_h = self.mb_w, mb_h_b
         bw = BitWriter()
         self._write_slice_header_common(bw, slice_type, qp, idr_pic_id,
-                                        n_ref=n_ref)
+                                        n_ref=n_ref, first_mb=first_mb)
         bw.align_1()
         header = bw.get_bytes()
         is_p = slice_type == P.SLICE_TYPE_P
@@ -1069,25 +1147,27 @@ class EncoderCore:
 
         return header + cb.flush()
 
-    def _write_slice_p_cavlc(self, syn, qp, qp_mb=None, n_ref=1) -> bytes:
+    def _write_slice_p_cavlc(self, syn, qp, qp_mb=None, n_ref=1,
+                             band=None) -> bytes:
         """P slice: header + skip runs + P_L0 partition MBs
         (encoder/cavlc.c mb_header_p :233-305, slice loop
         encoder.c:1547-1570). Native C++ fast path with this Python twin
         as fallback; MV prediction on the shared block-granularity grid
         (entropy/mvpred_host.py)."""
+        syn, qp_mb, mb_h_b, first_mb = self._band_syn(syn, qp_mb, band)
         bw = BitWriter()
         self._write_slice_header_common(bw, P.SLICE_TYPE_P, qp, -1,
-                                        n_ref=n_ref)
+                                        n_ref=n_ref, first_mb=first_mb)
 
         from ..entropy import native
-        res = native.write_slice_p(bw.get_unaligned(), self.mb_w, self.mb_h,
+        res = native.write_slice_p(bw.get_unaligned(), self.mb_w, mb_h_b,
                                    qp, syn, qp_mb=qp_mb, n_ref=n_ref)
         if res is not None:
             payload, n_skip = res
             self.stats.i_mb_count["P_SKIP"] = \
                 self.stats.i_mb_count.get("P_SKIP", 0) + n_skip
             part = (syn["partition"] if "partition" in syn
-                    else np.zeros((self.mb_h, self.mb_w), np.int32))
+                    else np.zeros((mb_h_b, self.mb_w), np.int32))
             hist = np.bincount(part.ravel(), minlength=4)
             hist[0] -= n_skip   # skips are partition-0 MBs
             for name, n in zip(("P_L0", "P_16x8", "P_8x16", "P_8x8"), hist):
@@ -1097,7 +1177,7 @@ class EncoderCore:
             return payload
 
         from ..entropy.mvpred_host import PART_GEOM, MvGrid
-        mb_w, mb_h = self.mb_w, self.mb_h
+        mb_w, mb_h = self.mb_w, mb_h_b
         luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int32)
         chroma_cnt = np.zeros((2, mb_h * 2, mb_w * 2), np.int32)
         grid = MvGrid(mb_w, mb_h)

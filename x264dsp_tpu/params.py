@@ -421,6 +421,19 @@ def validate_parameters(p: Param) -> Param:
         rc.i_vbv_max_bitrate = 0
     rc.i_lookahead = clip3(rc.i_lookahead, 0, LOOKAHEAD_MAX)
 
+    # slicing (encoder.c:150-162): count clipped to MB rows (our slices
+    # are row-granular device bands); max_mbs converts to a row count;
+    # max_size (bytes) needs per-MB size feedback — not supported
+    p.i_slice_max_size = max(p.i_slice_max_size, 0)
+    p.i_slice_max_mbs = max(p.i_slice_max_mbs, 0)
+    if p.i_slice_max_size:
+        x264_log(p, LOG_WARNING, "i_slice_max_size is not supported")
+        p.i_slice_max_size = 0
+    max_slices = (p.i_height + 15) >> 4
+    p.i_slice_count = clip3(p.i_slice_count, 0, max_slices)
+    if p.i_slice_max_mbs:
+        p.i_slice_count = 0
+
     # CQM preset (common/x264.h:122-124, pps scaling lists set.c:429-465)
     p.i_cqm_preset = clip3(p.i_cqm_preset, CQM_FLAT, CQM_CUSTOM)
     if p.i_cqm_preset == CQM_CUSTOM:
