@@ -26,14 +26,19 @@ _tried = False
 
 def _build() -> bool:
     _LIB_DIR.mkdir(parents=True, exist_ok=True)
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_LIB)],
-            check=True, capture_output=True)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(_LIB)]
+    # -march=native is worth ~2.2x on the bit-serial loops; fall back
+    # for toolchains that reject it
+    for flags in (base[:2] + ["-march=native"] + base[2:], base):
+        try:
+            subprocess.run(flags, check=True, capture_output=True)
+            return True
+        except subprocess.CalledProcessError:
+            continue
+        except FileNotFoundError:
+            return False
+    return False
 
 
 def get_lib():
