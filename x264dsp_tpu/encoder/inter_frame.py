@@ -50,6 +50,15 @@ _d = np.arange(1, _MVBITS_RANGE)
 _MVBITS[1:] = (np.log2(_d + 1.0) * 2 + 1.718 + 0.5).astype(np.int32)
 MVBITS_J = jnp.asarray(_MVBITS)
 
+# the table is a monotone step function with ~2·log2(range) steps; a
+# per-element table gather is catastrophic on TPU (the partition bias
+# grid indexes it with ~9M elements), but bits(d) = base + Σ δ_k·(d>=t_k)
+# over the step thresholds is a handful of vectorized compares — exact
+# by construction
+_MVBITS_STEPS = tuple(
+    (int(t) + 1, int(np.diff(_MVBITS)[t]))
+    for t in np.nonzero(np.diff(_MVBITS))[0])
+
 # lambda2 table (encoder/analyse.c:113-130), QP 0..51 — used by the chroma
 # variance early-skip threshold
 LAMBDA2_TAB = np.array([
@@ -63,10 +72,20 @@ LAMBDA2_TAB = np.array([
 LAMBDA2_J = jnp.asarray(LAMBDA2_TAB)
 
 
+def _mv_bits(d):
+    """_MVBITS[d] (clipped) without a gather: base 1 + δ per crossed
+    step threshold."""
+    d = jnp.clip(d, 0, _MVBITS_RANGE - 1)
+    bits = jnp.ones(d.shape, jnp.int32)
+    for t, delta in _MVBITS_STEPS:
+        step = (d >= t).astype(jnp.int32)
+        bits = bits + (step if delta == 1 else delta * step)
+    return bits
+
+
 def _mv_cost(lam, mvx, mvy, mvpx, mvpy):
-    dx = jnp.clip(jnp.abs(mvx - mvpx), 0, _MVBITS_RANGE - 1)
-    dy = jnp.clip(jnp.abs(mvy - mvpy), 0, _MVBITS_RANGE - 1)
-    return lam * (MVBITS_J[dx] + MVBITS_J[dy])
+    return lam * (_mv_bits(jnp.abs(mvx - mvpx))
+                  + _mv_bits(jnp.abs(mvy - mvpy)))
 
 
 def _median3(a, b, c):
