@@ -79,3 +79,32 @@ def test_deblock_pallas_path_matches_xla():
         for pa, pb, name in zip(a, b, "yuv"):
             assert np.array_equal(np.asarray(pa), np.asarray(pb)), \
                 (qp, name)
+
+
+def test_deblock_wave_kernel_matches_golden():
+    """Single-call Pallas wavefront (ops/pallas/deblock_wave) vs the
+    scalar golden model, interpret mode, incl. a batched stream axis."""
+    import jax.numpy as jnp
+    from x264dsp_tpu.ops import deblock as DB
+    from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE
+
+    mb_w, mb_h, S = 4, 3, 2
+    cases = [_random_case(mb_w, mb_h, 10 + s) for s in range(S)]
+    qp = 32
+    qpc = int(CHROMA_QP_TABLE[qp])
+    ys = jnp.asarray(np.stack([c[0] for c in cases]))
+    us = jnp.asarray(np.stack([c[1] for c in cases]))
+    vs = jnp.asarray(np.stack([c[2] for c in cases]))
+    bss = jnp.asarray(np.stack([c[3] for c in cases]))
+    intras = jnp.asarray(np.stack([c[4] for c in cases]))
+    feos = jnp.asarray(np.stack([c[5] for c in cases]))
+    dy, du, dv = DB.deblock_frame_wave_batched(
+        ys, us, vs, bss, intras, feos, qp, qpc, 0, 0,
+        mb_w=mb_w, mb_h=mb_h, interpret=True)
+    for s in range(S):
+        y, u, v, bs, intra, feo = cases[s]
+        gy, gu, gv = G.deblock_frame_golden(y, u, v, bs, intra, feo,
+                                            qp, qpc)
+        np.testing.assert_array_equal(np.asarray(dy)[s], gy)
+        np.testing.assert_array_equal(np.asarray(du)[s], gu)
+        np.testing.assert_array_equal(np.asarray(dv)[s], gv)
