@@ -61,3 +61,32 @@ def test_lowres_shape_and_filter():
                   int(plane[0, 1]), int(plane[1, 1]))
     want = (((a + b + 1) >> 1) + ((c + d + 1) >> 1) + 1) >> 1
     assert lp[0, 0, 0] == want
+
+
+def test_mc_luma_multi_matches_batched():
+    """Batched-candidate MC == per-candidate mc_luma_batched."""
+    import numpy as np
+    import jax.numpy as jnp
+    from x264dsp_tpu.ops import mc as MC
+    from x264dsp_tpu.ops import mcgather as MG
+
+    rng = np.random.default_rng(11)
+    mb_w, mb_h = 3, 2
+    H, W = mb_h * 16, mb_w * 16
+    ref = jnp.asarray(rng.integers(0, 256, (H, W), np.uint8))
+    wins4 = MG.luma_windows(MC.make_ref_planes(ref), mb_w, mb_h)
+    B, C = mb_w * mb_h, 4
+    mvx = jnp.asarray(rng.integers(-40, 40, (B, C), np.int32))
+    mvy = jnp.asarray(rng.integers(-40, 40, (B, C), np.int32))
+    for bh, bw, sy, sx in ((8, 8, 0, 0), (16, 16, 0, 0), (8, 16, 8, 0),
+                           (8, 8, np.array([0, 0, 8, 8]),
+                            np.array([0, 8, 0, 8]))):
+        out = MG.mc_luma_multi(wins4, mvx, mvy, bh, bw, sy, sx)
+        for c in range(C):
+            syc = int(sy[c]) if np.ndim(sy) else sy
+            sxc = int(sx[c]) if np.ndim(sx) else sx
+            one = MG.mc_luma_batched(wins4, mvx[:, c], mvy[:, c],
+                                     bh, bw, syc, sxc)
+            np.testing.assert_array_equal(np.asarray(out[:, c]),
+                                          np.asarray(one),
+                                          err_msg=f"cand {c} {bh}x{bw}")

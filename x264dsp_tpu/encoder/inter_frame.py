@@ -405,6 +405,24 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
         return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
                 jnp.where(better, my, bmy))
 
+    def diamond_step(bcost, bmx, bmy, scale, gate, satd):
+        # all 4 candidates on one window read (mc_luma_multi)
+        omx, omy = bmx, bmy
+        mxs = jnp.stack([omx, omx, omx - scale, omx + scale], 1)
+        mys = jnp.stack([omy - scale, omy + scale, omy, omy], 1)
+        blks = MG.mc_luma_multi(wins4, mxs, mys, 16, 16)
+        if satd:
+            d = PX.satd(f[:, None], blks)
+        else:
+            d = jnp.abs(f[:, None] - blks).sum((2, 3))
+        for k in range(4):
+            c = d[:, k] + _mv_cost(lam, mxs[:, k], mys[:, k], mvpx, mvpy)
+            better = gate & (c < bcost)
+            bcost = jnp.where(better, c, bcost)
+            bmx = jnp.where(better, mxs[:, k], bmx)
+            bmy = jnp.where(better, mys[:, k], bmy)
+        return bcost, bmx, bmy, omx, omy
+
     tt = jnp.ones((B,), bool)
     if try_mvp and hpel_iters:
         # try the subpel component of the MVP (me.c:484-491, subme < 3);
@@ -416,10 +434,8 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
     # per-MB "centre unchanged -> stop" early termination
     active = tt
     for _ in range(hpel_iters):
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     active)
+        bcost, bmx, bmy, omx, omy = diamond_step(bcost, bmx, bmy, 2,
+                                                 active, False)
         active = active & ((bmx != omx) | (bmy != omy))
     if use_satd:
         # switch metric: re-cost the half-pel best with SATD (me.c:520-524)
@@ -428,21 +444,16 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
         # one qpel step, SAD (subme=1 special case, me.c:565-581)
         inside = ((bmy > lo_y) & (bmy < hi_y)
                   & (bmx > lo_x) & (bmx < hi_x))
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     inside)
+        bcost, bmx, bmy, _, _ = diamond_step(bcost, bmx, bmy, 1,
+                                             inside, False)
     else:
         # quarter-pel diamond iterations, SATD (me.c:541-564)
         active = tt
         for _ in range(qpel_iters):
             inside = (active & (bmy > lo_y) & (bmy < hi_y)
                       & (bmx > lo_x) & (bmx < hi_x))
-            omx, omy = bmx, bmy
-            for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-                bcost, bmx, bmy = try_mv(bcost, bmx, bmy,
-                                         omx + dmx, omy + dmy,
-                                         inside, satd=use_satd)
+            bcost, bmx, bmy, omx, omy = diamond_step(
+                bcost, bmx, bmy, 1, inside, use_satd)
             active = active & ((bmx != omx) | (bmy != omy))
     return jnp.stack([bmx.reshape(mb_h, mb_w), bmy.reshape(mb_h, mb_w)],
                      axis=-1)
@@ -491,15 +502,21 @@ def _assemble_quads(quads, size: int):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+_QUAD_SUB_Y = np.array([0, 0, 8, 8])
+_QUAD_SUB_X = np.array([0, 8, 0, 8])
+
+
 def _mc_luma_mv8(wins4, mv8f):
     """Per-quadrant luma MC: mv8f (B, 2, 2, 2) qpel MVs -> (B, 16, 16).
     MC over precomputed hpel planes is pointwise, so quadrant-wise
     compensation is exact for every partition shape (one uniform path
-    for 16x16/16x8/8x16/8x8)."""
-    quads = [[MG.mc_luma_batched(wins4, mv8f[:, qy, qx, 0],
-                                 mv8f[:, qy, qx, 1], 8, 8, qy * 8, qx * 8)
-              for qx in range(2)] for qy in range(2)]
-    return _assemble_quads(quads, 8)
+    for 16x16/16x8/8x16/8x8). All 4 quadrants ride one window read
+    (mc_luma_multi)."""
+    B = mv8f.shape[0]
+    mxy = mv8f.reshape(B, 4, 2)
+    q = MG.mc_luma_multi(wins4, mxy[..., 0], mxy[..., 1], 8, 8,
+                         _QUAD_SUB_Y, _QUAD_SUB_X)    # (B, 4, 8, 8)
+    return _quad_merge(q)
 
 
 def _mc_chroma_mv8(winsc, mv8f):
@@ -725,6 +742,7 @@ def _refine_block_batch(wins4, f_blk, bmx, bmy, bcost, mvpx, mvpy, lam,
     partition shape doesn't include this block."""
     hpel_iters, qpel_iters, use_satd, try_mvp = \
         SUBME_RECIPE[min(max(subme, 0), 5)]
+    _DIAMOND = ((0, -1), (0, 1), (-1, 0), (1, 0))   # x scale: 2=hpel 1=qpel
 
     def cost_at(mx, my, satd):
         blk = MG.mc_luma_batched(wins4, mx, my, bh, bw, sub_y, sub_x)
@@ -740,16 +758,33 @@ def _refine_block_batch(wins4, f_blk, bmx, bmy, bcost, mvpx, mvpy, lam,
         return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
                 jnp.where(better, my, bmy))
 
+    def diamond_step(bcost, bmx, bmy, scale, g, satd):
+        """One 4-candidate diamond via mc_luma_multi (one window read
+        for all four candidates; selection order preserved)."""
+        omx, omy = bmx, bmy
+        mxs = jnp.stack([omx + dmx * scale for dmx, _ in _DIAMOND], 1)
+        mys = jnp.stack([omy + dmy * scale for _, dmy in _DIAMOND], 1)
+        blks = MG.mc_luma_multi(wins4, mxs, mys, bh, bw, sub_y, sub_x)
+        if satd:
+            d = PX.satd(f_blk[:, None], blks)
+        else:
+            d = jnp.abs(f_blk[:, None] - blks).sum((2, 3))
+        for k in range(4):
+            c = d[:, k] + _mv_cost(lam, mxs[:, k], mys[:, k], mvpx, mvpy)
+            better = g & (c < bcost)
+            bcost = jnp.where(better, c, bcost)
+            bmx = jnp.where(better, mxs[:, k], bmx)
+            bmy = jnp.where(better, mys[:, k], bmy)
+        return bcost, bmx, bmy, omx, omy
+
     if try_mvp and hpel_iters:
         mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
         my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
         bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, gate)
     active = gate
     for _ in range(hpel_iters):
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -2), (0, 2), (-2, 0), (2, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     active)
+        bcost, bmx, bmy, omx, omy = diamond_step(bcost, bmx, bmy, 2,
+                                                 active, False)
         active = active & ((bmx != omx) | (bmy != omy))
     if use_satd:
         bcost = cost_at(bmx, bmy, True)
@@ -758,10 +793,8 @@ def _refine_block_batch(wins4, f_blk, bmx, bmy, bcost, mvpx, mvpy, lam,
     for _ in range(n_qpel):
         inside = (active & (bmy > lo_y) & (bmy < hi_y)
                   & (bmx > lo_x) & (bmx < hi_x))
-        omx, omy = bmx, bmy
-        for dmx, dmy in ((0, -1), (0, 1), (-1, 0), (1, 0)):
-            bcost, bmx, bmy = try_mv(bcost, bmx, bmy, omx + dmx, omy + dmy,
-                                     inside, satd=use_satd)
+        bcost, bmx, bmy, omx, omy = diamond_step(
+            bcost, bmx, bmy, 1, inside, use_satd)
         active = active & ((bmx != omx) | (bmy != omy))
     return bmx, bmy, bcost
 

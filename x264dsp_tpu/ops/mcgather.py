@@ -148,6 +148,57 @@ def mc_luma_batched(wins4, mvx, mvy, bh: int, bw: int,
                      src1.astype(jnp.int32))
 
 
+def mc_luma_multi(wins4, mvx, mvy, bh: int, bw: int, sub_y=0, sub_x=0):
+    """Batched-candidate mc_luma: mvx/mvy (B, C) qpel MVs -> (B, C, bh,
+    bw) int32. ONE plane+row selection matmul over the plane-stacked
+    window serves all C candidates and both qpel source planes — the
+    (B, 4, W, W) window tensor is read once per call instead of 2C
+    times (the HBM read dominates: ~205 MB at 1080p).
+    sub_y/sub_x: static ints or (C,)-arrays of partition offsets."""
+    B, _, Wn, _ = wins4.shape
+    C = mvx.shape[1]
+    wf = wins4.reshape(B, 4 * Wn, Wn)
+    qidx = ((mvy & 3) << 2) + (mvx & 3)                # (B, C)
+    p0 = _HPEL_REF0_J[qidx]
+    p1 = _HPEL_REF1_J[qidx]
+    sy = jnp.asarray(sub_y)[None, :] if np.ndim(sub_y) else sub_y
+    sx = jnp.asarray(sub_x)[None, :] if np.ndim(sub_x) else sub_x
+    fy = (mvy >> 2) + M_LUMA + sy
+    fx = (mvx >> 2) + M_LUMA + sx
+    y1 = fy + ((mvy & 3) == 3).astype(jnp.int32)
+    x2 = fx + ((mvx & 3) == 3).astype(jnp.int32)
+
+    # row selector (B, C*2*bh, 4W): slot (c, s, r) reads plane
+    # [p0,p1][s], row [y1,fy][s] + r (mc_luma src1 = (p0, y1, fx),
+    # src2 = (p1, fy, x2), common/mc.c:216-240)
+    row0 = jnp.stack([p0 * Wn + y1, p1 * Wn + fy], axis=-1)  # (B, C, 2)
+    tgt_r = row0[..., None] + jnp.arange(bh)           # (B, C, 2, bh)
+    tgt_r = tgt_r.reshape(B, C * 2 * bh)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, C * 2 * bh, 4 * Wn), 2)
+    R = (iota_r == tgt_r[:, :, None]).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(R, wf, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+    # column selector (B, W, C*2*bw); the full product computes all
+    # (slot, col-slot) pairs — tiny — and the C*2 diagonal blocks are
+    # static slices
+    col0 = jnp.stack([fx, x2], axis=-1)                # (B, C, 2)
+    tgt_c = (col0[..., None] + jnp.arange(bw)).reshape(B, C * 2 * bw)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, Wn, C * 2 * bw), 1)
+    Cm = (iota_c == tgt_c[:, None, :]).astype(jnp.bfloat16)
+    full = jax.lax.dot_general(
+        rows.astype(jnp.bfloat16), Cm, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (B, C2bh, C2bw)
+    blocks = jnp.stack(
+        [full[:, k * bh:(k + 1) * bh, k * bw:(k + 1) * bw]
+         for k in range(C * 2)], axis=1).reshape(B, C, 2, bh, bw)
+    src1 = blocks[:, :, 0]
+    src2 = blocks[:, :, 1]
+    avg = ((src1 + src2 + 1.0) * 0.5).astype(jnp.int32)
+    return jnp.where((qidx & 5)[..., None, None] != 0, avg,
+                     src1.astype(jnp.int32))
+
+
 def mc_chroma_batched(winsc, mvx, mvy, bh: int, bw: int,
                       sub_y: int = 0, sub_x: int = 0):
     """Batched mc_chroma (common/mc.c:295-323): 1/8-pel bilinear.
