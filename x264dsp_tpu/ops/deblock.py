@@ -467,6 +467,16 @@ def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
     Returns filtered (y, u, v)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas == "wave" or (use_pallas is True
+                                and jax.default_backend() == "tpu"):
+        # single-kernel wavefront (plane resident in VMEM): 33 ms vs
+        # 52 ms for the per-diagonal band path at 1080p
+        dy, du, dv = deblock_frame_wave_batched.__wrapped__(
+            y[None], u[None], v[None], bs[None], intra_mb[None],
+            first_edge_only[None], jnp.asarray(qp)[None],
+            jnp.asarray(qpc)[None], alpha_off, beta_off,
+            mb_w=mb_w, mb_h=mb_h)
+        return dy[0], du[0], dv[0]
     qp_mb = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w))
     qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w))
 

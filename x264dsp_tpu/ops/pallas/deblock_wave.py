@@ -48,22 +48,49 @@ def _onehot_cols(off, n_sel: int):
     return (c == off + j).astype(jnp.float32)
 
 
+
+def _shift_mat(n_in: int, n_out: int):
+    """(n_in, n_out) f32 one-hot P[i, i+4] = 1, built from iota (pallas
+    kernels cannot capture array constants)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    return (j == i + 4).astype(jnp.float32)
+
+
+def _row_place16(x16):
+    """(K, 16) per-edge lanes -> (K, 20) aligned to plane rows 4..20,
+    via a one-hot matmul (no pad/concat — Mosaic rejects misaligned
+    lane concats)."""
+    return jnp.dot(x16.astype(jnp.float32), _shift_mat(16, 20),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _span(n: int):
+    """(1, n) bool mask of plane positions 4..n (the filtered span)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) >= 4
+
+
+def _hot(n: int, i: int):
+    """(n,) int32 one-hot from iota."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+            == i).astype(jnp.int32)
+
+
 def _filter_luma_regs(regs, tc0y, eny, uiy, aly, bly):
-    """The 8-edge luma chain on (K, 20, 20) regions (shared math with
-    ops/pallas/deblock_filter.py)."""
-    K = regs.shape[0]
+    """The 8-edge luma chain on (K, 20, 20) regions. Every update is a
+    full-length column/row filter (pad lanes masked by the static span)
+    plus an additive one-hot placement — no slice assignment, no
+    concat: Mosaic supports neither scatter nor misaligned concats."""
+    span = _span(20)
 
     def luma_edge(regs, d, e):
+        c = 4 + e * 4
         if d == 0:
-            c = 4 + e * 4
-            blk = regs[:, 4:20, c - 4:c + 4]
-            cols = [blk[:, :, i] for i in range(8)]
+            cols = [regs[:, :, c - 4 + i] for i in range(8)]   # (K, 20)
         else:
-            r = 4 + e * 4
-            blk = regs[:, r - 4:r + 4, 4:20]
-            cols = [blk[:, i, :] for i in range(8)]
+            cols = [regs[:, c - 4 + i, :] for i in range(8)]
         p3, p2, p1, p0, q0, q1, q2, q3 = cols
-        tc0 = tc0y[:, d * 64 + e * 16:d * 64 + e * 16 + 16]
+        tc0 = _row_place16(tc0y[:, d * 64 + e * 16:d * 64 + e * 16 + 16])
         en = (eny[:, d * 4 + e:d * 4 + e + 1] != 0)
         ui = (uiy[:, d * 4 + e:d * 4 + e + 1] != 0)
         alpha = aly[:, d * 4 + e:d * 4 + e + 1]
@@ -76,11 +103,16 @@ def _filter_luma_regs(regs, tc0y, eny, uiy, aly, bly):
                 jnp.where(ui, p0i, p0n), jnp.where(ui, q0i, q0n),
                 jnp.where(ui, q1i, q1n), jnp.where(ui, q2i, q2)]
         olds = [p2, p1, p0, q0, q1, q2]
-        outs = [jnp.where(en, o, old) for o, old in zip(outs, olds)]
-        if d == 0:
-            return regs.at[:, 4:20, c - 3:c + 3].set(
-                jnp.stack(outs, axis=2))
-        return regs.at[:, r - 3:r + 3, 4:20].set(jnp.stack(outs, axis=1))
+        deltas = [jnp.where(en & span, o, old) - old
+                  for o, old in zip(outs, olds)]
+        upd = regs
+        for i, dl in enumerate(deltas):
+            hot = _hot(20, c - 3 + i)
+            if d == 0:
+                upd = upd + dl[:, :, None] * hot[None, None, :]
+            else:
+                upd = upd + dl[:, None, :] * hot[None, :, None]
+        return upd
 
     for e in range(4):
         regs = luma_edge(regs, 0, e)
@@ -90,30 +122,34 @@ def _filter_luma_regs(regs, tc0y, eny, uiy, aly, bly):
 
 
 def _filter_chroma_regs(regs, tcc, enc, uic, alc, blc):
-    """The 4-edge chroma chain on (2K, 12, 12) regions."""
+    """The 4-edge chroma chain on (2K, 12, 12) regions (same placement
+    scheme as the luma chain)."""
+    span = _span(12)
+
     def chroma_edge(regs, d, e):
+        c = 4 + e * 4
         if d == 0:
-            c = 4 + e * 4
-            blk = regs[:, 4:12, c - 2:c + 2]
-            p1, p0, q0, q1 = [blk[:, :, i] for i in range(4)]
+            p1, p0, q0, q1 = [regs[:, :, c - 2 + i] for i in range(4)]
         else:
-            r = 4 + e * 4
-            blk = regs[:, r - 2:r + 2, 4:12]
-            p1, p0, q0, q1 = [blk[:, i, :] for i in range(4)]
-        tc = tcc[:, d * 16 + e * 8:d * 16 + e * 8 + 8]
+            p1, p0, q0, q1 = [regs[:, c - 2 + i, :] for i in range(4)]
+        tc8 = tcc[:, d * 16 + e * 8:d * 16 + e * 8 + 8]
+        tc = jnp.dot(tc8.astype(jnp.float32), _shift_mat(8, 12),
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
         en = (enc[:, d * 2 + e:d * 2 + e + 1] != 0)
         ui = (uic[:, d * 2 + e:d * 2 + e + 1] != 0)
         alpha = alc[:, d * 2 + e:d * 2 + e + 1]
         beta = blc[:, d * 2 + e:d * 2 + e + 1]
         p0n, q0n = _filter_normal_chroma(p1, p0, q0, q1, alpha, beta, tc)
         p0i, q0i = _filter_intra_chroma(p1, p0, q0, q1, alpha, beta)
-        p0o = jnp.where(en, jnp.where(ui, p0i, p0n), p0)
-        q0o = jnp.where(en, jnp.where(ui, q0i, q0n), q0)
+        d0 = jnp.where(en & span, jnp.where(ui, p0i, p0n), p0) - p0
+        d1 = jnp.where(en & span, jnp.where(ui, q0i, q0n), q0) - q0
+        h0 = _hot(12, c - 1)
+        h1 = _hot(12, c)
         if d == 0:
-            return regs.at[:, 4:12, c - 1:c + 1].set(
-                jnp.stack([p0o, q0o], axis=2))
-        return regs.at[:, r - 1:r + 1, 4:12].set(
-            jnp.stack([p0o, q0o], axis=1))
+            return (regs + d0[:, :, None] * h0[None, None, :]
+                    + d1[:, :, None] * h1[None, None, :])
+        return (regs + d0[:, None, :] * h0[None, :, None]
+                + d1[:, None, :] * h1[None, :, None])
 
     regs = chroma_edge(regs, 0, 0)
     regs = chroma_edge(regs, 0, 1)
@@ -245,6 +281,8 @@ def deblock_wave_luma(y, tc0y, eny, uiy, aly, bly, mb_w: int, mb_h: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(yp.shape, jnp.int32),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(yp, tc0y, eny, uiy, aly, bly)
     return out[:, 4:4 + 16 * mb_h, 4:4 + 16 * mb_w]
@@ -278,6 +316,8 @@ def deblock_wave_chroma(u, v, tcc, enc, uic, alc, blc,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(cp.shape, jnp.int32),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(cp, tcc, enc, uic, alc, blc)
     return (out[:, 0, 4:4 + 8 * mb_h, 4:4 + 8 * mb_w],
