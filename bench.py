@@ -67,7 +67,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from x264dsp_tpu.encoder.inter_frame import (encode_p_frame, pack_syn_p,
-                                                 pack_syn_p8, unpack_syn_p,
+                                                 pack_syn_p4, pack_syn_p8,
+                                                 unpack_syn_p, unpack_syn_p4,
                                                  unpack_syn_p8)
     from x264dsp_tpu.ops import deblock as DB
     from x264dsp_tpu.ops import mc as MC
@@ -92,15 +93,18 @@ def main():
             zero_mb, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H)
         refs = (MC.make_ref_planes(dy), MC.pad_chroma(du),
                 MC.pad_chroma(dv))
-        return pack_syn_p8(out, MB_W, MB_H), pack_syn_p(out, MB_W, MB_H), \
-            refs
+        return (pack_syn_p4(out, MB_W, MB_H),
+                pack_syn_p8(out, MB_W, MB_H),
+                pack_syn_p(out, MB_W, MB_H), refs)
 
     frames = synth_video(3)
     header = bytes([0x40])  # byte-aligned dummy slice header for timing
 
-    def pull(syn8, syn16):
-        """int8 transfer; int16 fallback when levels exceed int8."""
-        syn_np = unpack_syn_p8(np.asarray(syn8), MB_W, MB_H)
+    def pull(syn4, syn8, syn16):
+        """nibble transfer; int8/int16 fallbacks for big levels."""
+        syn_np = unpack_syn_p4(np.asarray(syn4), MB_W, MB_H)
+        if syn_np is None:
+            syn_np = unpack_syn_p8(np.asarray(syn8), MB_W, MB_H)
         if syn_np is None:
             syn_np = unpack_syn_p(np.asarray(syn16), MB_W, MB_H)
         return syn_np
@@ -118,29 +122,31 @@ def main():
         refv = MC.pad_chroma(jnp.asarray(frames[0][2]))
         refs = (ref4, refu, refv)
         # warm up compile + entropy lib
-        syn8, syn16, refs = step(*map(jnp.asarray, frames[1]), *refs)
-        entropy(pull(syn8, syn16))
+        warm = step(*map(jnp.asarray, frames[1]), *refs)
+        entropy(pull(warm[0], warm[1], warm[2]))
 
-        # timed loop, one frame in flight: pull + entropy of frame N
-        # overlap the device encode of frame N+1
+        # timed loop, one frame in flight: pull frame N's syntax FIRST
+        # (its compute finished last iteration — the transfer starts
+        # immediately instead of queueing behind frame N+1's step),
+        # then dispatch N+1, then run host entropy while the device
+        # encodes
         t_dev = t_ent = t_pull = 0.0
         nbytes = 0
-        prev = step(*map(jnp.asarray, frames[1]), *refs)
-        refs = prev[2]
+        prev = step(*map(jnp.asarray, frames[1]), *warm[3])
         t0 = time.perf_counter()
         for i in range(n_frames):
             f = frames[1 + (i % 2)]
-            td = time.perf_counter()
-            cur = step(*map(jnp.asarray, f), *prev[2])      # async
-            t_dev += time.perf_counter() - td
             tp = time.perf_counter()
-            syn_np = pull(prev[0], prev[1])  # transfers while device busy
+            syn_np = pull(prev[0], prev[1], prev[2])
             t_pull += time.perf_counter() - tp
+            td = time.perf_counter()
+            cur = step(*map(jnp.asarray, f), *prev[3])      # async
+            t_dev += time.perf_counter() - td
             te = time.perf_counter()
             nbytes += entropy(syn_np)
             t_ent += time.perf_counter() - te
             prev = cur
-        nbytes += entropy(pull(prev[0], prev[1]))
+        nbytes += entropy(pull(prev[0], prev[1], prev[2]))
         dt = time.perf_counter() - t0
         fps = (n_frames + 1) / dt
         print(f"breakdown: dispatch {t_dev/n_frames*1e3:.1f} ms  "
@@ -167,13 +173,17 @@ def main():
 
         pool = ThreadPoolExecutor(max_workers=min(S, 8))
 
-        def entropy_batch(syn8, syn16):
-            b8 = np.asarray(syn8)
-            b16 = None
+        def entropy_batch(syn4, syn8, syn16):
+            b4 = np.asarray(syn4)
+            b8 = b16 = None
 
             def one(s):
-                nonlocal b16
-                syn_np = unpack_syn_p8(b8[s], MB_W, MB_H)
+                nonlocal b8, b16
+                syn_np = unpack_syn_p4(b4[s], MB_W, MB_H)
+                if syn_np is None:
+                    if b8 is None:
+                        b8 = np.asarray(syn8)
+                    syn_np = unpack_syn_p8(b8[s], MB_W, MB_H)
                 if syn_np is None:
                     if b16 is None:
                         b16 = np.asarray(syn16)
@@ -181,17 +191,17 @@ def main():
                 return entropy(syn_np)
             return sum(pool.map(one, range(S)))
 
-        syn8, syn16, refs = vstep(*batch(0), *refs)
-        entropy_batch(syn8, syn16)
+        warm = vstep(*batch(0), *refs)
+        entropy_batch(warm[0], warm[1], warm[2])
 
-        prev = vstep(*batch(0), *refs)
-        refs = prev[2]
+        prev = vstep(*batch(0), *warm[3])
         t0 = time.perf_counter()
         for i in range(n_frames):
-            cur = vstep(*batch(i), *prev[2])
-            entropy_batch(prev[0], prev[1])
+            ent_args = (prev[0], prev[1], prev[2])
+            cur = vstep(*batch(i), *prev[3])
+            entropy_batch(*ent_args)
             prev = cur
-        entropy_batch(prev[0], prev[1])
+        entropy_batch(prev[0], prev[1], prev[2])
         dt = time.perf_counter() - t0
         fps = (n_frames + 1) * S / dt
         metric = (f"1080p IPPP end-to-end fps/chip ({S}-stream batched, "

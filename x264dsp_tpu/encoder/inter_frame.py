@@ -1023,6 +1023,61 @@ def pack_syn_p8(out: dict, mb_w: int, mb_h: int):
                             jnp.clip(flat, -128, 127).astype(jnp.int8)])
 
 
+_SYN_LEVEL_KEYS = ("luma_levels", "chroma_ac_levels")
+
+
+def pack_syn_p4(out: dict, mb_w: int, mb_h: int):
+    """Nibble-packed transfer variant: the level arrays ride 4 bits per
+    coefficient (typical inter levels at QP >= 20 are tiny), all other
+    fields int8. Element [0] is a has-big flag — set when any level
+    falls outside [-8, 7] or another field outside int8; the caller
+    then falls back to the int8/int16 packs. Nibble pairing is
+    (first half, second half) of the flat level vector so the pack is
+    pure contiguous slices (no strided lane ops on TPU)."""
+    lv_parts, rest_parts = [], []
+    for k, _ in SYN_PACK_LAYOUT:
+        (lv_parts if k in _SYN_LEVEL_KEYS else rest_parts).append(
+            out[k].reshape(-1).astype(jnp.int32))
+    lv = jnp.concatenate(lv_parts)
+    rest = jnp.concatenate(rest_parts)
+    big = (jnp.any((lv > 7) | (lv < -8))
+           | jnp.any((rest > 127) | (rest < -128))).astype(jnp.int8)
+    half = lv.shape[0] // 2
+    nib = ((lv[:half] & 15) | ((lv[half:] & 15) << 4)).astype(jnp.int8)
+    return jnp.concatenate([big[None],
+                            jnp.clip(rest, -128, 127).astype(jnp.int8),
+                            nib])
+
+
+def unpack_syn_p4(buf4: np.ndarray, mb_w: int, mb_h: int):
+    """Host-side unpack for pack_syn_p4. Returns None when the has-big
+    flag is set (caller falls back to the wider packs)."""
+    if buf4[0]:
+        return None
+    B = mb_w * mb_h
+    lv_keys = [(k, s) for k, s in SYN_PACK_LAYOUT if k in _SYN_LEVEL_KEYS]
+    rest_keys = [(k, s) for k, s in SYN_PACK_LAYOUT
+                 if k not in _SYN_LEVEL_KEYS]
+    rest_len = B * sum(int(np.prod(s)) if s else 1 for _, s in rest_keys)
+    rest = buf4[1:1 + rest_len].astype(np.int16)
+    nib = buf4[1 + rest_len:].view(np.uint8)
+    n0 = (nib & 15).astype(np.int16)
+    n1 = ((nib >> 4) & 15).astype(np.int16)
+    lv = np.concatenate([n0 - ((n0 > 7) << 4), n1 - ((n1 > 7) << 4)])
+    syn = {}
+    off = 0
+    for k, shape in rest_keys:
+        n = B * (int(np.prod(shape)) if shape else 1)
+        syn[k] = rest[off:off + n].reshape((mb_h, mb_w) + shape)
+        off += n
+    off = 0
+    for k, shape in lv_keys:
+        n = B * int(np.prod(shape))
+        syn[k] = lv[off:off + n].reshape((mb_h, mb_w) + shape)
+        off += n
+    return syn
+
+
 def unpack_syn_p8(buf8: np.ndarray, mb_w: int, mb_h: int):
     """Host-side views for pack_syn_p8. Returns None if the has-big flag
     is set (caller falls back to the int16 pack)."""
