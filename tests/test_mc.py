@@ -118,3 +118,55 @@ def test_pack_syn_p4_roundtrip():
     out["luma_levels"] = out["luma_levels"].at[0, 0, 0, 0].set(9)
     buf = np.asarray(IF.pack_syn_p4(out, mb_w, mb_h))
     assert IF.unpack_syn_p4(buf, mb_w, mb_h) is None
+
+
+def test_pack_syn_sparse_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from x264dsp_tpu.encoder import inter_frame as IF
+
+    rng = np.random.default_rng(5)
+    mb_h, mb_w = 4, 5
+    B = mb_h * mb_w
+    out = {}
+    coded = rng.random((mb_h, mb_w)) < 0.4
+    for k, shape in IF.SYN_PACK_LAYOUT:
+        full = (mb_h, mb_w) + shape
+        if k in IF._SYN_LEVEL_KEYS:
+            a = rng.integers(-8, 8, full) * coded.reshape(
+                (mb_h, mb_w) + (1,) * len(shape))
+        elif k == "chroma_dc_levels":
+            a = rng.integers(-100, 101, full) * coded.reshape(
+                (mb_h, mb_w) + (1,) * len(shape))
+        elif k in ("mv", "mv8"):
+            a = rng.integers(-76, 77, full)
+        elif k == "cbp_luma":
+            a = coded * 15
+        elif k == "cbp_chroma":
+            a = coded * rng.integers(0, 3, full)
+        elif k in ("luma_nnz",):
+            a = np.zeros(full)
+        else:
+            a = rng.integers(0, 4, full)
+        out[k] = jnp.asarray(a.astype(np.int32))
+    # consistency: nnz fields derived from levels like the device path
+    out["luma_nnz"] = jnp.asarray(np.count_nonzero(
+        np.asarray(out["luma_levels"]), axis=-1))
+    out["chroma_nnz_ac"] = jnp.asarray(np.count_nonzero(
+        np.asarray(out["chroma_ac_levels"]), axis=-1))
+    out["chroma_nz_dc"] = jnp.asarray(
+        (np.asarray(out["chroma_dc_levels"]) != 0).any(-1).astype(np.int32))
+    out["mv"] = out["mv8"][:, :, 0, 0]
+
+    dense, payload, count = IF.pack_syn_sparse(out, mb_w, mb_h)
+    c = int(count)
+    assert c == int(coded.sum())
+    syn = IF.unpack_syn_sparse(np.asarray(dense), np.asarray(payload)[:c],
+                               mb_w, mb_h)
+    assert syn is not None
+    for k, _ in IF.SYN_PACK_LAYOUT:
+        np.testing.assert_array_equal(syn[k], np.asarray(out[k]), k)
+    # escape flag on big level
+    out["luma_levels"] = out["luma_levels"].at[0, 0, 0, 0].set(100)
+    dense, payload, count = IF.pack_syn_sparse(out, mb_w, mb_h)
+    assert np.asarray(dense)[0] == 1

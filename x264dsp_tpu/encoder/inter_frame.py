@@ -1025,6 +1025,88 @@ def pack_syn_p8(out: dict, mb_w: int, mb_h: int):
 
 _SYN_LEVEL_KEYS = ("luma_levels", "chroma_ac_levels")
 
+# sparse pack: fields every MB needs (12 B/MB) vs the coded-MB payload
+_SPARSE_DENSE = (("mv8", 8), ("partition", 1), ("ref", 1),
+                 ("cbp_luma", 1), ("cbp_chroma", 1))
+
+
+def pack_syn_sparse(out: dict, mb_w: int, mb_h: int):
+    """Sparse transfer pack for the ~15 MB/s test tunnel: a small dense
+    buffer (mv8/partition/ref/cbp, 12 B/MB + has-big flag) plus a
+    stable-sort-compacted per-MB payload (nibble luma+chroma AC levels
+    + int8 chroma DC, 200 B) carrying only CODED MBs — the host slices
+    the first `count` rows so skipped/empty MBs never cross the wire.
+    nnz/nz flags are recomputed on host from the levels (they were
+    zeroed consistently on device). Returns (dense, payload, count)."""
+    B = mb_h * mb_w
+    dense_parts = []
+    for k, sz in _SPARSE_DENSE:
+        dense_parts.append(out[k].reshape(B, -1).astype(jnp.int32))
+    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 12)
+    lv = out["luma_levels"].reshape(B, 256).astype(jnp.int32)
+    ca = out["chroma_ac_levels"].reshape(B, 128).astype(jnp.int32)
+    cd = out["chroma_dc_levels"].reshape(B, 8).astype(jnp.int32)
+    big = (jnp.any((lv > 7) | (lv < -8)) | jnp.any((ca > 7) | (ca < -8))
+           | jnp.any((cd > 127) | (cd < -128))
+           | jnp.any((dense > 127) | (dense < -128)))
+
+    def nib(x):
+        h = x.shape[1] // 2
+        return (x[:, :h] & 15) | ((x[:, h:] & 15) << 4)
+
+    payload = jnp.concatenate([nib(lv), nib(ca), cd & 0xFF],
+                              axis=1).astype(jnp.uint8)  # (B, 200)
+    coded = ((out["cbp_luma"].reshape(B) != 0)
+             | (out["cbp_chroma"].reshape(B) != 0))
+    order = jnp.argsort(~coded, stable=True)
+    payload = jnp.take(payload, order, axis=0)
+    count = coded.sum().astype(jnp.int32)
+    dense_flat = jnp.concatenate([
+        big.astype(jnp.int8)[None],
+        jnp.clip(dense, -128, 127).astype(jnp.int8).reshape(-1)])
+    return dense_flat, payload, count
+
+
+def unpack_syn_sparse(dense_np: np.ndarray, rows_np: np.ndarray,
+                      mb_w: int, mb_h: int):
+    """Host-side unpack for pack_syn_sparse; rows_np holds the first
+    `count` payload rows. Returns the full syn dict (int16 arrays) or
+    None when the has-big flag is set."""
+    if dense_np[0]:
+        return None
+    B = mb_w * mb_h
+    dense = dense_np[1:].astype(np.int16).reshape(B, 12)
+    syn = {}
+    off = 0
+    for k, sz in _SPARSE_DENSE:
+        shape = dict(SYN_PACK_LAYOUT)[k]
+        syn[k] = dense[:, off:off + sz].reshape((mb_h, mb_w) + shape)
+        off += sz
+    syn["mv"] = syn["mv8"][:, :, 0, 0]
+    coded = ((syn["cbp_luma"] != 0) | (syn["cbp_chroma"] != 0)).reshape(B)
+    rows = np.zeros((B, 200), np.uint8)
+    rows[np.flatnonzero(coded)] = rows_np
+
+    def unnib(x):
+        n0 = (x & 15).astype(np.int16)
+        n1 = ((x >> 4) & 15).astype(np.int16)
+        return np.concatenate([n0 - ((n0 > 7) << 4),
+                               n1 - ((n1 > 7) << 4)], axis=1)
+
+    lv = unnib(rows[:, :128])
+    ca = unnib(rows[:, 128:192])
+    cd = rows[:, 192:200].astype(np.int8).astype(np.int16)
+    syn["luma_levels"] = lv.reshape(mb_h, mb_w, 16, 16)
+    syn["chroma_ac_levels"] = ca.reshape(mb_h, mb_w, 2, 4, 16)
+    syn["chroma_dc_levels"] = cd.reshape(mb_h, mb_w, 2, 4)
+    syn["luma_nnz"] = np.count_nonzero(
+        syn["luma_levels"], axis=-1).astype(np.int16)
+    syn["chroma_nnz_ac"] = np.count_nonzero(
+        syn["chroma_ac_levels"], axis=-1).astype(np.int16)
+    syn["chroma_nz_dc"] = (syn["chroma_dc_levels"] != 0).any(-1) \
+        .astype(np.int16)
+    return syn
+
 
 def pack_syn_p4(out: dict, mb_w: int, mb_h: int):
     """Nibble-packed transfer variant: the level arrays ride 4 bits per
