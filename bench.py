@@ -99,7 +99,8 @@ def main():
     import jax.numpy as jnp
     from x264dsp_tpu.encoder.inter_frame import (encode_p_frame, pack_syn_p,
                                                  pack_syn_p8, pack_syn_sparse,
-                                                 unpack_syn_p, unpack_syn_p8,
+                                                 sparse_count, unpack_syn_p,
+                                                 unpack_syn_p8,
                                                  unpack_syn_sparse)
     from x264dsp_tpu.ops import deblock as DB
     from x264dsp_tpu.ops import mc as MC
@@ -134,14 +135,19 @@ def main():
 
     header = bytes([0x40])  # byte-aligned dummy slice header for timing
 
+    B = MB_W * MB_H
+    BUCKETS = (B // 16, B // 8, B // 4, B // 2, B)
+
     def pull(dense, payload, count, syn8, syn16):
-        """sparse transfer (dense fields + coded-MB payload rows);
-        int8/int16 dense fallbacks for out-of-range levels."""
+        """sparse transfer: one dense buffer (fields + embedded count)
+        + the smallest bucketed payload slice covering the coded count
+        (a handful of fixed slice shapes so nothing recompiles per
+        frame); int8/int16 dense fallbacks for out-of-range levels."""
         d = np.asarray(dense)
         if not d[0]:
-            c = int(np.asarray(count))
-            rows = np.asarray(payload[:c]) if c else \
-                np.zeros((0, 200), np.uint8)
+            c = sparse_count(d)
+            cap = next((b for b in BUCKETS if b >= c), B)
+            rows = np.asarray(payload[:cap])
             return unpack_syn_sparse(d, rows, MB_W, MB_H)
         syn_np = unpack_syn_p8(np.asarray(syn8), MB_W, MB_H)
         if syn_np is None:
@@ -214,12 +220,11 @@ def main():
             bd = np.asarray(dense)
             bc = np.asarray(count)
             b8 = b16 = None
+            CAP = MB_W * MB_H // 2
             rows = [None] * S
-            for s in range(S):       # sequential device slices
-                if not bd[s][0]:
-                    c = int(bc[s])
-                    rows[s] = (np.asarray(payload[s, :c]) if c
-                               else np.zeros((0, 200), np.uint8))
+            for s in range(S):
+                if not bd[s][0] and sparse_count(bd[s]) <= CAP:
+                    rows[s] = np.asarray(payload[s, :CAP])
 
             def one(s):
                 nonlocal b8, b16

@@ -1058,24 +1058,41 @@ def pack_syn_sparse(out: dict, mb_w: int, mb_h: int):
                               axis=1).astype(jnp.uint8)  # (B, 200)
     coded = ((out["cbp_luma"].reshape(B) != 0)
              | (out["cbp_chroma"].reshape(B) != 0))
-    order = jnp.argsort(~coded, stable=True)
-    payload = jnp.take(payload, order, axis=0)
+    # compaction as a one-hot matmul (sort+gather run per-element on
+    # TPU; the (B, B) one-hot @ (B, 200) product is ~0.3 ms): row j of
+    # the result is the j-th coded MB's payload
+    pos = jnp.cumsum(coded.astype(jnp.int32)) - 1
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    oh = ((slot == pos[None, :]) & coded[None, :]).astype(jnp.bfloat16)
+    payload = jax.lax.dot(oh, payload.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) \
+        .astype(jnp.uint8)
     count = coded.sum().astype(jnp.int32)
+    # count rides in the dense buffer (little-endian int32 as 4 int8) so
+    # the host needs no separate scalar round trip on the slow tunnel
+    cnt_bytes = ((count >> jnp.arange(0, 32, 8)) & 0xFF).astype(jnp.int8)
     dense_flat = jnp.concatenate([
-        big.astype(jnp.int8)[None],
+        big.astype(jnp.int8)[None], cnt_bytes,
         jnp.clip(dense, -128, 127).astype(jnp.int8).reshape(-1)])
     return dense_flat, payload, count
 
 
+def sparse_count(dense_np: np.ndarray) -> int:
+    """Coded-MB count embedded in a pack_syn_sparse dense buffer."""
+    return int(dense_np[1:5].view(np.uint8).astype(np.uint32)
+               @ (1 << np.arange(0, 32, 8, dtype=np.uint32)))
+
+
 def unpack_syn_sparse(dense_np: np.ndarray, rows_np: np.ndarray,
                       mb_w: int, mb_h: int):
-    """Host-side unpack for pack_syn_sparse; rows_np holds the first
-    `count` payload rows. Returns the full syn dict (int16 arrays) or
-    None when the has-big flag is set."""
+    """Host-side unpack for pack_syn_sparse; rows_np holds at least the
+    first `sparse_count(dense_np)` payload rows (extra rows ignored).
+    Returns the full syn dict (int16 arrays) or None when the has-big
+    flag is set."""
     if dense_np[0]:
         return None
     B = mb_w * mb_h
-    dense = dense_np[1:].astype(np.int16).reshape(B, 12)
+    dense = dense_np[5:].astype(np.int16).reshape(B, 12)
     syn = {}
     off = 0
     for k, sz in _SPARSE_DENSE:
@@ -1084,8 +1101,9 @@ def unpack_syn_sparse(dense_np: np.ndarray, rows_np: np.ndarray,
         off += sz
     syn["mv"] = syn["mv8"][:, :, 0, 0]
     coded = ((syn["cbp_luma"] != 0) | (syn["cbp_chroma"] != 0)).reshape(B)
+    count = sparse_count(dense_np)
     rows = np.zeros((B, 200), np.uint8)
-    rows[np.flatnonzero(coded)] = rows_np
+    rows[np.flatnonzero(coded)] = rows_np[:count]
 
     def unnib(x):
         n0 = (x & 15).astype(np.int16)
