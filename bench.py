@@ -171,6 +171,17 @@ def main():
         warm = step(jnp.float32(1), *refs)
         entropy(pull(*warm[:5]))
 
+        # device-only throughput (synchronous steps; excludes the
+        # test-tunnel syntax transfer) for the breakdown line
+        r = warm[5]
+        t0 = time.perf_counter()
+        for k in range(4):
+            o = step(jnp.float32(1 + (k % 2)), *r)
+            r = o[5]
+            jax.block_until_ready(o[0])
+        dev_fps = 4 / (time.perf_counter() - t0)
+        refs = r
+
         # timed loop, one frame in flight: pull frame N's syntax FIRST
         # (its compute finished last iteration — the transfer starts
         # immediately instead of queueing behind frame N+1's step),
@@ -178,7 +189,7 @@ def main():
         # encodes
         t_dev = t_ent = t_pull = 0.0
         nbytes = 0
-        prev = step(jnp.float32(1), *warm[5])
+        prev = step(jnp.float32(1), *refs)
         t0 = time.perf_counter()
         for i in range(n_frames):
             tp = time.perf_counter()
@@ -197,7 +208,8 @@ def main():
         print(f"breakdown: dispatch {t_dev/n_frames*1e3:.1f} ms  "
               f"entropy {t_ent/n_frames*1e3:.1f} ms  "
               f"pull {t_pull/n_frames*1e3:.1f} ms  "
-              f"slice {nbytes//n_frames} B/frame", file=sys.stderr)
+              f"slice {nbytes//n_frames} B/frame  "
+              f"device-only {dev_fps:.1f} fps", file=sys.stderr)
         metric = "1080p IPPP end-to-end fps/chip (device + CABAC entropy)"
     else:
         from concurrent.futures import ThreadPoolExecutor
