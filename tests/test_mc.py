@@ -130,11 +130,20 @@ def test_pack_syn_sparse_roundtrip():
     B = mb_h * mb_w
     out = {}
     coded = rng.random((mb_h, mb_w)) < 0.4
+    # <= 6 coded 4x4 blocks per MB (the sparse row capacity)
+    blk_coded = np.zeros((mb_h, mb_w, 24), bool)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            if coded[my, mx]:
+                picks = rng.choice(24, rng.integers(1, 7), replace=False)
+                blk_coded[my, mx, picks] = True
     for k, shape in IF.SYN_PACK_LAYOUT:
         full = (mb_h, mb_w) + shape
-        if k in IF._SYN_LEVEL_KEYS:
-            a = rng.integers(-8, 8, full) * coded.reshape(
-                (mb_h, mb_w) + (1,) * len(shape))
+        if k == "luma_levels":
+            a = rng.integers(-8, 8, full) * blk_coded[:, :, :16, None]
+        elif k == "chroma_ac_levels":
+            a = (rng.integers(-8, 8, full)
+                 * blk_coded[:, :, 16:].reshape(mb_h, mb_w, 2, 4, 1))
         elif k == "chroma_dc_levels":
             a = rng.integers(-100, 101, full) * coded.reshape(
                 (mb_h, mb_w) + (1,) * len(shape))
@@ -167,6 +176,15 @@ def test_pack_syn_sparse_roundtrip():
     for k, _ in IF.SYN_PACK_LAYOUT:
         np.testing.assert_array_equal(syn[k], np.asarray(out[k]), k)
     # escape flag on big level
-    out["luma_levels"] = out["luma_levels"].at[0, 0, 0, 0].set(100)
-    dense, payload, count = IF.pack_syn_sparse(out, mb_w, mb_h)
+    out2 = dict(out)
+    out2["luma_levels"] = out["luma_levels"].at[0, 0, 0, 0].set(100)
+    dense, payload, count = IF.pack_syn_sparse(out2, mb_w, mb_h)
+    assert np.asarray(dense)[0] == 1
+    # escape flag when an MB exceeds the 6-coded-block row capacity
+    out3 = dict(out)
+    lv = np.asarray(out3["luma_levels"]).copy()
+    lv[1, 1, :, 0] = 1          # 16 coded blocks in one MB
+    out3["luma_levels"] = jnp.asarray(lv)
+    out3["cbp_luma"] = out3["cbp_luma"].at[1, 1].set(15)
+    dense, payload, count = IF.pack_syn_sparse(out3, mb_w, mb_h)
     assert np.asarray(dense)[0] == 1

@@ -1025,51 +1025,66 @@ def pack_syn_p8(out: dict, mb_w: int, mb_h: int):
 
 _SYN_LEVEL_KEYS = ("luma_levels", "chroma_ac_levels")
 
-# sparse pack: fields every MB needs (12 B/MB) vs the coded-MB payload
+# sparse pack: fields every MB needs (20 B/MB) vs the coded-MB payload
 _SPARSE_DENSE = (("mv8", 8), ("partition", 1), ("ref", 1),
-                 ("cbp_luma", 1), ("cbp_chroma", 1))
+                 ("cbp_luma", 1), ("cbp_chroma", 1),
+                 ("chroma_dc_levels", 8))
+_SPARSE_MAX_BLOCKS = 6     # coded 4x4 blocks per MB the row can carry
+_SPARSE_ROW = 4 + _SPARSE_MAX_BLOCKS * 8   # bitmap3+nblk1 + 8 B/block
 
 
 def pack_syn_sparse(out: dict, mb_w: int, mb_h: int):
-    """Sparse transfer pack for the ~15 MB/s test tunnel: a small dense
-    buffer (mv8/partition/ref/cbp, 12 B/MB + has-big flag) plus a
-    stable-sort-compacted per-MB payload (nibble luma+chroma AC levels
-    + int8 chroma DC, 200 B) carrying only CODED MBs — the host slices
-    the first `count` rows so skipped/empty MBs never cross the wire.
-    nnz/nz flags are recomputed on host from the levels (they were
-    zeroed consistently on device). Returns (dense, payload, count)."""
+    """Sparse transfer pack for the ~15 MB/s test tunnel: a dense buffer
+    (mv8/partition/ref/cbp/chroma-DC, 20 B/MB + flag + count) plus a
+    one-hot-matmul-compacted row per CODED MB: a 24-bit coded-block
+    bitmap and the nibble levels of up to 6 coded 4x4 blocks (8 B
+    each). Levels outside [-8, 7], >6 coded blocks in one MB, or any
+    dense field outside int8 set the has-big flag (caller falls back to
+    the dense packs). nnz/nz fields are recomputed on host from the
+    levels. Returns (dense, payload (B, 52) uint8, count)."""
     B = mb_h * mb_w
-    dense_parts = []
-    for k, sz in _SPARSE_DENSE:
-        dense_parts.append(out[k].reshape(B, -1).astype(jnp.int32))
-    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 12)
-    lv = out["luma_levels"].reshape(B, 256).astype(jnp.int32)
-    ca = out["chroma_ac_levels"].reshape(B, 128).astype(jnp.int32)
-    cd = out["chroma_dc_levels"].reshape(B, 8).astype(jnp.int32)
-    big = (jnp.any((lv > 7) | (lv < -8)) | jnp.any((ca > 7) | (ca < -8))
-           | jnp.any((cd > 127) | (cd < -128))
+    dense_parts = [out[k].reshape(B, -1).astype(jnp.int32)
+                   for k, _ in _SPARSE_DENSE]
+    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 20)
+    lv = out["luma_levels"].reshape(B, 16, 16).astype(jnp.int32)
+    ca = out["chroma_ac_levels"].reshape(B, 8, 16).astype(jnp.int32)
+    blocks = jnp.concatenate([lv, ca], axis=1)         # (B, 24, 16)
+    big = (jnp.any((blocks > 7) | (blocks < -8))
            | jnp.any((dense > 127) | (dense < -128)))
 
-    def nib(x):
-        h = x.shape[1] // 2
-        return (x[:, :h] & 15) | ((x[:, h:] & 15) << 4)
+    nib = ((blocks[:, :, :8] & 15)
+           | ((blocks[:, :, 8:] & 15) << 4))           # (B, 24, 8)
+    codedb = jnp.any(blocks != 0, axis=2)              # (B, 24)
+    nblk = codedb.sum(axis=1).astype(jnp.int32)
+    big = big | jnp.any(nblk > _SPARSE_MAX_BLOCKS)
+    # per-MB compaction of the <=6 coded blocks (one-hot matmul)
+    pos = jnp.cumsum(codedb.astype(jnp.int32), axis=1) - 1
+    slot = jax.lax.broadcasted_iota(jnp.int32,
+                                    (1, _SPARSE_MAX_BLOCKS, 24), 1)
+    sel = ((slot == pos[:, None, :]) & codedb[:, None, :]) \
+        .astype(jnp.bfloat16)
+    picked = jax.lax.dot_general(
+        sel, nib.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (B, 6, 8)
+    bits = (codedb.astype(jnp.int32)
+            * (1 << (jnp.arange(24) % 8))[None, :])
+    bitmap = jnp.stack([bits[:, 0:8].sum(1), bits[:, 8:16].sum(1),
+                        bits[:, 16:24].sum(1)], axis=1)
+    row = jnp.concatenate(
+        [bitmap, nblk[:, None],
+         picked.astype(jnp.int32).reshape(B, _SPARSE_MAX_BLOCKS * 8)],
+        axis=1).astype(jnp.uint8)                      # (B, 52)
 
-    payload = jnp.concatenate([nib(lv), nib(ca), cd & 0xFF],
-                              axis=1).astype(jnp.uint8)  # (B, 200)
     coded = ((out["cbp_luma"].reshape(B) != 0)
              | (out["cbp_chroma"].reshape(B) != 0))
-    # compaction as a one-hot matmul (sort+gather run per-element on
-    # TPU; the (B, B) one-hot @ (B, 200) product is ~0.3 ms): row j of
-    # the result is the j-th coded MB's payload
-    pos = jnp.cumsum(coded.astype(jnp.int32)) - 1
-    slot = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-    oh = ((slot == pos[None, :]) & coded[None, :]).astype(jnp.bfloat16)
-    payload = jax.lax.dot(oh, payload.astype(jnp.bfloat16),
+    pos_mb = jnp.cumsum(coded.astype(jnp.int32)) - 1
+    slot_mb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    oh = ((slot_mb == pos_mb[None, :]) & coded[None, :]) \
+        .astype(jnp.bfloat16)
+    payload = jax.lax.dot(oh, row.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32) \
         .astype(jnp.uint8)
     count = coded.sum().astype(jnp.int32)
-    # count rides in the dense buffer (little-endian int32 as 4 int8) so
-    # the host needs no separate scalar round trip on the slow tunnel
     cnt_bytes = ((count >> jnp.arange(0, 32, 8)) & 0xFF).astype(jnp.int8)
     dense_flat = jnp.concatenate([
         big.astype(jnp.int8)[None], cnt_bytes,
@@ -1092,7 +1107,7 @@ def unpack_syn_sparse(dense_np: np.ndarray, rows_np: np.ndarray,
     if dense_np[0]:
         return None
     B = mb_w * mb_h
-    dense = dense_np[5:].astype(np.int16).reshape(B, 12)
+    dense = dense_np[5:].astype(np.int16).reshape(B, 20)
     syn = {}
     off = 0
     for k, sz in _SPARSE_DENSE:
@@ -1102,79 +1117,31 @@ def unpack_syn_sparse(dense_np: np.ndarray, rows_np: np.ndarray,
     syn["mv"] = syn["mv8"][:, :, 0, 0]
     coded = ((syn["cbp_luma"] != 0) | (syn["cbp_chroma"] != 0)).reshape(B)
     count = sparse_count(dense_np)
-    rows = np.zeros((B, 200), np.uint8)
-    rows[np.flatnonzero(coded)] = rows_np[:count]
-
-    def unnib(x):
-        n0 = (x & 15).astype(np.int16)
-        n1 = ((x >> 4) & 15).astype(np.int16)
-        return np.concatenate([n0 - ((n0 > 7) << 4),
-                               n1 - ((n1 > 7) << 4)], axis=1)
-
-    lv = unnib(rows[:, :128])
-    ca = unnib(rows[:, 128:192])
-    cd = rows[:, 192:200].astype(np.int8).astype(np.int16)
-    syn["luma_levels"] = lv.reshape(mb_h, mb_w, 16, 16)
-    syn["chroma_ac_levels"] = ca.reshape(mb_h, mb_w, 2, 4, 16)
-    syn["chroma_dc_levels"] = cd.reshape(mb_h, mb_w, 2, 4)
+    idx = np.flatnonzero(coded)
+    rows = rows_np[:count].view(np.uint8)
+    blocks = np.zeros((B, 24, 16), np.int16)
+    if count:
+        bitmap = rows[:, :4].copy()
+        bitmap[:, 3] = 0
+        codedb = np.unpackbits(bitmap[:, :3], axis=1,
+                               bitorder="little").astype(bool)  # (c, 24)
+        nib = rows[:, 4:].reshape(count, _SPARSE_MAX_BLOCKS, 8)
+        n0 = (nib & 15).astype(np.int16)
+        n1 = ((nib >> 4) & 15).astype(np.int16)
+        vals = np.concatenate([n0 - ((n0 > 7) << 4),
+                               n1 - ((n1 > 7) << 4)], axis=2)  # (c, 6, 16)
+        # scatter each row's coded blocks back to their positions
+        r_idx, b_idx = np.nonzero(codedb)
+        ord_in_row = (np.cumsum(codedb, axis=1) - 1)[r_idx, b_idx]
+        blocks[idx[r_idx], b_idx] = vals[r_idx, ord_in_row]
+    syn["luma_levels"] = blocks[:, :16].reshape(mb_h, mb_w, 16, 16)
+    syn["chroma_ac_levels"] = blocks[:, 16:].reshape(mb_h, mb_w, 2, 4, 16)
     syn["luma_nnz"] = np.count_nonzero(
         syn["luma_levels"], axis=-1).astype(np.int16)
     syn["chroma_nnz_ac"] = np.count_nonzero(
         syn["chroma_ac_levels"], axis=-1).astype(np.int16)
     syn["chroma_nz_dc"] = (syn["chroma_dc_levels"] != 0).any(-1) \
         .astype(np.int16)
-    return syn
-
-
-def pack_syn_p4(out: dict, mb_w: int, mb_h: int):
-    """Nibble-packed transfer variant: the level arrays ride 4 bits per
-    coefficient (typical inter levels at QP >= 20 are tiny), all other
-    fields int8. Element [0] is a has-big flag — set when any level
-    falls outside [-8, 7] or another field outside int8; the caller
-    then falls back to the int8/int16 packs. Nibble pairing is
-    (first half, second half) of the flat level vector so the pack is
-    pure contiguous slices (no strided lane ops on TPU)."""
-    lv_parts, rest_parts = [], []
-    for k, _ in SYN_PACK_LAYOUT:
-        (lv_parts if k in _SYN_LEVEL_KEYS else rest_parts).append(
-            out[k].reshape(-1).astype(jnp.int32))
-    lv = jnp.concatenate(lv_parts)
-    rest = jnp.concatenate(rest_parts)
-    big = (jnp.any((lv > 7) | (lv < -8))
-           | jnp.any((rest > 127) | (rest < -128))).astype(jnp.int8)
-    half = lv.shape[0] // 2
-    nib = ((lv[:half] & 15) | ((lv[half:] & 15) << 4)).astype(jnp.int8)
-    return jnp.concatenate([big[None],
-                            jnp.clip(rest, -128, 127).astype(jnp.int8),
-                            nib])
-
-
-def unpack_syn_p4(buf4: np.ndarray, mb_w: int, mb_h: int):
-    """Host-side unpack for pack_syn_p4. Returns None when the has-big
-    flag is set (caller falls back to the wider packs)."""
-    if buf4[0]:
-        return None
-    B = mb_w * mb_h
-    lv_keys = [(k, s) for k, s in SYN_PACK_LAYOUT if k in _SYN_LEVEL_KEYS]
-    rest_keys = [(k, s) for k, s in SYN_PACK_LAYOUT
-                 if k not in _SYN_LEVEL_KEYS]
-    rest_len = B * sum(int(np.prod(s)) if s else 1 for _, s in rest_keys)
-    rest = buf4[1:1 + rest_len].astype(np.int16)
-    nib = buf4[1 + rest_len:].view(np.uint8)
-    n0 = (nib & 15).astype(np.int16)
-    n1 = ((nib >> 4) & 15).astype(np.int16)
-    lv = np.concatenate([n0 - ((n0 > 7) << 4), n1 - ((n1 > 7) << 4)])
-    syn = {}
-    off = 0
-    for k, shape in rest_keys:
-        n = B * (int(np.prod(shape)) if shape else 1)
-        syn[k] = rest[off:off + n].reshape((mb_h, mb_w) + shape)
-        off += n
-    off = 0
-    for k, shape in lv_keys:
-        n = B * int(np.prod(shape))
-        syn[k] = lv[off:off + n].reshape((mb_h, mb_w) + shape)
-        off += n
     return syn
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -22,6 +23,7 @@ _LIB = _LIB_DIR / "libx264tpu_entropy.so"
 
 _lib = None
 _tried = False
+_lock = threading.Lock()   # get_lib races under thread-pool entropy
 
 
 def _build() -> bool:
@@ -42,10 +44,19 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Returns the loaded library or None."""
-    global _lib, _tried
-    if _lib is not None or _tried:
+    """Returns the loaded library or None (thread-safe). The fast path
+    checks only _lib: _tried flips at the START of a build, so reading
+    it unlocked would hand None to threads racing the first build."""
+    if _lib is not None:
         return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
+    global _lib, _tried
     _tried = True
     src_mtime = _SRC.stat().st_mtime
     if not _LIB.exists() or _LIB.stat().st_mtime < src_mtime:
@@ -101,8 +112,8 @@ def _qp_arg(keep, qp_mb):
     return arr.ctypes.data_as(ctypes.c_void_p)
 
 
-_out_bufs: dict = {}
-_zero_bufs: dict = {}
+_tls = threading.local()   # per-thread buffers: slice writers run
+_zero_bufs: dict = {}      # concurrently in a pool for multi-stream
 
 
 def _zeros_cached(shape) -> np.ndarray:
@@ -114,12 +125,15 @@ def _zeros_cached(shape) -> np.ndarray:
 
 
 def _out_buf(cap: int) -> np.ndarray:
-    """Reused output buffer: an 8 MB np.zeros costs ~35 ms on this
-    host — never allocate per slice."""
-    buf = _out_bufs.get(cap)
+    """Reused per-thread output buffer: an 8 MB np.zeros costs ~35 ms
+    on this host — never allocate per slice."""
+    bufs = getattr(_tls, "out_bufs", None)
+    if bufs is None:
+        bufs = _tls.out_bufs = {}
+    buf = bufs.get(cap)
     if buf is None:
         buf = np.empty(cap, np.uint8)
-        _out_bufs[cap] = buf
+        bufs[cap] = buf
     return buf
 
 
