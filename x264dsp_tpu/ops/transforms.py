@@ -270,8 +270,11 @@ def decimate_score(levels: jnp.ndarray) -> jnp.ndarray:
 
 
 def coeff_last(levels: jnp.ndarray) -> jnp.ndarray:
-    """Batched coeff_last (common/quant.c:255-263): index of last nonzero,
-    -1 if none."""
+    """Batched coeff_last (common/quant.c:255-263, coeff_last16 in
+    quant-a.sa:806): index of last nonzero, -1 if none. Kernel-layer
+    parity twin — in the pipeline this role lives inside the host
+    entropy writers (entropy.cpp write_block_residual scans levels
+    directly), so this is used by tests and external callers only."""
     L = levels.shape[-1]
     idx = jnp.arange(L, dtype=jnp.int32)
     return jnp.max(jnp.where(levels != 0, idx, -1), axis=-1)
