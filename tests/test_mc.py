@@ -92,34 +92,6 @@ def test_mc_luma_multi_matches_batched():
                                           err_msg=f"cand {c} {bh}x{bw}")
 
 
-def test_pack_syn_p4_roundtrip():
-    import numpy as np
-    import jax.numpy as jnp
-    from x264dsp_tpu.encoder import inter_frame as IF
-
-    rng = np.random.default_rng(3)
-    mb_h, mb_w = 3, 4
-    out = {}
-    for k, shape in IF.SYN_PACK_LAYOUT:
-        full = (mb_h, mb_w) + shape
-        if k in IF._SYN_LEVEL_KEYS:
-            a = rng.integers(-8, 8, full)
-        elif k in ("mv", "mv8"):
-            a = rng.integers(-76, 77, full)
-        else:
-            a = rng.integers(0, 16, full)
-        out[k] = jnp.asarray(a.astype(np.int32))
-    buf = np.asarray(IF.pack_syn_p4(out, mb_w, mb_h))
-    syn = IF.unpack_syn_p4(buf, mb_w, mb_h)
-    assert syn is not None
-    for k, _ in IF.SYN_PACK_LAYOUT:
-        np.testing.assert_array_equal(syn[k], np.asarray(out[k]), k)
-    # escape: one big level flips the flag
-    out["luma_levels"] = out["luma_levels"].at[0, 0, 0, 0].set(9)
-    buf = np.asarray(IF.pack_syn_p4(out, mb_w, mb_h))
-    assert IF.unpack_syn_p4(buf, mb_w, mb_h) is None
-
-
 def test_pack_syn_sparse_roundtrip():
     import numpy as np
     import jax.numpy as jnp
