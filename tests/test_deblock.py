@@ -81,6 +81,57 @@ def test_deblock_pallas_path_matches_xla():
                 (qp, name)
 
 
+def test_deblock_skew_kernel_matches_golden():
+    """Skewed-layout wavefront (ops/pallas/deblock_skew) vs the scalar
+    golden model, interpret mode, incl. a batched stream axis and an
+    all-intra case."""
+    import jax.numpy as jnp
+    from x264dsp_tpu.ops import deblock as DB
+    from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE
+
+    for (mb_w, mb_h, seed, qp, all_intra) in [
+            (4, 3, 0, 32, True), (5, 4, 2, 26, False), (2, 2, 3, 40, False)]:
+        S = 2
+        cases = [_random_case(mb_w, mb_h, seed + 10 * s, qp, all_intra)
+                 for s in range(S)]
+        qpc = int(CHROMA_QP_TABLE[qp])
+        stacked = [jnp.asarray(np.stack([c[i] for c in cases]))
+                   for i in range(6)]
+        dy, du, dv = DB.deblock_frame_skew_batched(
+            *stacked, qp, qpc, 0, 0, mb_w=mb_w, mb_h=mb_h, interpret=True)
+        for s in range(S):
+            y, u, v, bs, intra, feo = cases[s]
+            gy, gu, gv = G.deblock_frame_golden(y, u, v, bs, intra, feo,
+                                                qp, qpc)
+            np.testing.assert_array_equal(np.asarray(dy)[s], gy)
+            np.testing.assert_array_equal(np.asarray(du)[s], gu)
+            np.testing.assert_array_equal(np.asarray(dv)[s], gv)
+
+
+def test_deblock_skew_per_mb_qp():
+    """Skew path with a per-MB decoded-QP grid (the AQ/row-VBV case)
+    must match the golden model given the same grids."""
+    import jax.numpy as jnp
+    from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE
+
+    mb_w, mb_h = 4, 3
+    y, u, v, bs, intra, feo = _random_case(mb_w, mb_h, 21)
+    rng = np.random.default_rng(3)
+    qp_mb = rng.integers(22, 40, (mb_h, mb_w)).astype(np.int32)
+    qpc_mb = CHROMA_QP_TABLE[qp_mb].astype(np.int32)
+    gy, gu, gv = G.deblock_frame_golden(y, u, v, bs, intra, feo,
+                                        qp_mb, qpc_mb)
+    dy, du, dv = D.deblock_frame_skew_batched(
+        jnp.asarray(y)[None], jnp.asarray(u)[None], jnp.asarray(v)[None],
+        jnp.asarray(bs)[None], jnp.asarray(intra)[None],
+        jnp.asarray(feo)[None], jnp.asarray(qp_mb)[None],
+        jnp.asarray(qpc_mb)[None], 0, 0, mb_w=mb_w, mb_h=mb_h,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(dy)[0], gy)
+    np.testing.assert_array_equal(np.asarray(du)[0], gu)
+    np.testing.assert_array_equal(np.asarray(dv)[0], gv)
+
+
 def test_deblock_wave_kernel_matches_golden():
     """Single-call Pallas wavefront (ops/pallas/deblock_wave) vs the
     scalar golden model, interpret mode, incl. a batched stream axis."""

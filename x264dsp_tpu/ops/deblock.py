@@ -429,6 +429,145 @@ def _wave_lanes(bs, intra_mb, first_edge_only, qp_mb, qpc_mb,
     return (tc0y, eny, uiy, aly, bly), (tcc, enc, uic, alc, blc)
 
 
+def _skew_param_lanes(bs, intra_mb, first_edge_only, qp_mb, qpc_mb,
+                      alpha_off, beta_off, mb_w: int, mb_h: int,
+                      L: int, Lc: int):
+    """Per-lane filter parameter streams for the skewed wavefront kernel
+    (ops/pallas/deblock_skew). For every diagonal d, slot y holds MB
+    (y, x=d-2y); values are expanded to the kernel's lane layout
+    (lane = 4 + tile*y + r). Internal edges share one a/b/en/ui set
+    (same QP within the MB); tc0 stays per-edge (bs differs).
+    Returns (pvl, tvl, phl, thl, pvc, tvc, phc, thc)."""
+    n_diag = mb_w + 2 * mb_h - 2
+    ys = jnp.arange(mb_h)[None, :]
+    ds = jnp.arange(n_diag)[:, None]
+    xs = ds - 2 * ys                                   # (n_diag, mb_h)
+    valid = (xs >= 0) & (xs < mb_w)
+    yc = jnp.broadcast_to(ys, xs.shape)
+    xc = jnp.clip(xs, 0, mb_w - 1)
+
+    def g(grid):
+        return grid[yc, xc]
+
+    bs_s = bs[yc, xc]                                  # (D, mb_h, 2, 4, 4)
+    ic = g(intra_mb) > 0
+    il = intra_mb[yc, jnp.clip(xc - 1, 0, mb_w - 1)] > 0
+    it = intra_mb[jnp.clip(yc - 1, 0, mb_h - 1), xc] > 0
+    feo = g(first_edge_only) > 0
+    has_l = valid & (xs > 0)
+    has_t = valid & (yc > 0)
+    internal = valid & (~feo)
+
+    qp_cur = g(qp_mb)
+    qp_l = qp_mb[yc, jnp.clip(xc - 1, 0, mb_w - 1)]
+    qp_t = qp_mb[jnp.clip(yc - 1, 0, mb_h - 1), xc]
+    qpc_cur = g(qpc_mb)
+    qpc_l = qpc_mb[yc, jnp.clip(xc - 1, 0, mb_w - 1)]
+    qpc_t = qpc_mb[jnp.clip(yc - 1, 0, mb_h - 1), xc]
+
+    def ab(qpe):
+        ia = jnp.clip(qpe + alpha_off, 0, 51)
+        ib = jnp.clip(qpe + beta_off, 0, 51)
+        return _ALPHA_J[ia], _BETA_J[ib], ia
+
+    def lanes(v, tile, Ln, rep):
+        """(n_diag, mb_h[, G]) -> (n_diag, Ln): each slot's value(s)
+        expanded to its lane band (rep lanes per value)."""
+        r = jnp.repeat(v.reshape(n_diag, -1), rep, axis=1)
+        return jnp.pad(r, ((0, 0), (4, Ln - 4 - tile * mb_h)))
+
+    i32 = lambda a: a.astype(jnp.int32)
+
+    # ---- luma ----
+    a_l0, b_l0, ia_l0 = ab((qp_cur + qp_l + 1) >> 1)   # v edge 0
+    a_t0, b_t0, ia_t0 = ab((qp_cur + qp_t + 1) >> 1)   # h edge 0
+    a_in, b_in, ia_in = ab(qp_cur)                     # internal
+    bs3 = jnp.clip(bs_s, 0, 3)
+    # v tc0 per edge (row groups of 4); h tc0 per edge per column group
+    tv = [_TC0_J[(ia_l0 if e == 0 else ia_in)[..., None], bs3[:, :, 0, e]]
+          for e in range(4)]                           # each (D, mb_h, 4)
+    th = [_TC0_J[(ia_t0 if e == 0 else ia_in)[..., None], bs3[:, :, 1, e]]
+          for e in range(4)]
+    pvl = jnp.stack([
+        jnp.stack([lanes(a_l0, 16, L, 16), lanes(b_l0, 16, L, 16),
+                   lanes(i32(has_l), 16, L, 16),
+                   lanes(i32(ic | il), 16, L, 16)], 1),
+        jnp.stack([lanes(a_in, 16, L, 16), lanes(b_in, 16, L, 16),
+                   lanes(i32(internal), 16, L, 16),
+                   jnp.zeros((n_diag, L), jnp.int32)], 1)], 1)
+    tvl = jnp.stack([lanes(t, 16, L, 4) for t in tv], 1)
+    phl = jnp.stack([
+        jnp.stack([lanes(a_t0, 16, L, 16), lanes(b_t0, 16, L, 16),
+                   lanes(i32(has_t), 16, L, 16),
+                   lanes(i32(ic | it), 16, L, 16)], 1),
+        jnp.stack([lanes(a_in, 16, L, 16), lanes(b_in, 16, L, 16),
+                   lanes(i32(internal), 16, L, 16),
+                   jnp.zeros((n_diag, L), jnp.int32)], 1)], 1)
+    thl = jnp.stack([jnp.stack([lanes(t[..., gg], 16, L, 16)
+                                for gg in range(4)], 1)
+                     for t in th], 1)                  # (D, 4, 4, L)
+
+    # ---- chroma (edges 0 and 4 use bs rows 0 and 2) ----
+    ca_l0, cb_l0, cia_l0 = ab((qpc_cur + qpc_l + 1) >> 1)
+    ca_t0, cb_t0, cia_t0 = ab((qpc_cur + qpc_t + 1) >> 1)
+    ca_in, cb_in, cia_in = ab(qpc_cur)
+    tvc_e = [_TC0_J[(cia_l0 if e == 0 else cia_in)[..., None],
+                    bs3[:, :, 0, 2 * e]] + 1 for e in range(2)]
+    thc_e = [_TC0_J[(cia_t0 if e == 0 else cia_in)[..., None],
+                    bs3[:, :, 1, 2 * e]] + 1 for e in range(2)]
+    pvc = jnp.stack([
+        jnp.stack([lanes(ca_l0, 8, Lc, 8), lanes(cb_l0, 8, Lc, 8),
+                   lanes(i32(has_l), 8, Lc, 8),
+                   lanes(i32(ic | il), 8, Lc, 8)], 1),
+        jnp.stack([lanes(ca_in, 8, Lc, 8), lanes(cb_in, 8, Lc, 8),
+                   lanes(i32(internal), 8, Lc, 8),
+                   jnp.zeros((n_diag, Lc), jnp.int32)], 1)], 1)
+    tvc = jnp.stack([lanes(t, 8, Lc, 2) for t in tvc_e], 1)
+    phc = jnp.stack([
+        jnp.stack([lanes(ca_t0, 8, Lc, 8), lanes(cb_t0, 8, Lc, 8),
+                   lanes(i32(has_t), 8, Lc, 8),
+                   lanes(i32(ic | it), 8, Lc, 8)], 1),
+        jnp.stack([lanes(ca_in, 8, Lc, 8), lanes(cb_in, 8, Lc, 8),
+                   lanes(i32(internal), 8, Lc, 8),
+                   jnp.zeros((n_diag, Lc), jnp.int32)], 1)], 1)
+    thc = jnp.stack([jnp.stack([lanes(t[..., gg], 8, Lc, 8)
+                                for gg in range(4)], 1)
+                     for t in thc_e], 1)               # (D, 2, 4, Lc)
+    return pvl, tvl, phl, thl, pvc, tvc, phc, thc
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+def deblock_frame_skew_batched(y, u, v, bs, intra_mb, first_edge_only,
+                               qp, qpc, alpha_off, beta_off,
+                               mb_w: int, mb_h: int,
+                               interpret: bool = False):
+    """Whole-frame deblock via the skewed-layout wavefront kernel
+    (ops/pallas/deblock_skew) — ONE Pallas call for luma+chroma, no
+    per-slot gathers. Arguments as deblock_frame, each with a leading
+    (S, ...) stream axis; qp/qpc scalars or (S, mb_h, mb_w) grids."""
+    from .pallas.deblock_skew import (deblock_skew_call, deskew_plane,
+                                      skew_plane)
+    S = y.shape[0]
+    L = ((16 * mb_h + 8 + 127) // 128) * 128
+    Lc = ((8 * mb_h + 8 + 127) // 128) * 128
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp), (S, mb_h, mb_w))
+    qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (S, mb_h, mb_w))
+    params = jax.vmap(
+        lambda b, i, f, q, qc: _skew_param_lanes(
+            b, i, f, q, qc, alpha_off, beta_off, mb_w, mb_h, L, Lc))(
+        bs, intra_mb, first_edge_only, qp_mb, qpc_mb)
+    sky = skew_plane(y, mb_w, mb_h, 16)
+    sku = skew_plane(u, mb_w, mb_h, 8)
+    skv = skew_plane(v, mb_w, mb_h, 8)
+    skc = jnp.concatenate([sku, skv], axis=2)          # (S, D, 16, Lc)
+    oy, oc = deblock_skew_call(sky, skc, *params, mb_w=mb_w, mb_h=mb_h,
+                               interpret=interpret)
+    dy = deskew_plane(oy, mb_w, mb_h, 16)
+    du = deskew_plane(oc[:, :, :8], mb_w, mb_h, 8)
+    dv = deskew_plane(oc[:, :, 8:], mb_w, mb_h, 8)
+    return dy, du, dv
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
 def deblock_frame_wave_batched(y, u, v, bs, intra_mb, first_edge_only,
                                qp, qpc, alpha_off, beta_off,

@@ -121,22 +121,56 @@ def _plane_select(wins4, p):
     return jnp.einsum("bp,bpij->bij", oh, wins4)
 
 
-def clamp_qpel(mv):
+def clamp_qpel(mv, margin: int = M_LUMA):
     """Clamp a qpel MV component list into the window-covered range."""
-    return jnp.clip(mv, -4 * (M_LUMA - 1), 4 * (M_LUMA - 1) - 1)
+    return jnp.clip(mv, -4 * (margin - 1), 4 * (margin - 1) - 1)
+
+
+def extract_windows4(wins4, base_x, base_y, bh: int, bw: int, m: int,
+                     sub_y: int = 0, sub_x: int = 0):
+    """Re-center per-MB hpel windows around a decided full-pel MV: from
+    (B, 4, WIN_L, WIN_L) to (B, 4, bh+2m, bw+2m) windows whose center
+    block is the (bh, bw) block at full-pel (base_y, base_x) + the
+    static (sub_y, sub_x) partition offset. One pair of one-hot
+    selector matmuls (exact for pixel values in bf16) — the subpel
+    diamond iterations then read these small tensors instead of the
+    full window tensor every step (~205 MB/read at 1080p). base must
+    satisfy |base| <= M_LUMA - m (callers' search range guarantees it)."""
+    B, _, Wn, _ = wins4.shape
+    rows_n = bh + 2 * m
+    cols_n = bw + 2 * m
+    wf = wins4.reshape(B, 4 * Wn, Wn)
+    r0 = base_y + (M_LUMA + sub_y - m)
+    tgt_r = (r0[:, None, None]
+             + (jnp.arange(4) * Wn)[None, :, None]
+             + jnp.arange(rows_n)[None, None, :]).reshape(B, 4 * rows_n)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * rows_n, 4 * Wn), 2)
+    R = (iota_r == tgt_r[:, :, None]).astype(jnp.bfloat16)
+    rows = jax.lax.dot_general(R, wf, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    c0 = base_x + (M_LUMA + sub_x - m)
+    tgt_c = c0[:, None] + jnp.arange(cols_n)[None, :]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, Wn, cols_n), 1)
+    Cm = (iota_c == tgt_c[:, None, :]).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(rows.astype(jnp.bfloat16), Cm,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(B, 4, rows_n, cols_n).astype(jnp.bfloat16)
 
 
 def mc_luma_batched(wins4, mvx, mvy, bh: int, bw: int,
-                    sub_y: int = 0, sub_x: int = 0):
+                    sub_y: int = 0, sub_x: int = 0,
+                    margin: int = M_LUMA):
     """Batched mc_luma (common/mc.c:216-240) over per-MB windows.
-    wins4: (B, 4, WIN_L, WIN_L); mvx/mvy: (B,) qpel MVs relative to the
-    MB origin; (sub_y, sub_x): static partition offset inside the MB.
-    Returns (B, bh, bw) int32."""
+    wins4: (B, 4, W, W) with W = bh-or-16 + 2*margin; mvx/mvy: (B,) qpel
+    MVs relative to the window's center block origin; (sub_y, sub_x):
+    static partition offset inside the MB (pre-folded into recentered
+    windows, see extract_windows4). Returns (B, bh, bw) int32."""
     qidx = ((mvy & 3) << 2) + (mvx & 3)
     p0 = _HPEL_REF0_J[qidx]
     p1 = _HPEL_REF1_J[qidx]
-    fy = (mvy >> 2) + M_LUMA + sub_y
-    fx = (mvx >> 2) + M_LUMA + sub_x
+    fy = (mvy >> 2) + margin + sub_y
+    fx = (mvx >> 2) + margin + sub_x
     y1 = fy + ((mvy & 3) == 3).astype(jnp.int32)
     x2 = fx + ((mvx & 3) == 3).astype(jnp.int32)
     w0 = _plane_select(wins4, p0)
