@@ -132,6 +132,42 @@ def test_deblock_skew_per_mb_qp():
     np.testing.assert_array_equal(np.asarray(dv)[0], gv)
 
 
+def test_deblock_skew_intra_mode_specializations():
+    """The static intra_mode specializations ('none' for P frames with
+    no intra MBs, 'all' for I frames) must be bit-exact with the golden
+    model on frames that satisfy their precondition."""
+    import jax.numpy as jnp
+    from x264dsp_tpu.ops import deblock as DB
+    from x264dsp_tpu.ops.tables import CHROMA_QP_TABLE
+
+    qp = 30
+    qpc = int(CHROMA_QP_TABLE[qp])
+    mb_w, mb_h = 4, 3
+
+    # 'none': P frame, zero intra MBs (the reference fork never codes
+    # intra MBs in P frames)
+    y, u, v, bs, intra, feo = _random_case(mb_w, mb_h, 31)
+    intra[:] = 0
+    bs = np.clip(bs, 0, 3)
+    # 'all': I frame, every MB intra
+    y2, u2, v2, bs2, intra2, feo2 = _random_case(mb_w, mb_h, 32,
+                                                 all_intra=True)
+    for mode, case in [("none", (y, u, v, bs, intra, feo)),
+                       ("all", (y2, u2, v2, bs2, intra2, feo2))]:
+        cy, cu, cv, cbs, cintra, cfeo = case
+        gy, gu, gv = G.deblock_frame_golden(cy, cu, cv, cbs, cintra, cfeo,
+                                            qp, qpc)
+        dy, du, dv = DB.deblock_frame_skew_batched(
+            jnp.asarray(cy)[None], jnp.asarray(cu)[None],
+            jnp.asarray(cv)[None], jnp.asarray(cbs)[None],
+            jnp.asarray(cintra)[None], jnp.asarray(cfeo)[None],
+            qp, qpc, 0, 0, mb_w=mb_w, mb_h=mb_h, interpret=True,
+            intra_mode=mode)
+        np.testing.assert_array_equal(np.asarray(dy)[0], gy, err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(du)[0], gu, err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(dv)[0], gv, err_msg=mode)
+
+
 def test_deblock_wave_kernel_matches_golden():
     """Single-call Pallas wavefront (ops/pallas/deblock_wave) vs the
     scalar golden model, interpret mode, incl. a batched stream axis."""

@@ -429,142 +429,149 @@ def _wave_lanes(bs, intra_mb, first_edge_only, qp_mb, qpc_mb,
     return (tc0y, eny, uiy, aly, bly), (tcc, enc, uic, alc, blc)
 
 
-def _skew_param_lanes(bs, intra_mb, first_edge_only, qp_mb, qpc_mb,
-                      alpha_off, beta_off, mb_w: int, mb_h: int,
-                      L: int, Lc: int):
-    """Per-lane filter parameter streams for the skewed wavefront kernel
-    (ops/pallas/deblock_skew). For every diagonal d, slot y holds MB
-    (y, x=d-2y); values are expanded to the kernel's lane layout
-    (lane = 4 + tile*y + r). Internal edges share one a/b/en/ui set
-    (same QP within the MB); tc0 stays per-edge (bs differs).
-    Returns (pvl, tvl, phl, thl, pvc, tvc, phc, thc)."""
+def _skew_grid(v, mb_w: int, mb_h: int):
+    """(mb_h, mb_w, C) MB-grid values -> (n_diag, C, mb_h) diagonal
+    slots via the stride trick (see pallas/deblock_skew.skew_plane):
+    out[d, :, y] = v[y, d - 2y] (zeros where x out of range)."""
+    C = v.shape[-1]
     n_diag = mb_w + 2 * mb_h - 2
-    ys = jnp.arange(mb_h)[None, :]
-    ds = jnp.arange(n_diag)[:, None]
-    xs = ds - 2 * ys                                   # (n_diag, mb_h)
-    valid = (xs >= 0) & (xs < mb_w)
-    yc = jnp.broadcast_to(ys, xs.shape)
-    xc = jnp.clip(xs, 0, mb_w - 1)
+    W2 = n_diag + 2
+    t = jnp.pad(v, ((0, 0), (0, W2 - mb_w), (0, 0)))
+    t = t.reshape(mb_h * W2, C)[:mb_h * (W2 - 2)]
+    t = t.reshape(mb_h, n_diag, C)
+    return jnp.transpose(t, (1, 2, 0))
 
-    def g(grid):
-        return grid[yc, xc]
 
-    bs_s = bs[yc, xc]                                  # (D, mb_h, 2, 4, 4)
-    ic = g(intra_mb) > 0
-    il = intra_mb[yc, jnp.clip(xc - 1, 0, mb_w - 1)] > 0
-    it = intra_mb[jnp.clip(yc - 1, 0, mb_h - 1), xc] > 0
-    feo = g(first_edge_only) > 0
-    has_l = valid & (xs > 0)
-    has_t = valid & (yc > 0)
-    internal = valid & (~feo)
+def _skew_params_packed(bs, intra_mb, first_edge_only, qp_mb, qpc_mb,
+                        alpha_off, beta_off, mb_w: int, mb_h: int,
+                        L: int, Lc: int):
+    """Packed per-lane filter parameter streams for the skewed wavefront
+    kernel (ops/pallas/deblock_skew._kernel has the channel map).
+    Everything is computed on the (mb_h, mb_w) MB grid with shifts —
+    no gathers — then skewed to diagonal slots in one stride-trick
+    reshape per plane family and expanded to the kernel lane layout
+    (lane = 4 + tile*y + r) with a broadcast. Returns (pla, pca):
+    (n_diag, 36, L) luma and (n_diag, 26, Lc) chroma int32 tensors."""
+    n_diag = mb_w + 2 * mb_h - 2
+    i32 = lambda a: a.astype(jnp.int32)
+    ic = intra_mb > 0
+    il = jnp.pad(ic, ((0, 0), (1, 0)))[:, :mb_w]
+    it = jnp.pad(ic, ((1, 0), (0, 0)))[:mb_h]
+    xg = jnp.arange(mb_w)[None, :]
+    yg = jnp.arange(mb_h)[:, None]
+    has_l = i32(jnp.broadcast_to(xg > 0, (mb_h, mb_w)))
+    has_t = i32(jnp.broadcast_to(yg > 0, (mb_h, mb_w)))
+    internal = i32(first_edge_only == 0)
+    zero = jnp.zeros((mb_h, mb_w), jnp.int32)
 
-    qp_cur = g(qp_mb)
-    qp_l = qp_mb[yc, jnp.clip(xc - 1, 0, mb_w - 1)]
-    qp_t = qp_mb[jnp.clip(yc - 1, 0, mb_h - 1), xc]
-    qpc_cur = g(qpc_mb)
-    qpc_l = qpc_mb[yc, jnp.clip(xc - 1, 0, mb_w - 1)]
-    qpc_t = qpc_mb[jnp.clip(yc - 1, 0, mb_h - 1), xc]
+    def left(g):
+        return jnp.concatenate([g[:, :1], g[:, :-1]], axis=1)
+
+    def top(g):
+        return jnp.concatenate([g[:1], g[:-1]], axis=0)
 
     def ab(qpe):
         ia = jnp.clip(qpe + alpha_off, 0, 51)
         ib = jnp.clip(qpe + beta_off, 0, 51)
         return _ALPHA_J[ia], _BETA_J[ib], ia
 
-    def lanes(v, tile, Ln, rep):
-        """(n_diag, mb_h[, G]) -> (n_diag, Ln): each slot's value(s)
-        expanded to its lane band (rep lanes per value)."""
-        r = jnp.repeat(v.reshape(n_diag, -1), rep, axis=1)
-        return jnp.pad(r, ((0, 0), (4, Ln - 4 - tile * mb_h)))
+    bs3 = jnp.clip(bs, 0, 3)
 
-    i32 = lambda a: a.astype(jnp.int32)
+    def family(qp_g, tc_bias, groups):
+        """One plane family. Returns (A, B): A (mb_h, mb_w, 16 + 4*E)
+        MB-constant channels [v-edge0 4, v-internal 4, h-edge0 4,
+        h-internal 4, h-tc (E, 4 col groups)], B (mb_h, mb_w, E, 4) the
+        v tc values per row group. E = 4 luma / 2 chroma edges."""
+        a_l0, b_l0, ia_l0 = ab((qp_g + left(qp_g) + 1) >> 1)
+        a_t0, b_t0, ia_t0 = ab((qp_g + top(qp_g) + 1) >> 1)
+        a_in, b_in, ia_in = ab(qp_g)
+        E = len(groups)
+        tv = jnp.stack(
+            [_TC0_J[(ia_l0 if e == 0 else ia_in)[..., None],
+                    bs3[:, :, 0, g]] + tc_bias for e, g in enumerate(groups)],
+            axis=2)                                    # (h, w, E, 4)
+        th = [_TC0_J[(ia_t0 if e == 0 else ia_in)[..., None],
+                     bs3[:, :, 1, g]] + tc_bias for e, g in enumerate(groups)]
+        A = jnp.stack(
+            [a_l0, b_l0, has_l, i32(ic | il),
+             a_in, b_in, internal, zero,
+             a_t0, b_t0, has_t, i32(ic | it),
+             a_in, b_in, internal, zero]
+            + [t[..., gg] for t in th for gg in range(4)], axis=-1)
+        return A, tv
 
-    # ---- luma ----
-    a_l0, b_l0, ia_l0 = ab((qp_cur + qp_l + 1) >> 1)   # v edge 0
-    a_t0, b_t0, ia_t0 = ab((qp_cur + qp_t + 1) >> 1)   # h edge 0
-    a_in, b_in, ia_in = ab(qp_cur)                     # internal
-    bs3 = jnp.clip(bs_s, 0, 3)
-    # v tc0 per edge (row groups of 4); h tc0 per edge per column group
-    tv = [_TC0_J[(ia_l0 if e == 0 else ia_in)[..., None], bs3[:, :, 0, e]]
-          for e in range(4)]                           # each (D, mb_h, 4)
-    th = [_TC0_J[(ia_t0 if e == 0 else ia_in)[..., None], bs3[:, :, 1, e]]
-          for e in range(4)]
-    pvl = jnp.stack([
-        jnp.stack([lanes(a_l0, 16, L, 16), lanes(b_l0, 16, L, 16),
-                   lanes(i32(has_l), 16, L, 16),
-                   lanes(i32(ic | il), 16, L, 16)], 1),
-        jnp.stack([lanes(a_in, 16, L, 16), lanes(b_in, 16, L, 16),
-                   lanes(i32(internal), 16, L, 16),
-                   jnp.zeros((n_diag, L), jnp.int32)], 1)], 1)
-    tvl = jnp.stack([lanes(t, 16, L, 4) for t in tv], 1)
-    phl = jnp.stack([
-        jnp.stack([lanes(a_t0, 16, L, 16), lanes(b_t0, 16, L, 16),
-                   lanes(i32(has_t), 16, L, 16),
-                   lanes(i32(ic | it), 16, L, 16)], 1),
-        jnp.stack([lanes(a_in, 16, L, 16), lanes(b_in, 16, L, 16),
-                   lanes(i32(internal), 16, L, 16),
-                   jnp.zeros((n_diag, L), jnp.int32)], 1)], 1)
-    thl = jnp.stack([jnp.stack([lanes(t[..., gg], 16, L, 16)
-                                for gg in range(4)], 1)
-                     for t in th], 1)                  # (D, 4, 4, L)
+    def pack(A, B, tile, Ln):
+        """Skew + lane-expand one family into the packed kernel tensor:
+        channels [v-params 8, v-tc E, h-params 8, h-tc 4E]."""
+        E = B.shape[2]
+        sa = _skew_grid(A, mb_w, mb_h)                 # (D, 16+4E, h)
+        sb = _skew_grid(B.reshape(mb_h, mb_w, 4 * E), mb_w, mb_h)
+        rep = tile // 4
+        D = n_diag
+        ea = jnp.broadcast_to(sa[..., None],
+                              sa.shape + (tile,)).reshape(D, -1, mb_h * tile)
+        eb = sb.reshape(D, E, 4, mb_h).transpose(0, 1, 3, 2)
+        eb = jnp.broadcast_to(eb[..., None],
+                              eb.shape + (rep,)).reshape(D, E, mb_h * tile)
+        p = jnp.concatenate([ea[:, :8], eb, ea[:, 8:]], axis=1)
+        return jnp.pad(p, ((0, 0), (0, 0), (4, Ln - 4 - tile * mb_h)))
 
-    # ---- chroma (edges 0 and 4 use bs rows 0 and 2) ----
-    ca_l0, cb_l0, cia_l0 = ab((qpc_cur + qpc_l + 1) >> 1)
-    ca_t0, cb_t0, cia_t0 = ab((qpc_cur + qpc_t + 1) >> 1)
-    ca_in, cb_in, cia_in = ab(qpc_cur)
-    tvc_e = [_TC0_J[(cia_l0 if e == 0 else cia_in)[..., None],
-                    bs3[:, :, 0, 2 * e]] + 1 for e in range(2)]
-    thc_e = [_TC0_J[(cia_t0 if e == 0 else cia_in)[..., None],
-                    bs3[:, :, 1, 2 * e]] + 1 for e in range(2)]
-    pvc = jnp.stack([
-        jnp.stack([lanes(ca_l0, 8, Lc, 8), lanes(cb_l0, 8, Lc, 8),
-                   lanes(i32(has_l), 8, Lc, 8),
-                   lanes(i32(ic | il), 8, Lc, 8)], 1),
-        jnp.stack([lanes(ca_in, 8, Lc, 8), lanes(cb_in, 8, Lc, 8),
-                   lanes(i32(internal), 8, Lc, 8),
-                   jnp.zeros((n_diag, Lc), jnp.int32)], 1)], 1)
-    tvc = jnp.stack([lanes(t, 8, Lc, 2) for t in tvc_e], 1)
-    phc = jnp.stack([
-        jnp.stack([lanes(ca_t0, 8, Lc, 8), lanes(cb_t0, 8, Lc, 8),
-                   lanes(i32(has_t), 8, Lc, 8),
-                   lanes(i32(ic | it), 8, Lc, 8)], 1),
-        jnp.stack([lanes(ca_in, 8, Lc, 8), lanes(cb_in, 8, Lc, 8),
-                   lanes(i32(internal), 8, Lc, 8),
-                   jnp.zeros((n_diag, Lc), jnp.int32)], 1)], 1)
-    thc = jnp.stack([jnp.stack([lanes(t[..., gg], 8, Lc, 8)
-                                for gg in range(4)], 1)
-                     for t in thc_e], 1)               # (D, 2, 4, Lc)
-    return pvl, tvl, phl, thl, pvc, tvc, phc, thc
+    Al, Bl = family(qp_mb, 0, (0, 1, 2, 3))
+    Ac, Bc = family(qpc_mb, 1, (0, 2))
+    return pack(Al, Bl, 16, L), pack(Ac, Bc, 8, Lc)
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+def _stack_lanes(p):
+    """(S, D, ..., L) -> (D, ..., S*L): fold the stream axis into lanes
+    (stream s occupies lane block [s*L, (s+1)*L)). Safe for the skew
+    kernel: L is a multiple of 128 (masks computed from the global lane
+    index stay segment-aligned) and every roll is <= +-4 lanes while
+    enabled lanes sit >= 4 lanes inside each segment's halo padding."""
+    S = p.shape[0]
+    m = jnp.moveaxis(p, 0, -2)
+    return m.reshape(m.shape[:-2] + (S * p.shape[-1],))
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret",
+                                             "intra_mode"))
 def deblock_frame_skew_batched(y, u, v, bs, intra_mb, first_edge_only,
                                qp, qpc, alpha_off, beta_off,
                                mb_w: int, mb_h: int,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               intra_mode: str = "mixed"):
     """Whole-frame deblock via the skewed-layout wavefront kernel
     (ops/pallas/deblock_skew) — ONE Pallas call for luma+chroma, no
     per-slot gathers. Arguments as deblock_frame, each with a leading
-    (S, ...) stream axis; qp/qpc scalars or (S, mb_h, mb_w) grids."""
-    from .pallas.deblock_skew import (deblock_skew_call, deskew_plane,
+    (S, ...) stream axis; qp/qpc scalars or (S, mb_h, mb_w) grids.
+
+    All S streams ride ONE kernel pass: stream s is lane block s of
+    every tile (see _stack_lanes), so the ~mb_w+2*mb_h sequential
+    wavefront steps are paid once per BATCH, not once per frame."""
+    from .pallas.deblock_skew import (deblock_skew_call, deskew_chroma,
+                                      deskew_plane, skew_chroma,
                                       skew_plane)
     S = y.shape[0]
     L = ((16 * mb_h + 8 + 127) // 128) * 128
     Lc = ((8 * mb_h + 8 + 127) // 128) * 128
     qp_mb = jnp.broadcast_to(jnp.asarray(qp), (S, mb_h, mb_w))
     qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (S, mb_h, mb_w))
-    params = jax.vmap(
-        lambda b, i, f, q, qc: _skew_param_lanes(
+    pla, pca = jax.vmap(
+        lambda b, i, f, q, qc: _skew_params_packed(
             b, i, f, q, qc, alpha_off, beta_off, mb_w, mb_h, L, Lc))(
         bs, intra_mb, first_edge_only, qp_mb, qpc_mb)
     sky = skew_plane(y, mb_w, mb_h, 16)
-    sku = skew_plane(u, mb_w, mb_h, 8)
-    skv = skew_plane(v, mb_w, mb_h, 8)
-    skc = jnp.concatenate([sku, skv], axis=2)          # (S, D, 16, Lc)
-    oy, oc = deblock_skew_call(sky, skc, *params, mb_w=mb_w, mb_h=mb_h,
-                               interpret=interpret)
+    skc = skew_chroma(u, v, mb_w, mb_h)                # (S, D, 16, Lc)
+    oy, oc = deblock_skew_call(_stack_lanes(sky)[None],
+                               _stack_lanes(skc)[None],
+                               _stack_lanes(pla)[None],
+                               _stack_lanes(pca)[None],
+                               mb_w=mb_w, mb_h=mb_h, interpret=interpret,
+                               intra_mode=intra_mode)
+    D = sky.shape[1]
+    oy = jnp.moveaxis(oy.reshape(D, 16, S, L), 2, 0)
+    oc = jnp.moveaxis(oc.reshape(D, 16, S, Lc), 2, 0)
     dy = deskew_plane(oy, mb_w, mb_h, 16)
-    du = deskew_plane(oc[:, :, :8], mb_w, mb_h, 8)
-    dv = deskew_plane(oc[:, :, 8:], mb_w, mb_h, 8)
+    du, dv = deskew_chroma(oc, mb_w, mb_h)
     return dy, du, dv
 
 
