@@ -124,9 +124,12 @@ def main():
             fy, fu, fv, ref4, refu, refv, QP, qpc, lam,
             mb_w=MB_W, mb_h=MB_H, me_range=16, mv_range=512,
             dct_decimate=True, me_parallel=True)
-        dy, du, dv = DB.deblock_frame.__wrapped__(
-            out["recon_y"], out["recon_u"], out["recon_v"], out["bs"],
-            zero_mb, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H)
+        dy, du, dv = DB.deblock_frame_skew_batched.__wrapped__(
+            out["recon_y"][None], out["recon_u"][None],
+            out["recon_v"][None], out["bs"][None], zero_mb[None],
+            out["feo"][None], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H,
+            intra_mode="none")
+        dy, du, dv = dy[0], du[0], dv[0]
         refs = (MC.make_ref_planes(dy), MC.pad_chroma(du),
                 MC.pad_chroma(dv))
         return out, refs
@@ -162,9 +165,11 @@ def main():
             dct_decimate=True, me_parallel=True))(fy, fu, fv,
                                                   ref4, refu, refv)
         zeros = jnp.zeros((S, MB_H, MB_W), jnp.int32)
-        dy, du, dv = DB.deblock_frame_wave_batched.__wrapped__(
+        # all S streams share ONE stacked-lane skew kernel pass
+        dy, du, dv = DB.deblock_frame_skew_batched.__wrapped__(
             out["recon_y"], out["recon_u"], out["recon_v"], out["bs"],
-            zeros, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H)
+            zeros, out["feo"], QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H,
+            intra_mode="none")
         refs = (jax.vmap(MC.make_ref_planes)(dy),
                 jax.vmap(MC.pad_chroma)(du), jax.vmap(MC.pad_chroma)(dv))
         dense, payload, count = jax.vmap(

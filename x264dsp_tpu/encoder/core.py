@@ -321,11 +321,15 @@ class EncoderCore:
                 eff_qp + p.analyse.i_chroma_qp_offset, 0, 51)].astype(np.int32)
             # filter offsets are 2x the signalled div2 values
             # (slice_header_init, encoder.c:1044-1046)
+            # this fork codes no intra MBs in P frames, so the skew
+            # kernel's static MB-boundary specialization always applies
+            mode = "all" if slice_type == P.SLICE_TYPE_I else "none"
             dy, du, dv = DB.deblock_frame(
                 recon_y, recon_u, recon_v, jnp.asarray(bs),
                 jnp.asarray(intra), jnp.asarray(feo), jnp.asarray(eff_qp),
                 jnp.asarray(eff_qpc),
-                self.deblock_a * 2, self.deblock_b * 2, mb_w=mb_w, mb_h=mb_h)
+                self.deblock_a * 2, self.deblock_b * 2, mb_w=mb_w,
+                mb_h=mb_h, intra_mode=mode)
         else:
             dy, du, dv = (jnp.asarray(recon_y), jnp.asarray(recon_u),
                           jnp.asarray(recon_v))

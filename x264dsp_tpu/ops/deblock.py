@@ -600,23 +600,33 @@ def deblock_frame_wave_batched(y, u, v, bs, intra_mb, first_edge_only,
     return dy, du, dv
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_pallas",
+                                             "intra_mode"))
 def deblock_frame(y, u, v, bs, intra_mb, first_edge_only, qp, qpc,
                   alpha_off, beta_off, mb_w: int, mb_h: int,
-                  use_pallas: bool | None = None):
+                  use_pallas: bool | None = None,
+                  intra_mode: str = "mixed"):
     """Deblock a full frame in place (wavefront). y/u/v: recon planes
     int32; bs: (mb_h, mb_w, 2, 4, 4); intra_mb/first_edge_only:
     (mb_h, mb_w); qp/qpc: scalars or per-MB (mb_h, mb_w) grids of
     *decoded* QPs (see effective_qp) — MB edges use the neighbour
     average (qp+qp_nb+1)>>1 (common/deblock.c:341-430);
     alpha_off/beta_off: slice offsets (already <<1 removed — raw offsets).
+    intra_mode: static MB-boundary specialization for the skew kernel
+    ('none' = P frame, 'all' = I frame, 'mixed' = select per MB).
     Returns filtered (y, u, v)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas == "wave" or (use_pallas is True
-                                and jax.default_backend() == "tpu"):
-        # single-kernel wavefront (plane resident in VMEM): 33 ms vs
-        # 52 ms for the per-diagonal band path at 1080p
+    if use_pallas is True and jax.default_backend() == "tpu":
+        # skewed-layout wavefront: 12 ms vs 37 ms (wave) at 1080p
+        dy, du, dv = deblock_frame_skew_batched.__wrapped__(
+            y[None], u[None], v[None], bs[None], intra_mb[None],
+            first_edge_only[None], jnp.asarray(qp)[None],
+            jnp.asarray(qpc)[None], alpha_off, beta_off,
+            mb_w=mb_w, mb_h=mb_h, intra_mode=intra_mode)
+        return dy[0], du[0], dv[0]
+    if use_pallas == "wave":
+        # single-kernel gather wavefront (plane resident in VMEM)
         dy, du, dv = deblock_frame_wave_batched.__wrapped__(
             y[None], u[None], v[None], bs[None], intra_mb[None],
             first_edge_only[None], jnp.asarray(qp)[None],
