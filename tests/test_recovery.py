@@ -123,3 +123,48 @@ def test_corrupt_ref_forces_idr():
     assert types[1] == P.TYPE_P and types[2] == P.TYPE_P
     assert types[3] == P.TYPE_IDR, types     # forced by corrupt reference
     assert types[4] == P.TYPE_P              # recovered
+
+
+def test_corrupt_ref_partial_dpb_keeps_encoding():
+    """Per-frame b_corrupt granularity (frame.h:188): with a 2-deep DPB
+    and ONE corrupt entry, encoding continues as P off the clean
+    reference (encoder.c:825-826) with an explicit
+    ref_pic_list_modification, and the stream stays decodable."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from h264_decode import Decoder
+
+    W, H = 64, 48
+    rng = np.random.default_rng(3)
+    p = xt.param_default()
+    p.i_width, p.i_height = W, H
+    p.rc.i_rc_method = P.RC_CQP
+    p.rc.i_qp_constant = 26
+    p.i_keyint_max = 250
+    p.i_frame_reference = 2
+    enc = xt.Encoder(p)
+    types = []
+    stream = b""
+    recons = []
+    for t in range(5):
+        y = rng.integers(0, 256, (H, W)).astype(np.uint8)
+        u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
+        if t == 3:
+            # mark only the most recent reference (frame 2) corrupt;
+            # frame 1 remains a valid reference
+            enc.mark_reference_corrupt(frame_idx=2)
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        stream += b"".join(n.payload for n in nals)
+        types.append(po.i_frame_type)
+        recons.append(po.y)
+    enc.close()
+    # no IDR inserted: the clean older reference carries the stream
+    assert types[3] == P.TYPE_P, types
+    assert types[4] == P.TYPE_P, types
+    # conformance: the reordered list must decode to our own recon
+    dec = Decoder().decode(stream)
+    assert len(dec) == 5
+    for t, (fy, _, _) in enumerate(dec):
+        np.testing.assert_array_equal(fy, recons[t], err_msg=f"frame {t}")

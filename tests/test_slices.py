@@ -96,3 +96,35 @@ def test_slice_count_validation():
     p2.i_slice_max_mbs = 8
     v2 = P.validate_parameters(p2)
     assert v2.i_slice_count == 0          # max_mbs overrides count
+
+
+def test_slice_max_size():
+    """i_slice_max_size (x264.h:660): every slice NAL, including
+    startcode/escape overhead, fits the byte budget, and the stream
+    stays exactly decodable."""
+    W, H, N = 64, 96, 3
+    frames = _clip(W, H, N)
+    p = _param(W, H)
+    p.i_slice_max_size = 400
+    enc = xt.Encoder(p)
+    stream = b""
+    recons = []
+    max_nal = 0
+    n_slices = 0
+    for (y, u, v) in frames:
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        for n in nals:
+            if n.i_type in (P.NAL_SLICE, P.NAL_SLICE_IDR):
+                max_nal = max(max_nal, len(n.payload))
+                n_slices += 1
+        stream += b"".join(n.payload for n in nals)
+        recons.append((po.y, po.u, po.v))
+    enc.close()
+    assert max_nal <= 400, max_nal
+    assert n_slices > N                   # the budget actually split
+    dec = Decoder().decode(stream)
+    assert len(dec) == N
+    for t, (fy, fu, fv) in enumerate(dec):
+        np.testing.assert_array_equal(fy, recons[t][0], err_msg=f"Y {t}")
+        np.testing.assert_array_equal(fu, recons[t][1], err_msg=f"U {t}")
+        np.testing.assert_array_equal(fv, recons[t][2], err_msg=f"V {t}")

@@ -67,3 +67,42 @@ def test_subme_levels_roundtrip():
                                           err_msg=f"subme {subme} Y {t}")
     # SATD refinement should compress the panning clip at least as well
     assert sizes[5] <= sizes[1] * 1.05, sizes
+
+
+def _subpel_clip(w, h, n):
+    """Continuous texture sampled at true sub-pel offsets: shallow SATD
+    valleys around the half-pel optimum make the deeper subme>=6
+    hpel/qpel iteration budgets actually change decisions."""
+    frames = []
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    for t in range(n):
+        dx, dy = 1.3 * t, 0.55 * t
+        y = (120 + 55 * np.sin((xx - dx) / 4.2) * np.cos((yy - dy) / 5.1)
+             + 35 * np.sin((xx - dx) / 11.0 + (yy - dy) / 8.0)).clip(0, 255)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        v = np.full((h // 2, w // 2), 130, np.uint8)
+        frames.append((y.astype(np.uint8), u, v))
+    return frames
+
+
+def test_subme_high_presets():
+    """subme 6-11 iteration presets (subpel_iterations[s][2/3],
+    me.c:30-33): distinct from the subme-5 recipe and not worse on the
+    subpel pan clip."""
+    W, H, N = 96, 64, 4
+    frames = _subpel_clip(W, H, N)
+    stream5, _, size5 = _encode(5, frames, W, H)
+    stream7, recons7, size7 = _encode(7, frames, W, H)
+    stream9, _, size9 = _encode(9, frames, W, H)
+    # the deeper search must actually change decisions
+    assert stream7 != stream5
+    dec = Decoder().decode(stream7)
+    assert len(dec) == N
+    for t, (fy, _, _) in enumerate(dec):
+        np.testing.assert_array_equal(fy, recons7[t][0],
+                                      err_msg=f"subme 7 Y {t}")
+    # quality monotone-ish: more iterations can't blow up the size
+    # (absolute slack: frames here are tens of bytes)
+    assert size7 <= size5 * 1.05 + 32, (size5, size7)
+    assert size9 <= size7 * 1.05 + 32, (size7, size9)

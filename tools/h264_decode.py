@@ -436,7 +436,8 @@ class Decoder:
         self.frames = []
         self.recon = None    # (y, u, v) current planes (pre-deblock)
         self.ref = None      # previous deblocked (y, u, v) + hpel planes
-        self.ref_list = []   # DPB, nearest first (sliding window)
+        self.ref_list = []   # DPB: (frame_num, y, u, v), nearest first
+        self.active_list = []  # per-slice list after modification
         self._pending = []   # buffered slice NALs of the open frame
 
     def decode(self, stream: bytes):
@@ -496,11 +497,29 @@ class Decoder:
         if sps.poc_type == 0:
             br.bits(sps.log2_max_poc_lsb)
         n_ref = pps.num_ref_l0
+        self.active_list = list(self.ref_list)
         if slice_type == 0:  # P
             if br.bit():     # num_ref_idx_override
                 n_ref = br.ue() + 1
-            if br.bit():     # ref_pic_list_reordering
-                raise NotImplementedError
+            if br.bit():     # ref_pic_list_modification (spec 8.2.4.3.1)
+                wrap = 1 << sps.log2_max_frame_num
+                pred = frame_num
+                modified, rest = [], list(self.active_list)
+                while True:
+                    idc = br.ue()
+                    if idc == 3:
+                        break
+                    arg = br.ue()
+                    if idc == 0:
+                        pred = (pred - (arg + 1)) % wrap
+                    elif idc == 1:
+                        pred = (pred + (arg + 1)) % wrap
+                    else:
+                        raise NotImplementedError("long-term reorder")
+                    e = next(x for x in rest if x[0] == pred)
+                    modified.append(e)
+                    rest.remove(e)
+                self.active_list = modified + rest
         if idr:
             br.bit(), br.bit()
         else:
@@ -536,6 +555,7 @@ class Decoder:
         qp_grid[:] = qp
         last_qp = qp
         st.idr = idr
+        st.frame_num = frame_num
         st.band_rows = (y0, y1)
 
         if self.pps.cabac:
@@ -592,10 +612,12 @@ class Decoder:
 
         self.recon = (y, u, v)  # pre-deblock (intra prediction source)
         self.ref = (y2, u2, v2)
-        # sliding-window DPB, nearest first; IDR resets it
+        # sliding-window DPB, nearest first; IDR resets it. Entries are
+        # (frame_num, y, u, v) so ref_pic_list_modification can address
+        # pictures by PicNum.
         if st.idr:
             self.ref_list = []
-        self.ref_list.insert(0, (y2, u2, v2))
+        self.ref_list.insert(0, (st.frame_num, y2, u2, v2))
         del self.ref_list[max(self.sps.num_ref_frames, 1):]
         cl, cr, ct, cb = sps.crop
         self.frames.append((y2[ct:H - cb, cl:W - cr],
@@ -640,7 +662,7 @@ class Decoder:
         per-slice device bands)."""
         from x264dsp_tpu.ops import mc as MCJ
         refs = []
-        for (ry, ru, rv) in self.ref_list[:max(n_ref, 1)]:
+        for (_fn, ry, ru, rv) in self.active_list[:max(n_ref, 1)]:
             r4 = np.asarray(MCJ.make_ref_planes(ry))
             ru_p = np.asarray(MCJ.pad_chroma(ru))
             rv_p = np.asarray(MCJ.pad_chroma(rv))

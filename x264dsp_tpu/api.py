@@ -77,13 +77,17 @@ class Encoder:
         """Finalize; returns the accumulated stats block (h->stat twin)."""
         return self._core.close()
 
-    def mark_reference_corrupt(self):
-        """Flag the reference frame(s) as corrupt (x264_frame_t.b_corrupt,
+    def mark_reference_corrupt(self, frame_idx: int | None = None):
+        """Flag reference frame(s) as corrupt (x264_frame_t.b_corrupt,
         common/frame.h:188): corrupt frames are skipped when building the
-        reference list (encoder.c:825-826) and, with no valid references
-        left, the next frame is forced to IDR (encoder.c:1808-1820).
-        With the current single-frame DPB this always forces an IDR."""
-        self._core.ref_corrupt = True
+        reference list (encoder.c:825-826) with an explicit
+        ref_pic_list_modification signalled (encoder.c:777-788), and the
+        next frame is forced to IDR only when no valid reference remains
+        (encoder.c:1808-1820). frame_idx selects one DPB entry by its
+        encode-order frame index; None marks every held reference."""
+        for e in self._core.dpb:
+            if frame_idx is None or e["frame_idx"] == frame_idx:
+                e["corrupt"] = True
 
     @property
     def stats(self) -> dict:

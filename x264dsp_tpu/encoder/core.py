@@ -146,16 +146,34 @@ class EncoderCore:
         self.stats = Stats()
         self.last_recon = None    # (y, u, v) np arrays (deblocked output)
         # DPB (x264_reference_build order: nearest first, encoder.c:813):
-        # list of (ref4_y, ref_u_pad, ref_v_pad) device plane sets
+        # list of dicts {planes: (ref4_y, ref_u_pad, ref_v_pad),
+        # frame_idx, corrupt}. in-band recovery (c): per-frame b_corrupt
+        # (common/frame.h:188) — corrupt entries are skipped when the
+        # active reference list is built (encoder.c:825-826) and an IDR
+        # is forced only when no valid reference remains
+        # (encoder.c:1808-1820).
         self.dpb: list = []
-        # in-band recovery (c): corrupt-reference flag — when set, the
-        # next non-I frame is forced to IDR (encoder.c:825-826,1808-1820)
-        self.ref_corrupt = False
 
         # slice-level deblock decision (x264_slice_header_init,
         # encoder.c:1040-1046)
         self.deblock_a = p.i_deblocking_filter_alphac0
         self.deblock_b = p.i_deblocking_filter_beta
+
+        # noise reduction (denoise_dct, common/quant.c:194): per-coef
+        # |level| accumulators [cat 0 luma / cat 2→1 chroma] and the
+        # derived offsets. The fork zero-inits nr_offset_denoise and
+        # dropped the updater, so its denoise_dct subtracts 0; we
+        # restore upstream x264's between-frame offset update so
+        # i_noise_reduction > 0 actually denoises.
+        self.nr = None
+        if p.analyse.i_noise_reduction:
+            self.nr = {"sum": np.zeros((2, 16), np.int64),
+                       "count": np.zeros(2, np.int64),
+                       "offset": np.zeros((2, 16), np.int32)}
+
+        # per-row bits of the last single-slice native entropy pass
+        # (i_row_bits twin; feeds the row-VBV walk)
+        self._row_bits = None
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NAL]:
@@ -296,6 +314,28 @@ class EncoderCore:
         eff = np.where(run >= 0, flat[np.maximum(run, 0)], slice_qp)
         return eff.reshape(coded.shape).astype(np.int32)
 
+    def _nr_update(self, syn):
+        """Between-frame noise-reduction offset update (upstream x264's
+        x264_noise_reduction_update; the fork kept denoise_dct +
+        nr_residual_sum accumulation, quant.c:194 / macroblock.c:183,393,
+        but lost the updater). offset = (nr·count + sum/2) / (sum+1),
+        with the sliding-window halving at 2^18 samples."""
+        nr = self.nr
+        nr["sum"][0] += syn["nr_sum_y"]
+        nr["sum"][1] += syn["nr_sum_c"]
+        nr["count"] += syn["nr_count"]
+        strength = self.param.analyse.i_noise_reduction
+        for cat in range(2):
+            if nr["count"][cat] > (1 << 18):
+                nr["sum"][cat] >>= 1
+                nr["count"][cat] >>= 1
+            nr["offset"][cat] = ((strength * nr["count"][cat]
+                                  + nr["sum"][cat] // 2)
+                                 // (nr["sum"][cat] + 1)).astype(np.int32)
+        # the DC position is never denoised in the reference layout
+        # (offset[0] applies to coef 0 pre-extraction; x264 zeroes it)
+        nr["offset"][:, 0] = 0
+
     def _update_reference(self, recon_y, recon_u, recon_v, syn, slice_type,
                           qp, qp_mb):
         """Deblock the reconstruction (x264_fdec_filter_row reborn as one
@@ -337,8 +377,13 @@ class EncoderCore:
         # encoder.c:878-907; IDR resets the list, :909-916)
         if slice_type == P.SLICE_TYPE_I:
             self.dpb = []
-        self.dpb.insert(0, (MC.make_ref_planes(dy), MC.pad_chroma(du),
-                            MC.pad_chroma(dv)))
+        self.dpb.insert(0, {"planes": (MC.make_ref_planes(dy),
+                                       MC.pad_chroma(du),
+                                       MC.pad_chroma(dv)),
+                            "frame_idx": self.i_frame - 1,
+                            "frame_num": (self.frame_num - 1)
+                            % (1 << self.sps.i_log2_max_frame_num),
+                            "corrupt": False})
         del self.dpb[max(self.param.i_frame_reference, 1):]
         return (np.asarray(dy).astype(np.uint8),
                 np.asarray(du).astype(np.uint8),
@@ -355,11 +400,13 @@ class EncoderCore:
 
         # slice-type decision (lookahead lowres pass + scenecut/keyint)
         slice_type, is_keyframe, frame_cost = self.slicetype.decide(fy)
+        # active reference list skips corrupt DPB entries
+        # (x264_reference_build, encoder.c:825-826)
+        valid_dpb = [e for e in self.dpb if not e["corrupt"]]
         if not is_keyframe and (pic.i_type in (P.TYPE_IDR, P.TYPE_I)
                                 or pic.b_keyframe
-                                or not self.dpb
-                                or self.ref_corrupt):
-            # ref_corrupt: no valid reference frames left → force IDR
+                                or not valid_dpb):
+            # no valid reference frames left → force IDR
             # (encoder.c:1808-1820)
             slice_type, is_keyframe = P.SLICE_TYPE_I, True
             self.slicetype.last_keyframe = self.slicetype.frame_idx - 1
@@ -386,8 +433,16 @@ class EncoderCore:
         else:
             qp_mb = np.full((self.mb_h, self.mb_w), qp, np.int32)
 
-        n_ref_active = (min(len(self.dpb), p.i_frame_reference)
+        n_ref_active = (min(len(valid_dpb), p.i_frame_reference)
                         if slice_type == P.SLICE_TYPE_P else 1)
+        # when a corrupt entry was skipped, the encoder's list diverges
+        # from the decoder's default order → signal an explicit
+        # ref_pic_list_modification (x264_reference_check_reorder,
+        # encoder.c:777-788; order built at :1013-1027)
+        self._ref_reorder = (slice_type == P.SLICE_TYPE_P
+                             and any(e["corrupt"] for e in self.dpb))
+        self._active_refs = [e["frame_num"]
+                             for e in valid_dpb[:n_ref_active]]
 
         slices = self._slice_ranges()
 
@@ -420,9 +475,10 @@ class EncoderCore:
                             ru[y0 * 8:y1 * 8 + PAD],
                             rv[y0 * 8:y1 * 8 + PAD])
                 if n_ref == 1:
-                    ref4, refu, refv = crop(self.dpb[0])
+                    ref4, refu, refv = crop(valid_dpb[0]["planes"])
                 else:
-                    cropped = [crop(r) for r in self.dpb[:n_ref]]
+                    cropped = [crop(r["planes"])
+                               for r in valid_dpb[:n_ref]]
                     ref4 = jnp.stack([r[0] for r in cropped])
                     refu = jnp.stack([r[1] for r in cropped])
                     refv = jnp.stack([r[2] for r in cropped])
@@ -441,15 +497,21 @@ class EncoderCore:
                     partitions=bool(p.analyse.inter
                                     & P.ANALYSE_PSUB16x16),
                     n_ref=n_ref,
-                    subme=min(max(p.analyse.i_subpel_refine, 0), 5),
-                    cqm=self.cqm)
+                    subme=min(max(p.analyse.i_subpel_refine, 0), 11),
+                    cqm=self.cqm,
+                    nr_offset=None if self.nr is None else
+                    (jnp.asarray(self.nr["offset"][0]),
+                     jnp.asarray(self.nr["offset"][1])))
             return {k: np.asarray(v) for k, v in dev.items()}
 
         def device_encode(qp_mb_cur):
             if len(slices) == 1:
                 return encode_band(qp_mb_cur, 0, self.mb_h)
             bands = [encode_band(qp_mb_cur, y0, y1) for y0, y1 in slices]
-            syn = {k: np.concatenate([b[k] for b in bands], axis=0)
+            # nr accumulators are frame totals: sum over bands
+            syn = {k: (np.sum([b[k] for b in bands], axis=0)
+                       if k.startswith("nr_") else
+                       np.concatenate([b[k] for b in bands], axis=0))
                    for k in bands[0]}
             if slice_type == P.SLICE_TYPE_P:
                 # band strengths miss cross-slice top edges; recompute
@@ -529,7 +591,63 @@ class EncoderCore:
             return payloads
 
         _skips_before = self.stats.i_mb_count.get("P_SKIP", 0)
+        self._row_bits = None   # filled by the native single-slice writers
         slice_payloads = write_slice(syn, qp_mb)
+
+        # -- per-row VBV (x264_ratecontrol_mb, ratecontrol.c:599-780):
+        # the reference steps QP at each row end and re-encodes
+        # overshooting rows mid-slice; with whole-frame device encodes
+        # we run the same end-of-row QP-step walk over the MEASURED
+        # per-row bits, re-encode the frame with the adjusted ramp, and
+        # iterate to a fixed point (bounded).
+        row_satd = getattr(self.slicetype, "row_costs", None)
+        if (self.rc.b_vbv and len(slices) == 1 and row_satd is not None
+                and len(row_satd) == self.mb_h):
+            ramp = np.full(self.mb_h, qp, np.int32)
+            for _ in range(3):
+                if self._row_bits is None:
+                    break   # Python-writer fallback has no row feedback
+                new_ramp = self.rc.row_vbv_adjust(
+                    slice_type, ramp, self._row_bits, row_satd)
+                if new_ramp is None:
+                    break
+                qp_mb = np.clip(
+                    qp_mb + (new_ramp - ramp)[:, None], p.rc.i_qp_min,
+                    min(p.rc.i_qp_max, P.QP_MAX_SPEC)).astype(np.int32)
+                ramp = new_ramp
+                syn = device_encode(qp_mb)
+                slice_payloads = write_slice(syn, qp_mb)
+            self._last_qp_mb = qp_mb
+
+        # i_slice_max_size (x264.h:660, validation encoder.c:150-162):
+        # byte-budgeted slices. Bands whose NAL (startcode + header +
+        # escape overhead) exceeds the budget are split proportionally
+        # and the frame re-emitted; MB-row granularity (a single row
+        # over budget is emitted as-is, like the reference's 1-MB floor).
+        if p.i_slice_max_size > 0:
+            nal_type_ = P.NAL_SLICE_IDR if is_idr else P.NAL_SLICE
+            limit = p.i_slice_max_size
+            for _ in range(16):
+                sizes = [len(nal_unit(nal_type_, P.NAL_PRIORITY_HIGHEST,
+                                      pl)) for pl in slice_payloads]
+                new_slices = []
+                split = False
+                for (y0, y1), sz in zip(slices, sizes):
+                    rows = y1 - y0
+                    if sz <= limit or rows == 1:
+                        new_slices.append((y0, y1))
+                        continue
+                    parts = min(rows, -(-sz // limit) + 1)
+                    bounds = [y0 + (rows * i) // parts
+                              for i in range(parts)] + [y1]
+                    new_slices.extend((a, b) for a, b in
+                                      zip(bounds, bounds[1:]) if a < b)
+                    split = True
+                if not split:
+                    break
+                slices[:] = new_slices
+                syn = device_encode(qp_mb)
+                slice_payloads = write_slice(syn, qp_mb)
 
         # -- in-band recovery (b): VBV/MinCR hard overshoot → re-encode
         # the frame at higher QP (ratecontrol.c:651-780 + the bitstream
@@ -546,6 +664,12 @@ class EncoderCore:
                 syn = device_encode(qp_mb)
                 slice_payloads = write_slice(syn, qp_mb)
             self._last_qp_mb = qp_mb
+            # row predictors learn from the FINAL encode (:675-681)
+            if (self._row_bits is not None and row_satd is not None
+                    and len(row_satd) == self.mb_h
+                    and len(self._row_bits) == self.mb_h):
+                self.rc.row_vbv_commit(slice_type, qp_mb.mean(axis=1),
+                                       self._row_bits, row_satd)
 
         nal_type = P.NAL_SLICE_IDR if is_idr else P.NAL_SLICE
         for pl in slice_payloads:
@@ -562,8 +686,8 @@ class EncoderCore:
         self.last_recon = self._update_reference(
             syn["recon_y"], syn["recon_u"], syn["recon_v"], syn,
             slice_type, qp, qp_mb)
-        if slice_type == P.SLICE_TYPE_I:
-            self.ref_corrupt = False   # fresh reference replaces the DPB
+        if self.nr is not None and slice_type == P.SLICE_TYPE_P:
+            self._nr_update(syn)
 
         # stats (h->stat twin, encoder.c:2077-2156)
         st = self.stats
@@ -642,9 +766,15 @@ class EncoderCore:
                                         first_mb=first_mb)
 
         from ..entropy import native
+        rb = np.zeros(mb_h_b, np.int64) if band is None else None
         payload = native.write_slice_i(bw.get_unaligned(), self.mb_w,
-                                       mb_h_b, qp, syn, qp_mb=qp_mb)
+                                       mb_h_b, qp, syn, qp_mb=qp_mb,
+                                       row_bits=rb)
         if payload is not None:
+            # per-row bits for row-VBV: first row excludes the header
+            hb, hn = bw.get_unaligned()
+            self._row_bits = (None if rb is None else np.diff(
+                rb, prepend=(len(hb) - 1) * 8 + hn))
             n_i4 = int((syn["mb_type"] == 1).sum())
             self.stats.i_mb_count["I_4x4"] = \
                 self.stats.i_mb_count.get("I_4x4", 0) + n_i4
@@ -799,7 +929,21 @@ class EncoderCore:
                 bw.write_ue(n_ref - 1)
             else:
                 bw.write1(0)
-            bw.write1(0)                     # ref_pic_list_reordering
+            # ref_pic_list_modification: explicit order when corrupt DPB
+            # entries were skipped (slice_header_init :1013-1027 +
+            # slice_header_write :1098-1111)
+            if getattr(self, "_ref_reorder", False):
+                bw.write1(1)
+                pred = self.frame_num
+                wrap = 1 << self.sps.i_log2_max_frame_num
+                for fn in self._active_refs[:n_ref]:
+                    diff = fn - pred
+                    bw.write_ue(1 if diff > 0 else 0)
+                    bw.write_ue((abs(diff) - 1) % wrap)
+                    pred = fn
+                bw.write_ue(3)
+            else:
+                bw.write1(0)
         if idr_pic_id >= 0:
             bw.write1(0)
             bw.write1(0)
@@ -830,11 +974,15 @@ class EncoderCore:
         # native C++ fast path (entropy/native/entropy.cpp); the Python
         # writer below is the behavioral twin (byte-identical, tested)
         from ..entropy import native
+        rb = np.zeros(mb_h, np.int64) if band is None else None
         res = native.write_slice_cabac(header, mb_w, mb_h, qp,
                                        self.i_frame, is_p, syn, qp_mb=qp_mb,
-                                       n_ref=n_ref)
+                                       n_ref=n_ref, row_bits=rb)
         if res is not None:
             payload, counts = res
+            # x264_cabac_pos starts at 1 bit (queue=-9 + 10)
+            self._row_bits = (None if rb is None
+                              else np.diff(rb, prepend=1))
             for name, n in zip(("I_16x16", "I_4x4", "P_L0", "P_SKIP",
                                 "P_16x8", "P_8x16", "P_8x8"), counts):
                 if n:
@@ -1164,10 +1312,15 @@ class EncoderCore:
                                         n_ref=n_ref, first_mb=first_mb)
 
         from ..entropy import native
+        rb = np.zeros(mb_h_b, np.int64) if band is None else None
         res = native.write_slice_p(bw.get_unaligned(), self.mb_w, mb_h_b,
-                                   qp, syn, qp_mb=qp_mb, n_ref=n_ref)
+                                   qp, syn, qp_mb=qp_mb, n_ref=n_ref,
+                                   row_bits=rb)
         if res is not None:
             payload, n_skip = res
+            hb, hn = bw.get_unaligned()
+            self._row_bits = (None if rb is None else np.diff(
+                rb, prepend=(len(hb) - 1) * 8 + hn))
             self.stats.i_mb_count["P_SKIP"] = \
                 self.stats.i_mb_count.get("P_SKIP", 0) + n_skip
             part = (syn["partition"] if "partition" in syn

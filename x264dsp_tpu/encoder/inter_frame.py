@@ -364,6 +364,16 @@ SUBME_RECIPE = {
     3: (1, 2, True, False),
     4: (1, 3, True, False),
     5: (1, 4, True, False),
+    # subme >= 6: search-stage iters dominate (subpel_iterations[s][2/3],
+    # me.c:30-33 {0,0,2,2} / {0,0,4,10}); the winner pass adds nothing.
+    # The fork has no trellis/psy-RD, so the RD layers of 6-11 reduce to
+    # the larger iteration budgets.
+    6: (2, 2, True, False),
+    7: (2, 2, True, False),
+    8: (4, 10, True, False),
+    9: (4, 10, True, False),
+    10: (4, 10, True, False),
+    11: (4, 10, True, False),
 }
 
 
@@ -377,7 +387,7 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
     diamond iterations and per-MB early termination."""
     B = mb_h * mb_w
     hpel_iters, qpel_iters, use_satd, try_mvp = \
-        SUBME_RECIPE[min(max(subme, 0), 5)]
+        SUBME_RECIPE[min(max(subme, 0), 11)]
     f = tile_mb(fenc_y.astype(jnp.int32), mb_w, mb_h, 16)
     bmx = mv_field[..., 0].reshape(B)
     bmy = mv_field[..., 1].reshape(B)
@@ -431,12 +441,18 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
         my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
         bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
     # half-pel diamond iterations, SAD metric (me.c:494-517), with the
-    # per-MB "centre unchanged -> stop" early termination
-    active = tt
-    for _ in range(hpel_iters):
+    # per-MB "centre unchanged -> stop" early termination. fori_loop
+    # keeps compile time flat for the subme>=6 iteration budgets.
+    def hpel_body(_, st):
+        bcost, bmx, bmy, active = st
         bcost, bmx, bmy, omx, omy = diamond_step(bcost, bmx, bmy, 2,
                                                  active, False)
-        active = active & ((bmx != omx) | (bmy != omy))
+        return bcost, bmx, bmy, active & ((bmx != omx) | (bmy != omy))
+
+    if hpel_iters:
+        bcost, bmx, bmy, _ = jax.lax.fori_loop(
+            0, hpel_iters, hpel_body, (bcost, bmx, bmy, tt),
+            unroll=hpel_iters <= 2)
     if use_satd:
         # switch metric: re-cost the half-pel best with SATD (me.c:520-524)
         bcost = cost_at(bmx, bmy, True)
@@ -448,13 +464,19 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
                                              inside, False)
     else:
         # quarter-pel diamond iterations, SATD (me.c:541-564)
-        active = tt
-        for _ in range(qpel_iters):
+        def qpel_body(_, st):
+            bcost, bmx, bmy, active = st
             inside = (active & (bmy > lo_y) & (bmy < hi_y)
                       & (bmx > lo_x) & (bmx < hi_x))
             bcost, bmx, bmy, omx, omy = diamond_step(
                 bcost, bmx, bmy, 1, inside, use_satd)
-            active = active & ((bmx != omx) | (bmy != omy))
+            return (bcost, bmx, bmy,
+                    active & ((bmx != omx) | (bmy != omy)))
+
+        if qpel_iters:
+            bcost, bmx, bmy, _ = jax.lax.fori_loop(
+                0, qpel_iters, qpel_body, (bcost, bmx, bmy, tt),
+                unroll=qpel_iters <= 2)
     return jnp.stack([bmx.reshape(mb_h, mb_w), bmy.reshape(mb_h, mb_w)],
                      axis=-1)
 
@@ -536,9 +558,25 @@ def _quad_merge(blk):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _denoise_cm(cm, off, live_bg):
+    """x264_denoise_dct (common/quant.c:194) over coefficient-major
+    planes: accumulate per-position |level| sums, then subtract the
+    per-position offset toward zero (sign restored). live_bg masks the
+    sums to coded MBs only — P_SKIP MBs take the MC-only path and never
+    reach denoise in the reference (macroblock.c:319-348). Returns
+    (denoised planes, (16,) int64 sums)."""
+    out, sums = [], []
+    for c in range(16):
+        a = jnp.abs(cm[c])
+        sums.append(jnp.where(live_bg, a, 0).sum(dtype=jnp.int64))
+        lvl = jnp.maximum(a - off[c], 0)
+        out.append(jnp.sign(cm[c]) * lvl)
+    return out, jnp.stack(sums)
+
+
 def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
                       qp, qpc, mb_w: int, mb_h: int, dct_decimate: bool,
-                      force_skip=None, cqm=None):
+                      force_skip=None, cqm=None, nr_offset=None):
     """Batched inter residual encode for all MBs, plane-resident: MC via
     window matmuls, then the whole-frame matmul-DCT pipeline of
     ops/residual_plane (no per-MB block tensors anywhere — a (B,16,4,4)
@@ -557,10 +595,16 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
     # ---- luma ----
     pred_y = untile_mb(_mc_luma_mv8(wins4, mv8f), mb_w, mb_h, 16)
     cm = RP.sub_dct_cm(fenc_y.astype(jnp.int32), pred_y)
+    live_bg = ~jnp.repeat(jnp.repeat(fs, 4, 0), 4, 1)
+    nr = {}
+    if nr_offset is not None:
+        # noise reduction on every inter-coded path (macroblock.c:520-521)
+        cm, nr["nr_sum_y"] = _denoise_cm(cm, nr_offset[0], live_bg)
+        nr["nr_count"] = jnp.stack([(~fs).sum(dtype=jnp.int64) * 16,
+                                    (~fs).sum(dtype=jnp.int64) * 4])
     q_cm = RP.quant_cm(cm, qp_mb, False, 4, cqm, 1)
     z_cm = RP.zigzag_order(q_cm)
     nnz_bg = RP.nnz_cm(z_cm)                           # (4mbh, 4mbw)
-    live_bg = ~jnp.repeat(jnp.repeat(fs, 4, 0), 4, 1)
     nnz_bg = nnz_bg * live_bg
     z_cm = RP.mask_cm(z_cm, live_bg)
     if dct_decimate:
@@ -589,10 +633,13 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
     # ---- chroma ----
     pred_u = untile_mb(_mc_chroma_mv8(winsu, mv8f), mb_w, mb_h, 8)
     pred_v = untile_mb(_mc_chroma_mv8(winsv, mv8f), mb_w, mb_h, 8)
+    nr_c = None if nr_offset is None else nr_offset[1]
     eu = _encode_chroma_plane(fenc_u, pred_u, qpc_mb, dct_decimate, fs,
-                              mb_h, mb_w, cqm)
+                              mb_h, mb_w, cqm, nr_off=nr_c)
     ev = _encode_chroma_plane(fenc_v, pred_v, qpc_mb, dct_decimate, fs,
-                              mb_h, mb_w, cqm)
+                              mb_h, mb_w, cqm, nr_off=nr_c)
+    if nr_offset is not None:
+        nr["nr_sum_c"] = eu["nr_sum"] + ev["nr_sum"]
     any_ac = eu["has_ac"] | ev["has_ac"]
     any_dc = (eu["nz_dc"] | ev["nz_dc"]) != 0
     cbp_chroma = jnp.where(any_ac, 2, jnp.where(any_dc, 1, 0))
@@ -607,18 +654,25 @@ def encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, mv8,
                                     ev["ac_levels"]], 2),
         chroma_nnz_ac=jnp.stack([eu["nnz_ac"], ev["nnz_ac"]], 2),
         chroma_nz_dc=jnp.stack([eu["nz_dc"], ev["nz_dc"]], 2),
+        **nr,
     )
 
 
 def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
-                         mb_h: int, mb_w: int, cqm=None):
+                         mb_h: int, mb_w: int, cqm=None, nr_off=None):
     """One chroma channel of x264_mb_encode_chroma (b_inter=1,
     encoder/macroblock.c:175-300), plane-resident. fenc8p/pred8p:
     (8mb_h, 8mb_w) planes; qpc_mb/fs: (mb_h, mb_w). The variance
     early-skip is approximated by the AC decimate path (see the tile
     twin's docstring history — identical streams for the cases it
-    prunes). Returns per-MB syntax + the recon plane."""
+    prunes). nr_off: (16,) noise-reduction offsets, applied BEFORE the
+    2x2 DC extraction (macroblock.c:245-248). Returns per-MB syntax +
+    the recon plane."""
     cm = RP.sub_dct_cm(fenc8p.astype(jnp.int32), pred8p)
+    nr = {}
+    if nr_off is not None:
+        live = ~jnp.repeat(jnp.repeat(fs, 2, 0), 2, 1)
+        cm, nr["nr_sum"] = _denoise_cm(cm, nr_off, live)
     dc_bg = cm[0]                                      # (2mbh, 2mbw)
     cm_ac = [jnp.zeros_like(cm[0])] + cm[1:]
     q_cm = RP.quant_cm(cm_ac, qpc_mb, False, 2, cqm, 3)
@@ -670,7 +724,7 @@ def _encode_chroma_plane(fenc8p, pred8p, qpc_mb, b_decimate, fs,
     ac_levels = jnp.where(nz_ac[..., None, None], ac_levels, 0)
     return dict(recon=recon, dc_levels=dc_levels, ac_levels=ac_levels,
                 nnz_ac=nnz_ac, nz_dc=nz_dc_final.astype(jnp.int32),
-                has_ac=nz_ac)
+                has_ac=nz_ac, **nr)
 
 
 def _encode_chroma_p(fenc8, pred8, qpc, b_decimate, force_skip=None):
@@ -741,7 +795,7 @@ def _refine_block_batch(wins4, f_blk, bmx, bmy, bcost, mvpx, mvpy, lam,
     (B,)-shaped except the static geometry; `gate` masks MBs whose chosen
     partition shape doesn't include this block."""
     hpel_iters, qpel_iters, use_satd, try_mvp = \
-        SUBME_RECIPE[min(max(subme, 0), 5)]
+        SUBME_RECIPE[min(max(subme, 0), 11)]
     _DIAMOND = ((0, -1), (0, 1), (-1, 0), (1, 0))   # x scale: 2=hpel 1=qpel
 
     def cost_at(mx, my, satd):
@@ -781,21 +835,32 @@ def _refine_block_batch(wins4, f_blk, bmx, bmy, bcost, mvpx, mvpy, lam,
         mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
         my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
         bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, gate)
-    active = gate
-    for _ in range(hpel_iters):
+    def hpel_body(_, st):
+        bcost, bmx, bmy, active = st
         bcost, bmx, bmy, omx, omy = diamond_step(bcost, bmx, bmy, 2,
                                                  active, False)
-        active = active & ((bmx != omx) | (bmy != omy))
+        return bcost, bmx, bmy, active & ((bmx != omx) | (bmy != omy))
+
+    if hpel_iters:
+        bcost, bmx, bmy, _ = jax.lax.fori_loop(
+            0, hpel_iters, hpel_body, (bcost, bmx, bmy, gate),
+            unroll=hpel_iters <= 2)
     if use_satd:
         bcost = cost_at(bmx, bmy, True)
     n_qpel = 1 if subme == 1 else qpel_iters
-    active = gate
-    for _ in range(n_qpel):
+
+    def qpel_body(_, st):
+        bcost, bmx, bmy, active = st
         inside = (active & (bmy > lo_y) & (bmy < hi_y)
                   & (bmx > lo_x) & (bmx < hi_x))
         bcost, bmx, bmy, omx, omy = diamond_step(
             bcost, bmx, bmy, 1, inside, use_satd)
-        active = active & ((bmx != omx) | (bmy != omy))
+        return bcost, bmx, bmy, active & ((bmx != omx) | (bmy != omy))
+
+    if n_qpel:
+        bcost, bmx, bmy, _ = jax.lax.fori_loop(
+            0, n_qpel, qpel_body, (bcost, bmx, bmy, gate),
+            unroll=n_qpel <= 2)
     return bmx, bmy, bcost
 
 
@@ -1098,6 +1163,91 @@ def sparse_count(dense_np: np.ndarray) -> int:
                @ (1 << np.arange(0, 32, 8, dtype=np.uint32)))
 
 
+# block-granular wire (v3): per coded 4x4 BLOCK one 12-byte entry
+# (4B id = mb*24+blk, 8B nibble levels). The frame-level budget replaces
+# pack_syn_sparse's per-MB 6-block cap, which real content blows
+# constantly (any MB with >6 coded blocks forced the catastrophic
+# full-pack fallback). Compaction is an argsort-gather, not a BxB
+# one-hot matmul.
+_BLOCKS_PER_MB_BUDGET = 4          # K_cap = 4*B entries
+
+
+def pack_syn_blocks(out: dict, mb_w: int, mb_h: int):
+    """Device wire pack, block-granular. Returns (dense, entries, count):
+      dense: int8 (5 + B*20,) — has-big flag, coded-block count (u32le),
+             then per-MB mv8/partition/ref/cbp/chroma-DC (20 B/MB);
+      entries: uint8 (K_cap, 12) — one row per coded 4x4 block, coded
+             rows first: [id u32le | 8B levels as nibbles lo|hi<<4].
+    has-big fires when any level leaves [-8, 7], a dense field leaves
+    int8, or the frame has more than K_cap coded blocks."""
+    B = mb_h * mb_w
+    K = _BLOCKS_PER_MB_BUDGET * B
+    dense_parts = [out[k].reshape(B, -1).astype(jnp.int32)
+                   for k, _ in _SPARSE_DENSE]
+    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 20)
+    lv = out["luma_levels"].reshape(B, 16, 16).astype(jnp.int32)
+    ca = out["chroma_ac_levels"].reshape(B, 8, 16).astype(jnp.int32)
+    blocks = jnp.concatenate([lv, ca], axis=1)         # (B, 24, 16)
+    big = (jnp.any((blocks > 7) | (blocks < -8))
+           | jnp.any((dense > 127) | (dense < -128)))
+
+    nib = ((blocks[:, :, :8] & 15)
+           | ((blocks[:, :, 8:] & 15) << 4)).astype(jnp.uint8)
+    codedb = jnp.any(blocks != 0, axis=2).reshape(B * 24)
+    count = codedb.sum().astype(jnp.int32)
+    big = big | (count > K)
+    # stable compaction: coded block ids first, in raster order
+    order = jnp.argsort(~codedb, stable=True)[:K].astype(jnp.int32)
+    ids = jnp.where(codedb[order], order, -1)
+    id_bytes = ((ids[:, None] >> jnp.arange(0, 32, 8)) & 0xFF) \
+        .astype(jnp.uint8)                             # (K, 4)
+    nib_rows = nib.reshape(B * 24, 8)[order]
+    entries = jnp.concatenate([id_bytes, nib_rows], axis=1)  # (K, 12)
+    cnt_bytes = ((count >> jnp.arange(0, 32, 8)) & 0xFF).astype(jnp.int8)
+    dense_flat = jnp.concatenate([
+        big.astype(jnp.int8)[None], cnt_bytes,
+        jnp.clip(dense, -128, 127).astype(jnp.int8).reshape(-1)])
+    return dense_flat, entries, count
+
+
+def unpack_syn_blocks(dense_np: np.ndarray, entries_np: np.ndarray,
+                      mb_w: int, mb_h: int):
+    """Host unpack for pack_syn_blocks (None when has-big is set)."""
+    if dense_np[0]:
+        return None
+    B = mb_w * mb_h
+    dense = dense_np[5:].astype(np.int16).reshape(B, 20)
+    syn = {}
+    off = 0
+    for k, sz in _SPARSE_DENSE:
+        shape = dict(SYN_PACK_LAYOUT)[k]
+        syn[k] = dense[:, off:off + sz].reshape((mb_h, mb_w) + shape)
+        off += sz
+    syn["mv"] = syn["mv8"][:, :, 0, 0]
+    count = sparse_count(dense_np)
+    blocks = np.zeros((B * 24, 16), np.int16)
+    if count:
+        rows = entries_np[:count].view(np.uint8)
+        ids = rows[:, :4].astype(np.uint32) \
+            @ (1 << np.arange(0, 32, 8, dtype=np.uint32))
+        nib = rows[:, 4:]
+        n0 = (nib & 15).astype(np.int16)
+        n1 = ((nib >> 4) & 15).astype(np.int16)
+        vals = np.concatenate([n0 - ((n0 > 7) << 4),
+                               n1 - ((n1 > 7) << 4)], axis=1)
+        blocks[ids.astype(np.int64)] = vals
+    blocks = blocks.reshape(B, 24, 16)
+    syn["luma_levels"] = blocks[:, :16].reshape(mb_h, mb_w, 16, 16)
+    syn["chroma_ac_levels"] = blocks[:, 16:].reshape(mb_h, mb_w, 2, 4, 16)
+    syn["luma_nnz"] = np.count_nonzero(
+        syn["luma_levels"], axis=-1).astype(np.int16)
+    syn["chroma_nnz_ac"] = np.count_nonzero(
+        syn["chroma_ac_levels"], axis=-1).astype(np.int16)
+    syn["chroma_nz_dc"] = (syn["chroma_dc_levels"] != 0).any(-1) \
+        .astype(np.int16)
+    return syn
+
+
 def unpack_syn_sparse(dense_np: np.ndarray, rows_np: np.ndarray,
                       mb_w: int, mb_h: int):
     """Host-side unpack for pack_syn_sparse; rows_np holds at least the
@@ -1211,7 +1361,7 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                    mv_range: int, dct_decimate: bool,
                    me_parallel: bool = False, fast_pskip: bool = True,
                    partitions: bool = False, n_ref: int = 1,
-                   subme: int = 1, cqm=None):
+                   subme: int = 1, cqm=None, nr_offset=None):
     """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
     / mc.pad_chroma on the DEBLOCKED reference(s) — with n_ref > 1 they
     carry a leading reference axis (nearest first, x264_reference_build
@@ -1296,7 +1446,8 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                                (mb_h, mb_w, 2, 2, 2))
     out = encode_p_residual(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv,
                             mv8, qp, qpc, mb_w, mb_h, dct_decimate,
-                            force_skip=skip_ok, cqm=cqm)
+                            force_skip=skip_ok, cqm=cqm,
+                            nr_offset=nr_offset)
     out["mv"] = mv8[:, :, 0, 0]
     out["mv8"] = mv8
     out["partition"] = part

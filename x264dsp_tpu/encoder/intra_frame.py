@@ -651,3 +651,48 @@ def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
     out["recon_u"] = ru[PAD:PAD + H // 2, PAD:PAD + W // 2]
     out["recon_v"] = rv[PAD:PAD + H // 2, PAD:PAD + W // 2]
     return out
+
+
+# I-slice syntax wire layout (the CABAC/CAVLC I writers' input set,
+# entropy/native.py write_slice_i / write_slice_cabac is_p=0)
+SYN_I_LAYOUT = (
+    ("mb_type", ()),
+    ("i16_mode", ()),
+    ("i4_modes", (16,)),
+    ("chroma_mode", ()),
+    ("cbp_luma", ()),
+    ("cbp_chroma", ()),
+    ("luma_levels", (16, 16)),
+    ("luma_nnz", (16,)),
+    ("luma_dc_levels", (16,)),
+    ("nz_luma_dc", ()),
+    ("chroma_dc_levels", (2, 4)),
+    ("chroma_ac_levels", (2, 4, 16)),
+    ("chroma_nnz_ac", (2, 4)),
+    ("chroma_nz_dc", (2,)),
+)
+
+
+def pack_syn_i8(out: dict, mb_w: int, mb_h: int):
+    """int8 wire pack of the I-slice syntax (element [0] = has-big flag:
+    any field outside int8 → caller falls back to int16 pulls)."""
+    parts = [out[k].reshape(-1) for k, _ in SYN_I_LAYOUT]
+    flat = jnp.concatenate(parts)
+    has_big = jnp.any((flat > 127) | (flat < -128)).astype(jnp.int8)
+    return jnp.concatenate([has_big[None],
+                            jnp.clip(flat, -128, 127).astype(jnp.int8)])
+
+
+def unpack_syn_i8(buf8: np.ndarray, mb_w: int, mb_h: int):
+    """Host-side views for pack_syn_i8 (None when has-big is set)."""
+    if buf8[0]:
+        return None
+    B = mb_w * mb_h
+    syn = {}
+    off = 1
+    for k, shape in SYN_I_LAYOUT:
+        n = B * int(np.prod(shape)) if shape else B
+        syn[k] = buf8[off:off + n].astype(np.int16) \
+            .reshape((mb_h, mb_w) + shape)
+        off += n
+    return syn

@@ -138,6 +138,13 @@ class RateControl:
         self.frame_size_planned = 0.0
         self.pred = {t: _Predictor()
                      for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
+        # per-row VBV (x264_ratecontrol_mb): [0] main row predictor,
+        # [1] intra fallback (row_preds init, ratecontrol.c:454-461)
+        self.row_pred = {t: [_Predictor(coeff=0.25, coeff_min=0.25 / 4),
+                             _Predictor(coeff=0.25, coeff_min=0.25 / 4)]
+                         for t in (P.SLICE_TYPE_I, P.SLICE_TYPE_P)}
+        # previous frame's row data (f_row_qp/qscale, i_row_satd/bits)
+        self.prev_row = None
         if p.rc.i_vbv_max_bitrate > 0 and p.rc.i_vbv_buffer_size > 0:
             vbv_buffer_size = p.rc.i_vbv_buffer_size
             if vbv_buffer_size < int(p.rc.i_vbv_max_bitrate / self.fps):
@@ -311,6 +318,131 @@ class RateControl:
         if self.b_vbv:
             limit = min(limit, self.buffer_fill)
         return max(limit, 1.0)
+
+    # ---- per-row VBV (x264_ratecontrol_mb, ratecontrol.c:599-780) ----
+    def _predict_row_size(self, pred0, pred1, pict_type, row_satd, y,
+                          qscale):
+        """predict_row_size (:599-626): average of the SATD predictor
+        and the colocated previous-frame row scaled by satd and qscale
+        ratios; intra fallback when our QP undercuts the reference's."""
+        prev = self.prev_row
+        pred_s = pred0.predict(qscale, row_satd[y])
+        if (pict_type == P.SLICE_TYPE_I or prev is None
+                or qscale >= prev["qscale"][y]):
+            if (pict_type == P.SLICE_TYPE_P and prev is not None
+                    and prev["type"] == pict_type
+                    and prev["qscale"][y] > 0 and prev["satd"][y] > 0
+                    and abs(prev["satd"][y] - row_satd[y])
+                    < row_satd[y] / 2):
+                pred_t = (prev["bits"][y] * row_satd[y] / prev["satd"][y]
+                          * prev["qscale"][y] / qscale)
+                return (pred_s + pred_t) * 0.5
+            return pred_s
+        return pred1.predict(qscale, row_satd[y]) + pred_s
+
+    def row_vbv_adjust(self, pict_type, row_qp, row_bits, row_satd):
+        """One simulated walk of the reference's end-of-row QP-step
+        loops (:651-780) over MEASURED row bits at the current per-row
+        QP ramp. The device encodes whole frames, so instead of
+        re-encoding from the violating row mid-stream, the caller
+        re-encodes the frame with the returned ramp and iterates to a
+        fixed point. Predictors adapt on a scratch copy (the real ones
+        update once per final frame in row_vbv_commit). Returns the new
+        integer per-row QP ramp, or None when the walk changes nothing."""
+        if not self.b_vbv or len(row_bits) < 2:
+            return None
+        import copy
+        p = self.param
+        pred0 = copy.deepcopy(self.row_pred[pict_type][0])
+        pred1 = copy.deepcopy(self.row_pred[pict_type][1])
+        n = len(row_bits)
+        new_qp = np.asarray(row_qp, np.float64).copy()
+        prev = self.prev_row
+        buffer_left_planned = self.buffer_fill - self.frame_size_planned
+        slice_size_planned = self.frame_size_planned
+        max_frame_error = max(0.05, 1.0 / n)
+        bits_so_far = 0.0
+        for y in range(n - 1):
+            qpm = float(new_qp[y])
+            qs_y = qp2qscale(qpm)
+            pred0.update(qs_y, row_satd[y], row_bits[y])
+            if (pict_type == P.SLICE_TYPE_P and prev is not None
+                    and qpm < prev["qp"][y]):
+                pred1.update(qs_y, row_satd[y], row_bits[y])
+            bits_so_far += row_bits[y]
+
+            prev_row_qp = qpm
+            qp_absolute_max = float(p.rc.i_qp_max)
+            qp_max = min(prev_row_qp + p.rc.i_qp_step, qp_absolute_max)
+            qp_min = max(prev_row_qp - p.rc.i_qp_step,
+                         float(p.rc.i_qp_min))
+            step = 0.5
+            rc_tol = buffer_left_planned * self.rate_tolerance
+
+            def b1_at(q, y=y):
+                qs = qp2qscale(q)
+                return bits_so_far + sum(
+                    self._predict_row_size(pred0, pred1, pict_type,
+                                           row_satd, i, qs)
+                    for i in range(y + 1, n))
+
+            b1 = b1_at(qpm)
+            if bits_so_far < 0.05 * slice_size_planned:
+                qp_max = qp_absolute_max = prev_row_qp
+            if pict_type != P.SLICE_TYPE_I:
+                rc_tol *= 0.5
+            if not self.b_vbv_min_rate:
+                qp_min = max(qp_min, self.qp_novbv)
+            while (qpm < qp_max
+                   and ((b1 > self.frame_size_planned + rc_tol)
+                        or (self.buffer_fill - b1
+                            < buffer_left_planned * 0.5)
+                        or (b1 > self.frame_size_planned
+                            and qpm < self.qp_novbv))):
+                qpm += step
+                b1 = b1_at(qpm)
+            while (qpm > qp_min
+                   and (qpm > new_qp[0] or self.single_frame_vbv)
+                   and ((b1 < self.frame_size_planned * 0.8
+                         and qpm <= prev_row_qp)
+                        or b1 < (self.buffer_fill - self.buffer_size
+                                 + self.buffer_rate) * 1.1)):
+                qpm -= step
+                b1 = b1_at(qpm)
+            # avoid VBV underflow / MinCR violation (:746-752)
+            while (qpm < qp_absolute_max
+                   and ((self.buffer_fill - b1
+                         < self.buffer_rate * max_frame_error)
+                        or (self.frame_size_maximum - b1
+                            < self.frame_size_maximum
+                            * max_frame_error))):
+                qpm += step
+                b1 = b1_at(qpm)
+            new_qp[y + 1:] = qpm
+        ramp = np.clip(np.round(new_qp), p.rc.i_qp_min,
+                       p.rc.i_qp_max).astype(np.int32)
+        if np.array_equal(ramp, np.asarray(row_qp, np.int32)):
+            return None
+        return ramp
+
+    def row_vbv_commit(self, pict_type, row_qp, row_bits, row_satd):
+        """End-of-frame predictor update + previous-frame row snapshot
+        (the :675-681 updates, once per FINAL encode of the frame)."""
+        n = len(row_bits)
+        qscales = np.array([qp2qscale(float(q)) for q in row_qp])
+        prev = self.prev_row
+        for y in range(n):
+            self.row_pred[pict_type][0].update(qscales[y], row_satd[y],
+                                               row_bits[y])
+            if (pict_type == P.SLICE_TYPE_P and prev is not None
+                    and row_qp[y] < prev["qp"][y]):
+                self.row_pred[pict_type][1].update(
+                    qscales[y], row_satd[y], row_bits[y])
+        self.prev_row = {"type": pict_type,
+                         "qp": np.asarray(row_qp, np.float64),
+                         "qscale": qscales,
+                         "satd": np.asarray(row_satd, np.float64),
+                         "bits": np.asarray(row_bits, np.float64)}
 
     def _update_vbv_plan(self, overhead: float):
         """update_vbv_plan (ratecontrol.c:959-966)."""

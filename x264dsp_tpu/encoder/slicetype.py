@@ -175,12 +175,14 @@ class SlicetypeDecider:
             icost, _ = lowres_costs(low, low4, bw=bw, bh=bh)
             cost = int(np.asarray(icost.sum()))
             sc = True
+            cmap = icost
         else:
             icost, pcost = lowres_costs(low, self.prev_lowres, bw=bw, bh=bh)
             isum = int(np.asarray(icost.sum()))
             psum = int(np.asarray(pcost.sum()))
             sc = self._scenecut(isum, psum, gop)
             cost = isum if (force_i or sc) else psum
+            cmap = icost if (force_i or sc) else pcost
 
         is_key = force_i or (sc and self.param.i_scenecut_threshold > 0
                              and gop >= max(self.param.i_keyint_min, 1))
@@ -189,6 +191,10 @@ class SlicetypeDecider:
             self.last_keyframe = self.frame_idx
         self.prev_lowres = low4   # full pyramid: lowres hpel for the ME
         self.frame_idx += 1
+        # per-MB-row lowres cost (fdec->i_row_satd twin filled by
+        # x264_rc_analyse_slice, slicetype.c:605-642) for row-VBV
+        self.row_costs = np.asarray(cmap).reshape(bh, -1).sum(axis=1) \
+            .astype(np.int64)
         return slice_type, is_key, cost
 
     def _scenecut(self, icost: int, pcost: int, gop: int) -> bool:

@@ -137,8 +137,17 @@ def _out_buf(cap: int) -> np.ndarray:
     return buf
 
 
+def _row_bits_arg(row_bits):
+    """row_bits: optional np.int64 (mb_h,) out-array for cumulative
+    end-of-row bit positions (per-row VBV, ratecontrol.c:599-780)."""
+    if row_bits is None:
+        return ctypes.c_void_p(0)
+    assert row_bits.dtype == np.int64 and row_bits.flags.c_contiguous
+    return row_bits.ctypes.data_as(ctypes.c_void_p)
+
+
 def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
-                  syn: dict, qp_mb=None) -> bytes | None:
+                  syn: dict, qp_mb=None, row_bits=None) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
@@ -159,12 +168,13 @@ def write_slice_i(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
         keep.append(arr)
         args.append(arr.ctypes.data_as(ctypes.c_void_p))
     args.append(_qp_arg(keep, qp_mb))
+    args.append(_row_bits_arg(row_bits))
     n = lib.x264tpu_write_slice_i(*args)
     return out[:n].tobytes()
 
 
 def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
-                  syn: dict, qp_mb=None, n_ref: int = 1):
+                  syn: dict, qp_mb=None, n_ref: int = 1, row_bits=None):
     lib = get_lib()
     if lib is None:
         return None
@@ -190,6 +200,7 @@ def write_slice_p(header_bits: tuple, mb_w: int, mb_h: int, qp: int,
     args.append(_qp_arg(keep, syn.get("mv8")))
     args.append(_qp_arg(keep, syn.get("ref")))
     args.append(ctypes.c_int(n_ref))
+    args.append(_row_bits_arg(row_bits))
     n = lib.x264tpu_write_slice_p(*args)
     return out[:n].tobytes(), int(skip_count.value)
 
@@ -208,7 +219,7 @@ def nal_escape(payload: bytes) -> bytes | None:
 
 def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
                       frame_idx: int, is_p: bool, syn: dict, qp_mb=None,
-                      n_ref: int = 1):
+                      n_ref: int = 1, row_bits=None):
     """C++ CABAC slice body. header must be byte-aligned (the
     cabac_alignment_one_bit already written). Returns (payload, counts)
     with counts = [I_16x16, I_4x4, P_L0, P_SKIP], or None if the native
@@ -252,5 +263,6 @@ def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
     args.append(_qp_arg(keep, syn.get("mv8") if is_p else None))
     args.append(_qp_arg(keep, syn.get("ref") if is_p else None))
     args.append(ctypes.c_int(n_ref))
+    args.append(_row_bits_arg(row_bits))
     n = lib.x264tpu_write_slice_cabac(*args)
     return out[:n].tobytes(), counts

@@ -721,7 +721,8 @@ int64_t x264tpu_write_slice_cabac(
     const int16_t *partition /* nullable: 0..3 per MB */,
     const int16_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
     const int16_t *refidx /* nullable: per-MB ref idx */,
-    int n_ref /* active L0 refs (1 when refidx null) */) {
+    int n_ref /* active L0 refs (1 when refidx null) */,
+    int64_t *row_bits_out /* nullable: cumulative bit pos per MB row */) {
     (void)cap;
     memcpy(out, header, header_bytes);
     Cabac cb(!is_p, qp, frame_idx, out + header_bytes);
@@ -763,7 +764,7 @@ int64_t x264tpu_write_slice_cabac(
         return CBF_BASE_T[cat] + ((nzb ? 1 : 0) << 1) + (nza ? 1 : 0);
     };
 
-    for (int mby = 0; mby < mb_h; mby++)
+    for (int mby = 0; mby < mb_h; mby++) {
         for (int mbx = 0; mbx < mb_w; mbx++) {
             int mb = mby * mb_w + mbx;
             if (mb != 0) cb.terminal();
@@ -1074,6 +1075,11 @@ int64_t x264tpu_write_slice_cabac(
                         cnnz[(ch * 2 * mb_h + mby * 2 + (d >> 1)) * w2 +
                              mbx * 2 + (d & 1)] = 0;
         }
+        // x264_cabac_pos twin: bytes out + outstanding + queued bits
+        if (row_bits_out)
+            row_bits_out[mby] = (int64_t)(cb.len + cb.outstanding) * 8
+                                + cb.queue + 10;
+    }
 
     cb.flush();
     if (mb_count_out)
@@ -1112,7 +1118,8 @@ int64_t x264tpu_write_slice_i(
     const int16_t *cbp_chroma, const int16_t *nz_luma_dc,
     const int16_t *luma_levels, const int16_t *luma_dc_levels,
     const int16_t *chroma_dc_levels, const int16_t *chroma_ac_levels,
-    const int16_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */) {
+    const int16_t *qp_mb /* nullable: per-MB QP (AQ / row-VBV) */,
+    int64_t *row_bits_out /* nullable: cumulative bit pos per MB row */) {
     BitWriter bw{out, (size_t)cap};
     // preload the already-written header bits
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
@@ -1126,11 +1133,14 @@ int64_t x264tpu_write_slice_i(
     int *cc = (int *)calloc((size_t)mb_w * mb_h * 8, sizeof(int));
     Ctx c{mb_w, mb_h, lc, cc, &s};
     int last_qp = qp;
-    for (int mby = 0; mby < mb_h; mby++)
+    for (int mby = 0; mby < mb_h; mby++) {
         for (int mbx = 0; mbx < mb_w; mbx++) {
             int mqp = qp_mb ? qp_mb[mby * mb_w + mbx] : qp;
             write_mb_i(bw, c, mbx, mby, mqp, last_qp, 0);
         }
+        if (row_bits_out)
+            row_bits_out[mby] = (int64_t)bw.len * 8 + bw.nbits;
+    }
     bw.rbsp_trailing();
     free(lc); free(cc);
     return (int64_t)bw.len;
@@ -1146,7 +1156,8 @@ int64_t x264tpu_write_slice_p(
     const int16_t *partition /* nullable: 0..3 per MB */,
     const int16_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
     const int16_t *refidx /* nullable: per-MB ref idx */,
-    int n_ref /* active L0 refs (1 when refidx null) */) {
+    int n_ref /* active L0 refs (1 when refidx null) */,
+    int64_t *row_bits_out /* nullable: cumulative bit pos per MB row */) {
     BitWriter bw{out, (size_t)cap};
     for (int64_t i = 0; i < header_bytes; i++) bw.write(8, header[i]);
     if (header_bits_used) bw.write(header_bits_used,
@@ -1167,7 +1178,7 @@ int64_t x264tpu_write_slice_p(
     int last_qp = qp;
     int skip_run = 0;
     int n_skip = 0;
-    for (int mby = 0; mby < mb_h; mby++)
+    for (int mby = 0; mby < mb_h; mby++) {
         for (int mbx = 0; mbx < mb_w; mbx++) {
             int mb = mby * mb_w + mbx;
             int cl = cbp_luma[mb], cch = cbp_chroma[mb];
@@ -1228,6 +1239,11 @@ int64_t x264tpu_write_slice_p(
             }
             write_chroma_residual(bw, c, mb, mbx, mby, cch);
         }
+        // pending skip_run bits land in the row that ends the run,
+        // matching the reference's bs-position row accounting
+        if (row_bits_out)
+            row_bits_out[mby] = (int64_t)bw.len * 8 + bw.nbits;
+    }
     if (skip_run > 0) bw.write_ue(skip_run);
     bw.rbsp_trailing();
     if (skip_count_out) *skip_count_out = n_skip;

@@ -423,12 +423,10 @@ def validate_parameters(p: Param) -> Param:
 
     # slicing (encoder.c:150-162): count clipped to MB rows (our slices
     # are row-granular device bands); max_mbs converts to a row count;
-    # max_size (bytes) needs per-MB size feedback — not supported
+    # max_size (bytes, incl. NAL overhead) splits bands until each NAL
+    # fits the budget (MB-row granularity)
     p.i_slice_max_size = max(p.i_slice_max_size, 0)
     p.i_slice_max_mbs = max(p.i_slice_max_mbs, 0)
-    if p.i_slice_max_size:
-        x264_log(p, LOG_WARNING, "i_slice_max_size is not supported")
-        p.i_slice_max_size = 0
     max_slices = (p.i_height + 15) >> 4
     p.i_slice_count = clip3(p.i_slice_count, 0, max_slices)
     if p.i_slice_max_mbs:
