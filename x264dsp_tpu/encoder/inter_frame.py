@@ -401,52 +401,89 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
     lo_y = jnp.broadcast_to(mvmin_y[:, None], (mb_h, mb_w)).reshape(B)
     hi_y = jnp.broadcast_to(mvmax_y[:, None], (mb_h, mb_w)).reshape(B)
 
-    def cost_at(mx, my, satd):
-        blk = MG.mc_luma_batched(wins4, mx, my, 16, 16)
-        if satd:
-            d = PX.satd(f, blk)
-        else:
-            d = jnp.abs(f - blk).sum((1, 2))
-        return d + _mv_cost(lam, mx, my, mvpx, mvpy)
+    def make_cost_fns(wins, margin):
+        def cost_at(mx, my, satd):
+            blk = MG.mc_luma_batched(wins, mx, my, 16, 16, margin=margin)
+            if satd:
+                d = PX.satd(f, blk)
+            else:
+                d = jnp.abs(f - blk).sum((1, 2))
+            return d + _mv_cost(lam, mx, my, mvpx, mvpy)
 
-    def try_mv(bcost, bmx, bmy, mx, my, gate, satd=False):
-        c = cost_at(mx, my, satd)
-        better = gate & (c < bcost)
-        return (jnp.where(better, c, bcost), jnp.where(better, mx, bmx),
-                jnp.where(better, my, bmy))
-
-    def diamond_step(bcost, bmx, bmy, scale, gate, satd):
-        # all 4 candidates on one window read (mc_luma_multi)
-        omx, omy = bmx, bmy
-        mxs = jnp.stack([omx, omx, omx - scale, omx + scale], 1)
-        mys = jnp.stack([omy - scale, omy + scale, omy, omy], 1)
-        blks = MG.mc_luma_multi(wins4, mxs, mys, 16, 16)
-        if satd:
-            d = PX.satd(f[:, None], blks)
-        else:
-            d = jnp.abs(f[:, None] - blks).sum((2, 3))
-        for k in range(4):
-            c = d[:, k] + _mv_cost(lam, mxs[:, k], mys[:, k], mvpx, mvpy)
+        def try_mv(bcost, bmx, bmy, mx, my, gate, satd=False):
+            c = cost_at(mx, my, satd)
             better = gate & (c < bcost)
-            bcost = jnp.where(better, c, bcost)
-            bmx = jnp.where(better, mxs[:, k], bmx)
-            bmy = jnp.where(better, mys[:, k], bmy)
-        return bcost, bmx, bmy, omx, omy
+            return (jnp.where(better, c, bcost),
+                    jnp.where(better, mx, bmx), jnp.where(better, my, bmy))
+
+        def diamond_step(bcost, bmx, bmy, scale, gate, satd):
+            # all 4 candidates on one window read (mc_luma_multi)
+            omx, omy = bmx, bmy
+            mxs = jnp.stack([omx, omx, omx - scale, omx + scale], 1)
+            mys = jnp.stack([omy - scale, omy + scale, omy, omy], 1)
+            blks = MG.mc_luma_multi(wins, mxs, mys, 16, 16, margin=margin)
+            if satd:
+                d = PX.satd(f[:, None], blks)
+            else:
+                d = jnp.abs(f[:, None] - blks).sum((2, 3))
+            for k in range(4):
+                c = d[:, k] + _mv_cost(lam, mxs[:, k], mys[:, k],
+                                       mvpx, mvpy)
+                better = gate & (c < bcost)
+                bcost = jnp.where(better, c, bcost)
+                bmx = jnp.where(better, mxs[:, k], bmx)
+                bmy = jnp.where(better, mys[:, k], bmy)
+            return bcost, bmx, bmy, omx, omy
+
+        return cost_at, try_mv, diamond_step
 
     tt = jnp.ones((B,), bool)
     if try_mvp and hpel_iters:
         # try the subpel component of the MVP (me.c:484-491, subme < 3);
-        # the window clamp deviates only for |mvp| > 75 qpel candidates
+        # the window clamp deviates only for |mvp| > 75 qpel candidates.
+        # This candidate can be far from the fullpel best, so it runs on
+        # the FULL windows, before recentering.
+        _, try_mv_full, _ = make_cost_fns(wins4, MG.M_LUMA)
         mx = MG.clamp_qpel(jnp.clip(mvpx, lo_x + 2, hi_x - 2))
         my = MG.clamp_qpel(jnp.clip(mvpy, lo_y + 2, hi_y - 2))
-        bcost, bmx, bmy = try_mv(bcost, bmx, bmy, mx, my, tt)
+        bcost, bmx, bmy = try_mv_full(bcost, bmx, bmy, mx, my, tt)
+
+    # Recenter the per-MB windows around the current best's fullpel part
+    # (extract_windows4): every subsequent MC eval then reads a
+    # (B, 4, 16+2m, 16+2m) tensor instead of the ~205 MB full-window
+    # tensor — the diamond iterations are the P step's dominant cost
+    # otherwise. m covers the recipe's worst-case drift
+    # (2 qpel/hpel-iter + 1 qpel/qpel-iter), capped at 4 so the base
+    # stays inside the M_LUMA coverage; deeper subme recipes (8-11) are
+    # drift-capped by the coverage gate below.
+    m = min(4, (2 * hpel_iters + qpel_iters + 3) // 4 + 2)
+    base_x = jnp.clip(bmx >> 2, -(MG.M_LUMA - m), MG.M_LUMA - m)
+    base_y = jnp.clip(bmy >> 2, -(MG.M_LUMA - m), MG.M_LUMA - m)
+    wins_s = MG.extract_windows4(wins4, base_x, base_y, 16, 16, m)
+    bx4, by4 = base_x * 4, base_y * 4
+    bmx = bmx - bx4
+    bmy = bmy - by4
+    mvpx = mvpx - bx4
+    mvpy = mvpy - by4
+    # frame bounds translated to window-relative, intersected with the
+    # recentered window's qpel coverage
+    cov_lo, cov_hi = -4 * (m - 1), 4 * (m - 1) - 1
+    lo_x = jnp.maximum(lo_x - bx4, cov_lo)
+    hi_x = jnp.minimum(hi_x - bx4, cov_hi)
+    lo_y = jnp.maximum(lo_y - by4, cov_lo)
+    hi_y = jnp.minimum(hi_y - by4, cov_hi)
+    cost_at, try_mv, diamond_step = make_cost_fns(wins_s, m)
     # half-pel diamond iterations, SAD metric (me.c:494-517), with the
     # per-MB "centre unchanged -> stop" early termination. fori_loop
     # keeps compile time flat for the subme>=6 iteration budgets.
+    # The coverage gate never fires for the subme<=5 drift budgets (m is
+    # sized for them); it drift-caps the deeper 8-11 recipes.
     def hpel_body(_, st):
         bcost, bmx, bmy, active = st
+        inside = (active & (bmy - 2 >= cov_lo) & (bmy + 2 <= cov_hi)
+                  & (bmx - 2 >= cov_lo) & (bmx + 2 <= cov_hi))
         bcost, bmx, bmy, omx, omy = diamond_step(bcost, bmx, bmy, 2,
-                                                 active, False)
+                                                 inside, False)
         return bcost, bmx, bmy, active & ((bmx != omx) | (bmy != omy))
 
     if hpel_iters:
@@ -477,6 +514,8 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
             bcost, bmx, bmy, _ = jax.lax.fori_loop(
                 0, qpel_iters, qpel_body, (bcost, bmx, bmy, tt),
                 unroll=qpel_iters <= 2)
+    bmx = bmx + bx4
+    bmy = bmy + by4
     return jnp.stack([bmx.reshape(mb_h, mb_w), bmy.reshape(mb_h, mb_w)],
                      axis=-1)
 

@@ -182,13 +182,16 @@ def mc_luma_batched(wins4, mvx, mvy, bh: int, bw: int,
                      src1.astype(jnp.int32))
 
 
-def mc_luma_multi(wins4, mvx, mvy, bh: int, bw: int, sub_y=0, sub_x=0):
+def mc_luma_multi(wins4, mvx, mvy, bh: int, bw: int, sub_y=0, sub_x=0,
+                  margin: int = M_LUMA):
     """Batched-candidate mc_luma: mvx/mvy (B, C) qpel MVs -> (B, C, bh,
     bw) int32. ONE plane+row selection matmul over the plane-stacked
     window serves all C candidates and both qpel source planes — the
     (B, 4, W, W) window tensor is read once per call instead of 2C
     times (the HBM read dominates: ~205 MB at 1080p).
-    sub_y/sub_x: static ints or (C,)-arrays of partition offsets."""
+    sub_y/sub_x: static ints or (C,)-arrays of partition offsets.
+    margin: the window's fullpel margin (M_LUMA for luma_windows output,
+    the extract_windows4 `m` for recentered windows)."""
     B, _, Wn, _ = wins4.shape
     C = mvx.shape[1]
     wf = wins4.reshape(B, 4 * Wn, Wn)
@@ -197,8 +200,8 @@ def mc_luma_multi(wins4, mvx, mvy, bh: int, bw: int, sub_y=0, sub_x=0):
     p1 = _HPEL_REF1_J[qidx]
     sy = jnp.asarray(sub_y)[None, :] if np.ndim(sub_y) else sub_y
     sx = jnp.asarray(sub_x)[None, :] if np.ndim(sub_x) else sub_x
-    fy = (mvy >> 2) + M_LUMA + sy
-    fx = (mvx >> 2) + M_LUMA + sx
+    fy = (mvy >> 2) + margin + sy
+    fx = (mvx >> 2) + margin + sx
     y1 = fy + ((mvy & 3) == 3).astype(jnp.int32)
     x2 = fx + ((mvx & 3) == 3).astype(jnp.int32)
 
