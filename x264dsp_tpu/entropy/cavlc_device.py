@@ -1,0 +1,681 @@
+"""Device-side CAVLC entropy stage for P slices.
+
+The reference runs CAVLC *on the DSP* (encoder/cavlc.c with the
+bitstream kernels of common/bitstream-a.sa and the VLC tables of
+common/vlc.c); the round-2 design ran it on the host C++ twin
+(native/entropy.cpp:x264tpu_write_slice_p) fed by pulled syntax
+tensors, which makes the device->host syntax transfer the pipeline
+bottleneck.  This module restores the reference's placement the TPU
+way: every macroblock's CAVLC syntax elements are computed as batched
+(value, bitlen) tensors — skip runs, mb_type, te(ref), se(mvd) off the
+exact partition-aware MVP twin, cbp, dqp chain, and the full residual
+block coder (coeff_token / trailing-one signs / level prefix-suffix
+chain / total_zeros / run_before) — and the final bitstream is packed
+with a data-parallel bit-concatenation (prefix-sum of bit lengths,
+then per-32-bit-word segment sums in mod-2^32 arithmetic).  The pull
+to the host is then the *payload itself* (~the NAL size) instead of
+per-MB syntax tensors, and the host's only jobs are NAL escaping and
+framing.
+
+Byte semantics are mirrored 1:1 from the host C++ writer (which the
+tests hold byte-exact against this module): element order follows
+x264tpu_write_slice_p, tables are the ITU-T H.264 Tables 9-5..9-10
+already dumped in entropy/cavlc_tables.py, and the MV prediction
+mirrors MvGrid4 (entropy.cpp / mvpred_host.py), itself the exact twin
+of common/mvpred.c.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import cavlc_tables as T
+
+# ---------------------------------------------------------------------------
+# tables (device constants)
+# ---------------------------------------------------------------------------
+
+_CT_INDEX = np.array([0, 0, 1, 1, 2, 2, 2, 2] + [3] * 9, np.int32)
+
+# coeff_token as (6, 17, 4, 2): [table][total][t1] -> (bits, len);
+# total==0 row holds COEFF0_TOKEN
+_CTOK = np.zeros((6, 17, 4, 2), np.int32)
+for _t in range(6):
+    _CTOK[_t, 0, 0] = T.COEFF0_TOKEN[_t]
+    for _total in range(1, 17):
+        for _t1 in range(4):
+            _CTOK[_t, _total, _t1] = T.COEFF_TOKEN[_t][_total - 1][_t1]
+
+_TZ = np.zeros((15, 16, 2), np.int32)
+for _i in range(15):
+    for _j in range(16):
+        _TZ[_i, _j] = T.TOTAL_ZEROS[_i][_j]
+
+_TZ_DC = np.zeros((3, 4, 2), np.int32)
+for _i in range(3):
+    for _j in range(4):
+        _TZ_DC[_i, _j] = T.TOTAL_ZEROS_2x2_DC[_i][_j]
+
+# run_before (ITU-T Table 9-10), [min(zeros_left,7)-1][run] -> (bits, len)
+_RUN_BEFORE = np.zeros((7, 15, 2), np.int32)
+for _i, _row in enumerate([
+    [(1, 1), (0, 1)],
+    [(1, 1), (1, 2), (0, 2)],
+    [(3, 2), (2, 2), (1, 2), (0, 2)],
+    [(3, 2), (2, 2), (1, 2), (1, 3), (0, 3)],
+    [(3, 2), (2, 2), (3, 3), (2, 3), (1, 3), (0, 3)],
+    [(3, 2), (0, 3), (1, 3), (3, 3), (2, 3), (5, 3), (4, 3)],
+    [(7, 3), (6, 3), (5, 3), (4, 3), (3, 3), (2, 3), (1, 3), (1, 4),
+     (1, 5), (1, 6), (1, 7), (1, 8), (1, 9), (1, 10), (1, 11)],
+]):
+    for _j, _bl in enumerate(_row):
+        _RUN_BEFORE[_i, _j] = _bl
+
+_CBP_INTER = np.array([
+    0, 2, 3, 7, 4, 8, 17, 13, 5, 18, 9, 14, 10, 15, 16, 11,
+    1, 32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
+    6, 24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12],
+    np.int32)
+
+# coding-order position of luma 4x4 block i inside the MB
+_BIX = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3], np.int32)
+_BIY = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3], np.int32)
+
+_PART_N = np.array([1, 2, 2, 4], np.int32)
+
+# per-MB element slot budget: 17 header + 26 blocks * 34
+_HDR_SLOTS = 17
+_BLK_SLOTS = 34
+_MB_SLOTS = _HDR_SLOTS + 26 * _BLK_SLOTS
+
+
+# ---------------------------------------------------------------------------
+# exp-golomb helpers
+# ---------------------------------------------------------------------------
+
+def _bitlen(x, maxbits: int):
+    """floor(log2(x)) + 1 for x >= 1, as int32 (x < 2**maxbits)."""
+    bl = jnp.zeros(x.shape, jnp.int32)
+    for k in range(maxbits):
+        bl = bl + (x >= (1 << k)).astype(jnp.int32)
+    return bl
+
+
+def _ue(v, maxbits: int):
+    """ue(v): (val, len) with val = v + 1, len = 2*bitlen(v+1) - 1."""
+    x = v + 1
+    return x, 2 * _bitlen(x, maxbits) - 1
+
+
+def _se(v, maxbits: int):
+    code = jnp.where(v > 0, 2 * v - 1, -2 * v)
+    return _ue(code, maxbits)
+
+
+def _gate(val, length, cond):
+    c = cond.astype(jnp.int32)
+    return val * c, length * c
+
+
+# ---------------------------------------------------------------------------
+# MV grid + prediction (MvGrid4 twin over the FINAL field)
+# ---------------------------------------------------------------------------
+
+def _mv_grid(mv8, ref):
+    """(mb_h, mb_w, 2, 2, 2) quadrant MVs + per-MB ref ->
+    4x4-granular (4h, 4w, 2) mv and (4h, 4w) ref grids."""
+    mb_h, mb_w = mv8.shape[:2]
+    mv4 = jnp.repeat(jnp.repeat(mv8, 2, axis=2), 2, axis=3)
+    mv4 = mv4.transpose(0, 2, 1, 3, 4).reshape(4 * mb_h, 4 * mb_w, 2)
+    ref4 = jnp.repeat(jnp.repeat(ref, 4, axis=0), 4, axis=1)
+    return mv4, ref4
+
+
+def _cell(mv4, ref4, mb_h, mb_w, dy, dx):
+    """Grid cell at (4*mby + dy, 4*mbx + dx) for every MB: (mb_h, mb_w, 2)
+    mv and (mb_h, mb_w) ref. Out-of-frame cells read 0 (callers mask
+    with their own exists flags)."""
+    pad_mv = jnp.pad(mv4, ((4, 4), (4, 4), (0, 0)))
+    pad_rf = jnp.pad(ref4, ((4, 4), (4, 4)))
+    mv = pad_mv[4 + dy:4 + dy + 4 * mb_h:4, 4 + dx:4 + dx + 4 * mb_w:4]
+    rf = pad_rf[4 + dy:4 + dy + 4 * mb_h:4, 4 + dx:4 + dx + 4 * mb_w:4]
+    return mv, rf
+
+
+def _median3(a, b, c):
+    mn = jnp.minimum(a, jnp.minimum(b, c))
+    mx = jnp.maximum(a, jnp.maximum(b, c))
+    return a + b + c - mn - mx
+
+
+def _predict(nbs, shortcut=None):
+    """MvGrid4::predict count/median rules. nbs = [(mv, match, exists)
+    for A, B, C]; shortcut = (idx, ) spec shortcut neighbour or None.
+    mv entries must already be zeroed where not decoded."""
+    (a, m_a, ex_a), (b, m_b, ex_b), (c, m_c, ex_c) = nbs
+    cnt = (m_a.astype(jnp.int32) + m_b.astype(jnp.int32)
+           + m_c.astype(jnp.int32))
+    one = jnp.where(m_a[..., None], a, jnp.where(m_b[..., None], b, c))
+    only_a = (cnt == 0) & ~ex_b & ~ex_c & ex_a
+    med = _median3(a, b, c)
+    out = jnp.where((cnt == 1)[..., None], one,
+                    jnp.where(only_a[..., None], a, med))
+    if shortcut is not None:
+        which, mv_s = shortcut
+        out = jnp.where(which[..., None], mv_s, out)
+    return out
+
+
+def _nb(mv4, ref4, mb_h, mb_w, dy, dx, decoded, cur_ref):
+    """One neighbour for predict: returns (mv zeroed-if-undecoded,
+    match, exists=decoded)."""
+    mv, rf = _cell(mv4, ref4, mb_h, mb_w, dy, dx)
+    mv = jnp.where(decoded[..., None], mv, 0)
+    match = decoded & (rf == cur_ref)
+    return mv, match, decoded
+
+
+def mvp_field(mv8, partition, ref, mb_h: int, mb_w: int):
+    """Exact entropy MVP for all 4 partition slots of every MB, from
+    the FINAL mv/ref grid (MvGrid4::predict twin; common/mvpred.c).
+    Returns (mb_h, mb_w, 4, 2); slots beyond PART_N[part] are garbage
+    (callers gate). Also returns the P_SKIP predictor (mb_h, mb_w, 2)
+    (MvGrid4::pskip)."""
+    mv4, ref4 = _mv_grid(mv8, ref)
+    ys, xs = jnp.mgrid[0:mb_h, 0:mb_w]
+    has_l = xs > 0
+    has_t = ys > 0
+    has_tr = has_t & (xs < mb_w - 1)
+    has_tl = has_t & has_l
+    true = jnp.ones((mb_h, mb_w), bool)
+
+    def nb(dy, dx, decoded, cur_ref):
+        return _nb(mv4, ref4, mb_h, mb_w, dy, dx, decoded, cur_ref)
+
+    def predict_c_fallback(dy_c, dx_c, dec_c, dy_f, dx_f, dec_f, cur_ref,
+                           a_args, b_args, shortcut_kind=None):
+        a = nb(*a_args, cur_ref)
+        b = nb(*b_args, cur_ref)
+        c_mv, c_rf = _cell(mv4, ref4, mb_h, mb_w, dy_c, dx_c)
+        f_mv, f_rf = _cell(mv4, ref4, mb_h, mb_w, dy_f, dx_f)
+        use_f = ~dec_c
+        ex_c = jnp.where(use_f, dec_f, dec_c)
+        mv_c = jnp.where(use_f[..., None], f_mv, c_mv)
+        rf_c = jnp.where(use_f, f_rf, c_rf)
+        mv_c = jnp.where(ex_c[..., None], mv_c, 0)
+        m_c = ex_c & (rf_c == cur_ref)
+        c = (mv_c, m_c, ex_c)
+        sc = None
+        if shortcut_kind == "a":
+            sc = (a[1], a[0])
+        elif shortcut_kind == "b":
+            sc = (b[1], b[0])
+        elif shortcut_kind == "c":
+            sc = (m_c, mv_c)
+        return _predict([a, b, c], sc)
+
+    r = ref
+    # --- partition 0 (16x16), slot 0; also 16x8 slot 0 geometry ---
+    p16 = predict_c_fallback(-1, 4, has_tr, -1, -1, has_tl, r,
+                             (0, -1, has_l), (-1, 0, has_t))
+    # 16x8 slot 0: same neighbours, shortcut B
+    p_16x8_0 = predict_c_fallback(-1, 4, has_tr, -1, -1, has_tl, r,
+                                  (0, -1, has_l), (-1, 0, has_t), "b")
+    # 16x8 slot 1: A = left MB row 2 (shortcut), B = own row 1,
+    # C -> fallback left MB row 1
+    false = jnp.zeros((mb_h, mb_w), bool)
+    p_16x8_1 = predict_c_fallback(1, 4, false, 1, -1, has_l, r,
+                                  (2, -1, has_l), (1, 0, true), "a")
+    # 8x16 slot 0: A = left MB (shortcut), B = top, C = top MB x+2
+    p_8x16_0 = predict_c_fallback(-1, 2, has_t, -1, -1, has_tl, r,
+                                  (0, -1, has_l), (-1, 0, has_t), "a")
+    # 8x16 slot 1: A = own col 1, B = top x+2, C = topright (shortcut)
+    p_8x16_1 = predict_c_fallback(-1, 4, has_tr, -1, 1, has_t, r,
+                                  (0, 1, true), (-1, 2, has_t), "c")
+    # 8x8 quads
+    p_8x8_0 = predict_c_fallback(-1, 2, has_t, -1, -1, has_tl, r,
+                                 (0, -1, has_l), (-1, 0, has_t))
+    p_8x8_1 = predict_c_fallback(-1, 4, has_tr, -1, 1, has_t, r,
+                                 (0, 1, true), (-1, 2, has_t))
+    p_8x8_2 = predict_c_fallback(1, 2, true, 1, -1, has_l, r,
+                                 (2, -1, has_l), (1, 0, true))
+    p_8x8_3 = predict_c_fallback(1, 4, false, 1, 1, true, r,
+                                 (2, 1, true), (1, 2, true))
+
+    part = partition
+    s0 = jnp.where((part == 1)[..., None], p_16x8_0,
+                   jnp.where((part == 2)[..., None], p_8x16_0,
+                             jnp.where((part == 3)[..., None], p_8x8_0,
+                                       p16)))
+    s1 = jnp.where((part == 1)[..., None], p_16x8_1,
+                   jnp.where((part == 2)[..., None], p_8x16_1, p_8x8_1))
+    mvp = jnp.stack([s0, s1, p_8x8_2, p_8x8_3], axis=2)
+
+    # --- pskip predictor (cur_ref = 0 semantics) ---
+    a_mv, a_rf = _cell(mv4, ref4, mb_h, mb_w, 0, -1)
+    b_mv, b_rf = _cell(mv4, ref4, mb_h, mb_w, -1, 0)
+    m0_a = has_l & (a_rf == 0)
+    m0_b = has_t & (b_rf == 0)
+    zero_a = m0_a & (a_mv[..., 0] == 0) & (a_mv[..., 1] == 0)
+    zero_b = m0_b & (b_mv[..., 0] == 0) & (b_mv[..., 1] == 0)
+    p16_r0 = predict_c_fallback(-1, 4, has_tr, -1, -1, has_tl,
+                                jnp.zeros_like(ref),
+                                (0, -1, has_l), (-1, 0, has_t))
+    force0 = ~has_l | ~has_t | zero_a | zero_b
+    pskip = jnp.where(force0[..., None], 0, p16_r0)
+    return mvp, pskip
+
+
+# ---------------------------------------------------------------------------
+# residual block coder
+# ---------------------------------------------------------------------------
+
+def _block_elements(levels, n: int, nC, chroma_dc: bool, coded):
+    """CAVLC residual coding of a batch of blocks
+    (write_block_residual twin). levels: (N, n) zigzag levels; nC: (N,)
+    context (ignored when chroma_dc); coded: (N,) bool. Returns
+    (vals, lens) of shape (N, 34) in stream order, plus total_coeff (N,)
+    and an overflow flag."""
+    N = levels.shape[0]
+    lv = levels.astype(jnp.int32)
+    nzm = lv != 0
+    total = nzm.sum(axis=1).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    last = jnp.max(jnp.where(nzm, idx[None, :], -1), axis=1)
+    total_zeros = last + 1 - total
+
+    # nonzero coef indices, descending zigzag order: argsort of
+    # (zero-flag, -idx)
+    key = jnp.where(nzm, -idx[None, :], 1)
+    order = jnp.argsort(key, axis=1)            # (N, n)
+    nz_desc = jnp.take_along_axis(
+        jnp.broadcast_to(idx[None, :], lv.shape), order, axis=1)
+    lev = jnp.take_along_axis(lv, order, axis=1)   # lev[k] (garbage >= total)
+    k_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    valid_k = k_idx < total[:, None]
+    lev = jnp.where(valid_k, lev, 0)
+    runs = nz_desc[:, :-1] - nz_desc[:, 1:] - 1    # runs[k], valid k+1<total
+
+    # trailing ones (<= 3 leading +-1)
+    is_one = jnp.abs(lev) == 1
+    t1 = jnp.zeros((N,), jnp.int32)
+    for k in range(3):
+        t1 = t1 + ((t1 == k) & (total > k) & is_one[:, k]
+                   ).astype(jnp.int32)
+    sign_bits = jnp.zeros((N,), jnp.int32)
+    for k in range(3):
+        neg = (lev[:, k] < 0).astype(jnp.int32)
+        sign_bits = jnp.where(k < t1, (sign_bits << 1) | neg, sign_bits)
+
+    if chroma_dc:
+        table = jnp.full((N,), 4, jnp.int32)
+    else:
+        table = jnp.asarray(_CT_INDEX)[jnp.minimum(nC, 16)]
+    ctok = jnp.asarray(_CTOK.reshape(-1, 2))
+    tok = ctok[(table * 17 + total) * 4 + jnp.where(total > 0, t1, 0)]
+
+    vals = [tok[:, 0], sign_bits]
+    lens = [tok[:, 1], t1]
+
+    # level chain
+    suffix = ((total > 10) & (t1 < 3)).astype(jnp.int32)
+    overflow = jnp.zeros((), bool)
+    for k in range(n):
+        active = (k_idx[0, k] >= t1) & (k_idx[0, k] < total)
+        val_k = lev[:, k]
+        first = (k == t1) & (t1 < 3)
+        val_k = jnp.where(first, val_k - jnp.sign(val_k), val_k)
+        abs_k = jnp.abs(val_k)
+        code = 2 * abs_k - 2 + (val_k < 0).astype(jnp.int32)
+        # suffix_len == 0 path
+        v0_unary = jnp.ones_like(code)
+        l0_unary = code + 1
+        v0_esc4 = (1 << 4) | (code - 14)
+        l0_esc4 = jnp.full_like(code, 19)
+        lc0 = code - 30
+        v0_esc = (1 << 12) | (lc0 & 0xFFF)
+        l0_esc = jnp.full_like(code, 28)
+        v0 = jnp.where(code < 14, v0_unary,
+                       jnp.where(code < 30, v0_esc4, v0_esc))
+        l0 = jnp.where(code < 14, l0_unary,
+                       jnp.where(code < 30, l0_esc4, l0_esc))
+        # suffix_len > 0 path
+        pre = code >> jnp.maximum(suffix, 0)
+        mask = (1 << suffix) - 1
+        v1 = (1 << suffix) + (code & mask)
+        l1 = pre + 1 + suffix
+        lc1 = code - (15 << suffix)
+        v1_esc = (1 << 12) | (lc1 & 0xFFF)
+        l1_esc = jnp.full_like(code, 28)
+        esc1 = pre >= 15
+        v1 = jnp.where(esc1, v1_esc, v1)
+        l1 = jnp.where(esc1, l1_esc, l1)
+        val = jnp.where(suffix == 0, v0, v1)
+        ln = jnp.where(suffix == 0, l0, l1)
+        ov = jnp.where(suffix == 0, (code >= 30) & (lc0 >= (1 << 12)),
+                       esc1 & (lc1 >= (1 << 12)))
+        overflow = overflow | jnp.any(ov & active & coded)
+        v, ln = _gate(val, ln, active)
+        vals.append(v)
+        lens.append(ln)
+        # update_suffix on the ORIGINAL level
+        abs_orig = jnp.abs(lev[:, k])
+        s1 = jnp.maximum(suffix, 1)
+        s1 = s1 + ((abs_orig > (3 << (s1 - 1))) & (s1 < 6)).astype(jnp.int32)
+        suffix = jnp.where(active, s1, suffix)
+    for k in range(n, 16):
+        z = jnp.zeros((N,), jnp.int32)
+        vals.append(z)
+        lens.append(z)
+
+    # total_zeros
+    if chroma_dc:
+        tzt = jnp.asarray(_TZ_DC.reshape(-1, 2))
+        tz = tzt[jnp.maximum(total - 1, 0) * 4
+                 + jnp.clip(total_zeros, 0, 3)]
+        tz_on = (total > 0) & (total < 4)
+    else:
+        tzt = jnp.asarray(_TZ.reshape(-1, 2))
+        tz = tzt[jnp.maximum(total - 1, 0) * 16
+                 + jnp.clip(total_zeros, 0, 15)]
+        tz_on = (total > 0) & (total < n)
+    v, ln = _gate(tz[:, 0], tz[:, 1], tz_on)
+    vals.append(v)
+    lens.append(ln)
+
+    # run_before chain
+    zl = total_zeros
+    rbt = jnp.asarray(_RUN_BEFORE.reshape(-1, 2))
+    for k in range(15):
+        active = ((k + 1) < total) & (zl > 0)
+        run_k = jnp.clip(runs[:, k] if k < runs.shape[1]
+                         else jnp.zeros((N,), jnp.int32), 0, 14)
+        rb = rbt[(jnp.clip(zl, 1, 7) - 1) * 15 + run_k]
+        v, ln = _gate(rb[:, 0], rb[:, 1], active)
+        vals.append(v)
+        lens.append(ln)
+        zl = jnp.where(active, zl - run_k, zl)
+
+    V = jnp.stack(vals, axis=1)
+    L = jnp.stack(lens, axis=1)
+    cg = coded.astype(jnp.int32)[:, None]
+    return V * cg, L * cg, total * coded.astype(jnp.int32), overflow
+
+
+# ---------------------------------------------------------------------------
+# nC context grids
+# ---------------------------------------------------------------------------
+
+def _nc_from_grid(cnt, h, w):
+    """nc_ctx over a (h, w) total_coeff grid: (na + nb + 1) >> 1 with
+    border handling."""
+    na = jnp.pad(cnt, ((0, 0), (1, 0)))[:, :-1]
+    nb = jnp.pad(cnt, ((1, 0), (0, 0)))[:-1, :]
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    ex_a = xs > 0
+    ex_b = ys > 0
+    both = ex_a & ex_b
+    return jnp.where(both, (na + nb + 1) >> 1,
+                     jnp.where(ex_a, na, jnp.where(ex_b, nb, 0)))
+
+
+# ---------------------------------------------------------------------------
+# P-slice element builder
+# ---------------------------------------------------------------------------
+
+def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
+                     mb_w: int):
+    """All CAVLC syntax elements of a P slice body as (vals, lens)
+    int32 tensors of shape (B * _MB_SLOTS + 2,), in stream order, plus
+    (n_skip, overflow). The trailing 2 slots carry the end-of-frame
+    skip run and the rbsp stop bit (x264tpu_write_slice_p:1245-1249)."""
+    B = mb_h * mb_w
+    part = syn["partition"].astype(jnp.int32)
+    ref = syn["ref"].astype(jnp.int32) if "ref" in syn else \
+        jnp.zeros((mb_h, mb_w), jnp.int32)
+    cl = syn["cbp_luma"].astype(jnp.int32)
+    cch = syn["cbp_chroma"].astype(jnp.int32)
+    mv8 = syn["mv8"].astype(jnp.int32)
+    qp_mb = qp_mb.astype(jnp.int32)
+
+    mvp, pskip = mvp_field(mv8, part, ref, mb_h, mb_w)
+    mv16 = mv8[:, :, 0, 0]
+    is_skip = ((part == 0) & (ref == 0) & (cl == 0) & (cch == 0)
+               & (mv16[..., 0] == pskip[..., 0])
+               & (mv16[..., 1] == pskip[..., 1]))
+    n_skip = is_skip.sum()
+
+    flat_skip = is_skip.reshape(B)
+    idxs = jnp.arange(B, dtype=jnp.int32)
+    prev_ns = jnp.concatenate([
+        jnp.full((1,), -1, jnp.int32),
+        jax.lax.cummax(jnp.where(~flat_skip, idxs, -1))[:-1]])
+    skip_run = idxs - prev_ns - 1
+
+    # dqp chain: last coded (cl|cch != 0, non-skip) MB's qp
+    coded_mb = (~flat_skip) & ((cl | cch).reshape(B) != 0)
+    prev_coded = jnp.concatenate([
+        jnp.full((1,), -1, jnp.int32),
+        jax.lax.cummax(jnp.where(coded_mb, idxs, -1))[:-1]])
+    qp_flat = qp_mb.reshape(B)
+    last_qp = jnp.where(prev_coded >= 0,
+                        qp_flat[jnp.maximum(prev_coded, 0)], slice_qp)
+
+    ns = ~flat_skip
+    partf = part.reshape(B)
+    reff = ref.reshape(B)
+    part_n = jnp.asarray(_PART_N)[partf]
+
+    hdr_v = []
+    hdr_l = []
+    v, ln = _ue(skip_run, 16)
+    hdr_v.append(v * ns)
+    hdr_l.append(ln * ns)
+    sub_ref0 = (partf == 3) & (n_ref > 1) & (reff == 0)
+    mb_type = jnp.where(sub_ref0, 4, partf)
+    v, ln = _ue(mb_type, 4)
+    hdr_v.append(v * ns)
+    hdr_l.append(ln * ns)
+    # sub_mb_types: 4x ue(0) = 4 one-bits
+    on = ns & (partf == 3)
+    hdr_v.append(jnp.where(on, 15, 0))
+    hdr_l.append(jnp.where(on, 4, 0))
+    # ref te() per partition
+    for pi in range(4):
+        on = ns & (n_ref > 1) & ~sub_ref0 & (pi < part_n)
+        if n_ref == 2:
+            v, ln = 1 ^ reff, jnp.ones((B,), jnp.int32)
+        else:
+            v, ln = _ue(reff, 4)
+        hdr_v.append(v * on)
+        hdr_l.append(ln * on)
+    # mvd per partition
+    mvpf = mvp.reshape(B, 4, 2)
+    mv8f = mv8.reshape(B, 2, 2, 2)
+    # partition slot -> quadrant index holding its mv
+    # part0: q(0,0); part1 (16x8): rows 0/1 -> q(0,0), q(1,0);
+    # part2 (8x16): cols -> q(0,0), q(0,1); part3: all four
+    qy = jnp.stack([jnp.zeros_like(partf),
+                    jnp.where(partf == 1, 1, 0),
+                    jnp.ones_like(partf),
+                    jnp.ones_like(partf)], 1)
+    qx = jnp.stack([jnp.zeros_like(partf),
+                    jnp.where(partf >= 2, 1, 0),
+                    jnp.zeros_like(partf),
+                    jnp.ones_like(partf)], 1)
+    pm = mv8f[jnp.arange(B)[:, None], qy, qx, :]     # (B, 4, 2)
+    for pi in range(4):
+        on = ns & (pi < part_n)
+        for comp in range(2):
+            d = pm[:, pi, comp] - mvpf[:, pi, comp]
+            v, ln = _se(d, 13)
+            hdr_v.append(v * on)
+            hdr_l.append(ln * on)
+    # cbp
+    clf = cl.reshape(B)
+    cchf = cch.reshape(B)
+    v, ln = _ue(jnp.asarray(_CBP_INTER)[(cchf << 4) | clf], 6)
+    hdr_v.append(v * ns)
+    hdr_l.append(ln * ns)
+    # dqp
+    on = ns & ((clf | cchf) != 0)
+    v, ln = _se(qp_flat - last_qp, 7)
+    hdr_v.append(v * on)
+    hdr_l.append(ln * on)
+
+    hdr_V = jnp.stack(hdr_v, 1)                      # (B, 17)
+    hdr_L = jnp.stack(hdr_l, 1)
+
+    # ---- residual blocks ----
+    # luma total_coeff grid for nC (final values: nnz if block coded)
+    lvl = syn["luma_levels"].astype(jnp.int32).reshape(B, 16, 16)
+    blk_coded = (ns[:, None]
+                 & (((clf[:, None] >> (jnp.arange(16)[None, :] >> 2))
+                     & 1) == 1))
+    nnz_blk = (lvl != 0).sum(axis=2) * blk_coded     # (B, 16)
+    # scatter to the 4x4 position grid
+    cnt = jnp.zeros((mb_h, 4, mb_w, 4), jnp.int32)
+    cnt = cnt.at[:, jnp.asarray(_BIY), :, jnp.asarray(_BIX)].set(
+        nnz_blk.reshape(mb_h, mb_w, 16).transpose(2, 0, 1))
+    cnt = cnt.reshape(mb_h * 4, mb_w * 4)
+    nc_grid = _nc_from_grid(cnt, mb_h * 4, mb_w * 4)
+    # gather per coding-order block
+    by = (jnp.arange(mb_h)[:, None, None] * 4
+          + jnp.asarray(_BIY)[None, None, :])
+    bx = (jnp.arange(mb_w)[None, :, None] * 4
+          + jnp.asarray(_BIX)[None, None, :])
+    nc_luma = nc_grid[by, bx].reshape(B, 16)
+
+    lv_flat = lvl.reshape(B * 16, 16)
+    Vl, Ll, _, ov1 = _block_elements(
+        lv_flat, 16, nc_luma.reshape(B * 16), False,
+        blk_coded.reshape(B * 16))
+
+    # chroma DC
+    cdc = syn["chroma_dc_levels"].astype(jnp.int32).reshape(B, 2, 4)
+    dc_coded = jnp.repeat((ns & (cchf > 0))[:, None], 2, 1)
+    Vd, Ld, _, ov2 = _block_elements(
+        cdc.reshape(B * 2, 4), 4, jnp.zeros((B * 2,), jnp.int32), True,
+        dc_coded.reshape(B * 2))
+
+    # chroma AC: (B, 2, 4, 16) -> 15 coefs
+    cac = syn["chroma_ac_levels"].astype(jnp.int32).reshape(B, 2, 4, 16)
+    ac_coded_mb = ns & (cchf == 2)
+    ac_nnz = (cac[..., 1:] != 0).sum(axis=3) * ac_coded_mb[:, None, None]
+    # chroma cnt grids per channel (2h, 2w)
+    nc_ac = []
+    for ch in range(2):
+        g = ac_nnz[:, ch].reshape(mb_h, mb_w, 2, 2) \
+            .transpose(0, 2, 1, 3).reshape(mb_h * 2, mb_w * 2)
+        ncg = _nc_from_grid(g, mb_h * 2, mb_w * 2)
+        nc_ac.append(ncg.reshape(mb_h, 2, mb_w, 2)
+                     .transpose(0, 2, 1, 3).reshape(B, 4))
+    nc_ac = jnp.stack(nc_ac, 1)                      # (B, 2, 4)
+    Va, La, _, ov3 = _block_elements(
+        cac[..., 1:].reshape(B * 8, 15), 15, nc_ac.reshape(B * 8), False,
+        jnp.repeat(ac_coded_mb[:, None], 8, 1).reshape(B * 8))
+
+    # ---- assemble stream order: hdr | luma*16 | cdc*2 | cac*8 ----
+    V = jnp.concatenate([
+        hdr_V, Vl.reshape(B, 16 * _BLK_SLOTS),
+        Vd.reshape(B, 2 * _BLK_SLOTS), Va.reshape(B, 8 * _BLK_SLOTS)],
+        axis=1).reshape(B * _MB_SLOTS)
+    L = jnp.concatenate([
+        hdr_L, Ll.reshape(B, 16 * _BLK_SLOTS),
+        Ld.reshape(B, 2 * _BLK_SLOTS), La.reshape(B, 8 * _BLK_SLOTS)],
+        axis=1).reshape(B * _MB_SLOTS)
+
+    # trailing skip run + rbsp stop bit (zero byte-align is implicit:
+    # the packed buffer beyond the stop bit is zero)
+    trail = B - 1 - jax.lax.cummax(jnp.where(~flat_skip, idxs, -1))[B - 1]
+    tv, tl = _ue(trail, 16)
+    on = trail > 0
+    V = jnp.concatenate([V, jnp.stack([tv * on, jnp.ones((), jnp.int32)])])
+    L = jnp.concatenate([L, jnp.stack([tl * on, jnp.ones((), jnp.int32)])])
+    return V, L, n_skip, (ov1 | ov2 | ov3)
+
+
+# ---------------------------------------------------------------------------
+# data-parallel bit packing
+# ---------------------------------------------------------------------------
+
+def bitpack(vals, lens, header_vals, header_lens, cap_bytes: int):
+    """Concatenate elements (header first) into a byte buffer.
+
+    vals/lens: (N,) int32, len in [0, 28]; header_vals/lens: (Hn,)
+    int32 (the byte-aligned-or-not slice header). Returns (bytes
+    uint8 (cap_bytes,), total_bits int32).
+
+    Method: P = exclusive prefix sum of lens -> each element's bits
+    land in 32-bit words P>>5 and (P>>5)+1; contributions are summed
+    per word with a mod-2^32 cumulative sum read at word boundaries
+    (bits of one word never carry: they are disjoint), boundaries
+    located with searchsorted over the monotone word indices."""
+    v = jnp.concatenate([header_vals.astype(jnp.uint32),
+                         vals.astype(jnp.uint32)])
+    ln = jnp.concatenate([header_lens.astype(jnp.int32),
+                          lens.astype(jnp.int32)])
+    N = v.shape[0]
+    P = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.cumsum(ln)])           # (N+1,)
+    total_bits = P[-1]
+    P = P[:-1]
+    word = P >> 5
+    off = P & 31
+    # MSB-align into a u32, then split across the word boundary
+    # (shift amounts clamped to < 32: equal-to-width shifts are UB in
+    # XLA; the clamped lanes are masked off by the where)
+    sh = jnp.clip(32 - ln, 0, 31).astype(jnp.uint32)
+    A = jnp.where(ln > 0, v << sh, 0)
+    hi = A >> off.astype(jnp.uint32)
+    rem = jnp.clip(32 - off, 0, 31).astype(jnp.uint32)
+    lo = jnp.where(off > 0, A << rem, 0)
+
+    W = cap_bytes // 4
+    # mod-2^32 cumulative sums (int32 wraparound == uint32 mod)
+    Chi = jnp.cumsum(hi.astype(jnp.int32))
+    Clo = jnp.cumsum(lo.astype(jnp.int32))
+    # first element index of each word (elements sorted by word)
+    ws = jnp.arange(W, dtype=jnp.int32)
+    first = jnp.searchsorted(word, ws, side="left").astype(jnp.int32)
+    after = jnp.searchsorted(word, ws, side="right").astype(jnp.int32)
+    Chi0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), Chi])
+    Clo0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), Clo])
+    whi = Chi0[jnp.minimum(after, N)] - Chi0[jnp.minimum(first, N)]
+    # lo parts spill into word+1
+    first_l = jnp.searchsorted(word, ws - 1, side="left").astype(jnp.int32)
+    after_l = jnp.searchsorted(word, ws - 1, side="right").astype(jnp.int32)
+    wlo = Clo0[jnp.minimum(after_l, N)] - Clo0[jnp.minimum(first_l, N)]
+    words = (whi + wlo).astype(jnp.uint32)
+    b = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
+                   (words >> 8) & 0xFF, words & 0xFF], axis=1)
+    return b.reshape(-1).astype(jnp.uint8), total_bits
+
+
+def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
+                    mb_w: int, header_vals, header_lens, cap_bytes: int):
+    """Full device CAVLC P-slice payload: header + MB stream + trailing
+    bits, packed. Returns (bytes (cap_bytes,), total_bits, n_skip,
+    overflow)."""
+    V, L, n_skip, ov = cavlc_p_elements(syn, qp_mb, slice_qp, n_ref,
+                                        mb_h, mb_w)
+    payload, bits = bitpack(V, L, header_vals, header_lens, cap_bytes)
+    return payload, bits, n_skip, ov
+
+
+def header_elements(header: bytes, nbits_partial: int, max_slots: int = 16):
+    """Host helper: slice-header bytes (+ trailing partial bits) as
+    fixed-size (vals, lens) arrays for bitpack."""
+    hv = np.zeros(max_slots, np.int32)
+    hl = np.zeros(max_slots, np.int32)
+    nfull = len(header) - (1 if nbits_partial else 0)
+    assert nfull + (1 if nbits_partial else 0) <= max_slots
+    for i in range(nfull):
+        hv[i] = header[i]
+        hl[i] = 8
+    if nbits_partial:
+        hv[nfull] = header[nfull] >> (8 - nbits_partial)
+        hl[nfull] = nbits_partial
+    return hv, hl
