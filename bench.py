@@ -9,12 +9,15 @@ GOP, common/common.c:51):
   device: P-frame encode (Pallas ME cost surfaces + MV decision +
           P-SKIP probe + plane-resident residual + device strengths) or
           the I-frame wavefront, + in-loop deblock + hpel reference
-          update + the block-granular syntax wire pack
-  host:   C++ CABAC entropy (real byte-aligned slice header) on the
-          pulled wire, overlapped with the device encode of the next
-          frame (the reference's row-lag pipeline, encoder.c:1359,
-          reborn as frame-lag: frame N+1 is dispatched BEFORE frame N's
-          wire is pulled, so transfer and entropy hide under compute).
+          update + the DEVICE CAVLC entropy stage (baseline profile —
+          the BASELINE.json north-star config; the packed slice
+          payloads themselves cross the wire)
+  host:   exact-size payload pull + C++ nal_escape + NAL framing for P;
+          i8 syntax wire + C++ CAVLC writers for the keyint I share —
+          overlapped with the device encode of the next frame (the
+          reference's row-lag pipeline, encoder.c:1359, reborn as
+          frame-lag: frame N+1 is dispatched BEFORE frame N's wire is
+          pulled, so transfer and entropy hide under compute).
 End-to-end fps = frames / wall-clock including both stages.
 
 A second stderr line reports the public-API path (cli.py flow: RC/AQ/
@@ -115,15 +118,11 @@ def main():
     import jax
     import jax.numpy as jnp
     from x264dsp_tpu.encoder import intra_frame as IFR
-    from x264dsp_tpu.encoder.inter_frame import (encode_p_frame,
-                                                 pack_syn_blocks,
-                                                 pack_syn_p, pack_syn_p8,
-                                                 unpack_syn_blocks,
-                                                 unpack_syn_p,
-                                                 unpack_syn_p8)
+    from x264dsp_tpu.encoder.inter_frame import encode_p_frame
     from x264dsp_tpu.ops import deblock as DB
     from x264dsp_tpu.ops import mc as MC
     from x264dsp_tpu.entropy import native
+    from x264dsp_tpu.entropy import cavlc_device as CD
 
     streams = int(os.environ.get("BENCH_STREAMS", "4"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "24"))
@@ -133,7 +132,9 @@ def main():
     zero_mb = jnp.zeros((MB_H, MB_W), jnp.int32)
     synth = make_synth_device()
     B = MB_W * MB_H
-    DLEN = 5 + B * 20              # dense segment of the P wire
+    # per-stream payload cap for the device CAVLC pack (worst bench
+    # frame measured ~125 KB)
+    CAP_S = 256 * 1024
 
     def deblock(out, S, intra):
         mode = "all" if intra else "none"
@@ -153,117 +154,107 @@ def main():
         return (jax.vmap(MC.make_ref_planes)(dy),
                 jax.vmap(MC.pad_chroma)(du), jax.vmap(MC.pad_chroma)(dv))
 
+    # CAVLC P slice header (baseline profile, the BASELINE.json north
+    # star): first_mb, slice_type P, pps, frame_num, flags, dqp,
+    # deblock idc + offsets
+    from x264dsp_tpu.entropy.bitstream import BitWriter
+    hw = BitWriter()
+    hw.write_ue(0)
+    hw.write_ue(5)
+    hw.write_ue(0)
+    hw.write(4, 1)
+    hw.write1(0)
+    hw.write1(0)
+    hw.write1(0)
+    hw.write_se(0)
+    hw.write_ue(0)
+    hw.write_se(0)
+    hw.write_se(0)
+    hv_np, hl_np = CD.header_elements(*hw.get_unaligned())
+    hv_j, hl_j = jnp.asarray(hv_np), jnp.asarray(hl_np)
+
     def p_step_batched(ts, ref4, refu, refv):
         """Batched conformant P step: encode + strengths + deblock +
-        hpel reference update + the block wire, ONE jit."""
+        hpel reference update + the DEVICE CAVLC entropy stage, ONE
+        jit. The wire pulled to the host is the packed slice payloads
+        themselves (entropy/cavlc_device.py) — the host only escapes
+        and frames the NALs."""
+        S = ts.shape[0]
         fy, fu, fv = jax.vmap(synth)(ts)
         out = jax.vmap(lambda a, b, c, d, e, f: encode_p_frame.__wrapped__(
             a, b, c, d, e, f, QP, qpc, lam,
             mb_w=MB_W, mb_h=MB_H, me_range=16, mv_range=512,
             dct_decimate=True, me_parallel=True))(fy, fu, fv,
                                                   ref4, refu, refv)
-        dy, du, dv = deblock(out, ts.shape[0], intra=False)
-        dense, entries, _ = jax.vmap(
-            lambda o: pack_syn_blocks(o, MB_W, MB_H))(out)
-        wire = jnp.concatenate(
-            [dense.astype(jnp.uint8),
-             entries.reshape(ts.shape[0], -1)], axis=1)
-        return wire, refs_of(dy, du, dv)
+        dy, du, dv = deblock(out, S, intra=False)
+        syn = {k: out[k] for k in
+               ("partition", "ref", "cbp_luma", "cbp_chroma", "mv8",
+                "luma_levels", "chroma_dc_levels", "chroma_ac_levels")}
+        qp_mb = jnp.full((S, MB_H, MB_W), QP, jnp.int32)
+        payload, off, n_skip, ov = CD.cavlc_p_payload_batched(
+            syn, qp_mb, QP, 1, MB_H, MB_W, hv_j, hl_j,
+            cap_bytes=CAP_S * S)
+        return (payload, off, ov), refs_of(dy, du, dv)
+
+    # device CAVLC I slice header (IDR)
+    hwi = BitWriter()
+    hwi.write_ue(0)           # first_mb
+    hwi.write_ue(7)           # slice_type I (+5)
+    hwi.write_ue(0)           # pps id
+    hwi.write(4, 0)           # frame_num
+    hwi.write_ue(0)           # idr_pic_id
+    hwi.write1(0)             # no_output_of_prior_pics
+    hwi.write1(0)             # long_term_reference
+    hwi.write_se(0)           # qp delta
+    hwi.write_ue(0)           # deblock idc
+    hwi.write_se(0)
+    hwi.write_se(0)
+    ihv_np, ihl_np = CD.header_elements(*hwi.get_unaligned())
+    ihv_j, ihl_j = jnp.asarray(ihv_np), jnp.asarray(ihl_np)
 
     def i_step_batched(ts):
         """Batched I step (keyint share): wavefront intra encode +
-        intra deblock + reference update + int8 syntax wire."""
+        intra deblock + reference update + device CAVLC entropy."""
+        S = ts.shape[0]
         fy, fu, fv = jax.vmap(synth)(ts)
         out = jax.vmap(lambda a, b, c: IFR.encode_i_frame(
             a, b, c, QP, qpc, lam, mb_w=MB_W, mb_h=MB_H,
             use_satd=True, i4x4_enabled=True))(fy, fu, fv)
-        dy, du, dv = deblock(out, ts.shape[0], intra=True)
-        wire = jax.vmap(lambda o: IFR.pack_syn_i8(o, MB_W, MB_H))(out)
-        return wire, refs_of(dy, du, dv)
-
-    @jax.jit
-    def fallback_packs(ts, ref4, refu, refv):
-        fy, fu, fv = jax.vmap(synth)(ts)
-        out = jax.vmap(lambda a, b, c, d, e, f: encode_p_frame.__wrapped__(
-            a, b, c, d, e, f, QP, qpc, lam,
-            mb_w=MB_W, mb_h=MB_H, me_range=16, mv_range=512,
-            dct_decimate=True, me_parallel=True))(fy, fu, fv,
-                                                  ref4, refu, refv)
-        return (jax.vmap(lambda o: pack_syn_p8(o, MB_W, MB_H))(out),
-                jax.vmap(lambda o: pack_syn_p(o, MB_W, MB_H))(out))
+        dy, du, dv = deblock(out, S, intra=True)
+        syn = {k: out[k] for k in
+               ("mb_type", "i16_mode", "i4_modes", "chroma_mode",
+                "cbp_luma", "cbp_chroma", "nz_luma_dc", "luma_levels",
+                "luma_dc_levels", "chroma_dc_levels",
+                "chroma_ac_levels")}
+        qp_mb = jnp.full((S, MB_H, MB_W), QP, jnp.int32)
+        payload, off, ov = CD.cavlc_i_payload_batched(
+            syn, qp_mb, QP, MB_H, MB_W, ihv_j, ihl_j,
+            cap_bytes=2 * CAP_S * S)
+        return (payload, off, ov), refs_of(dy, du, dv)
 
     S = streams
-    # no donation: the has-big fallback must be able to re-encode from
-    # the previous refs after the next step was dispatched
     pstep = jax.jit(p_step_batched)
     istep = jax.jit(i_step_batched)
-
-    # real byte-aligned CABAC P slice header for the default PPS
-    from x264dsp_tpu.entropy.bitstream import BitWriter
-    hw = BitWriter()
-    hw.write_ue(0)            # first_mb
-    hw.write_ue(5)            # slice_type P (+5)
-    hw.write_ue(0)            # pps id
-    hw.write(4, 1)            # frame_num (log2_max 4)
-    hw.write1(0)              # num_ref_idx_override
-    hw.write1(0)              # ref_pic_list_modification
-    hw.write1(0)              # adaptive_ref_pic_marking
-    hw.write_ue(0)            # cabac_init_idc
-    hw.write_se(0)            # qp delta
-    hw.write_ue(0)            # deblock idc
-    hw.write_se(0)
-    hw.write_se(0)
-    hw.align_1()
-    p_header = hw.get_bytes()
-
-    def entropy_p(syn_np):
-        res = native.write_slice_cabac(p_header, MB_W, MB_H, QP, 1, True,
-                                       syn_np)
-        assert res is not None, "native entropy library unavailable"
-        return len(res[0])
-
-    def entropy_i(syn_np):
-        res = native.write_slice_cabac(p_header, MB_W, MB_H, QP, 0, False,
-                                       syn_np)
-        assert res is not None
-        return len(res[0])
 
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=min(max(S, 2), 8))
 
     def entropy_batch(prev):
-        """Pull the previous step's wire (one host-visible array) and
-        run host entropy for each stream in the pool."""
-        kind, wire, fb_args = prev
-        bw_ = np.asarray(wire)
-        nbytes = 0
-        if kind == "I":
-            def one_i(s):
-                syn = IFR.unpack_syn_i8(bw_[s].view(np.int8), MB_W, MB_H)
-                assert syn is not None
-                return entropy_i(syn)
-            return sum(pool.map(one_i, range(S)))
+        """Pull the previous step's output and finish the NALs: meta
+        pull (per-stream byte offsets) + ONE exact-size payload pull —
+        the payload IS the entropy-coded slice body (device CAVLC);
+        the host only runs the C++ nal_escape and frames the NAL."""
+        _kind, wire, _ = prev
+        payload, off, ov = wire
+        off_np = np.asarray(off)
+        raw = np.asarray(payload[:int(off_np[-1])])
+        assert not np.asarray(ov).any(), "CAVLC level overflow"
 
-        b8 = b16 = None
-
-        def one_p(s):
-            nonlocal b8, b16
-            d = bw_[s, :DLEN].view(np.int8)
-            syn = None
-            if not d[0]:
-                syn = unpack_syn_blocks(
-                    d, bw_[s, DLEN:].reshape(-1, 12), MB_W, MB_H)
-            if syn is None:       # rare has-big escape: re-encode
-                if b8 is None:
-                    syn8, syn16 = fallback_packs(*fb_args)
-                    b8, b16 = np.asarray(syn8), syn16
-                syn = unpack_syn_p8(b8[s], MB_W, MB_H)
-                if syn is None:
-                    if not isinstance(b16, np.ndarray):
-                        b16 = np.asarray(b16)
-                    syn = unpack_syn_p(b16[s], MB_W, MB_H)
-            return entropy_p(syn)
-        return sum(pool.map(one_p, range(S)))
+        def one(s):
+            body = raw[off_np[s]:off_np[s + 1]].tobytes()
+            esc = native.nal_escape(body)
+            return 4 + 1 + len(esc if esc is not None else body)
+        return sum(pool.map(one, range(S)))
 
     def batch_ts(i):
         # frame phase: triangle wave 1,2,3,4,3,2,... — steady |delta|=1
@@ -280,14 +271,11 @@ def main():
         wire, refs2 = pstep(batch_ts(i), *refs)
         return ("P", wire, (batch_ts(i),) + refs), refs2
 
-    # bootstrap refs from an I step + warm all compiles (including the
-    # has-big fallback — compiling it mid-loop would bill ~2 min of
-    # compile to one frame)
+    # bootstrap refs from an I step + warm all compiles
     warm_i, refs = istep(batch_ts(0))
     entropy_batch(("I", warm_i, None))
     warm_p, refs = pstep(batch_ts(1), *refs)
     entropy_batch(("P", warm_p, None))
-    jax.block_until_ready(fallback_packs(batch_ts(1), *refs))
     jax.block_until_ready(refs)
 
     # timed loop, one batch in flight: dispatch N+1, then pull + entropy
@@ -318,9 +306,10 @@ def main():
             print(f"public-API path failed: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": (f"1080p IPPP+keyint{KEYINT} steady pipeline fps/chip "
-                   f"({S}-stream aggregate: device encode+deblock+ref "
-                   f"update + wire pull + C++ CABAC entropy)"),
+        "metric": (f"1080p IPPP+keyint{KEYINT} baseline-profile steady "
+                   f"pipeline fps/chip ({S}-stream aggregate: device "
+                   f"encode+deblock+ref update+device CAVLC entropy + "
+                   f"payload pull + host NAL framing)"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 300.0, 4),

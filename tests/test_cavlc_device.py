@@ -134,6 +134,101 @@ def test_device_matches_native(seed, density, parts, n_ref, scale):
     assert got == want
 
 
+def test_batched_payload_matches_per_stream():
+    """cavlc_p_payload_batched packs S byte-aligned streams back to
+    back; each must equal the native writer's payload."""
+    header = _headers()
+    hv, hl = CD.header_elements(*header)
+    S = 3
+    syns = [_rand_syn(np.random.default_rng(20 + s), density=0.35,
+                      partitions=True) for s in range(S)]
+    qp_mb = np.full((MB_H, MB_W), 26, np.int16)
+    stacked = {k: jnp.asarray(np.stack([s[k].astype(np.int32)
+                                        for s in syns]))
+               for k in ("partition", "ref", "cbp_luma", "cbp_chroma",
+                         "mv8", "luma_levels", "chroma_dc_levels",
+                         "chroma_ac_levels")}
+    qps = jnp.asarray(np.stack([qp_mb.astype(np.int32)] * S))
+    payload, off, n_skip, ov = jax.jit(
+        lambda s, q, hv, hl: CD.cavlc_p_payload_batched(
+            s, q, 26, 1, MB_H, MB_W, hv, hl, cap_bytes=1 << 16)
+    )(stacked, qps, jnp.asarray(hv), jnp.asarray(hl))
+    payload = np.asarray(payload)
+    off = np.asarray(off)
+    assert not np.asarray(ov).any()
+    for s in range(S):
+        want, _ = _run_native(syns[s], qp_mb, 26, 1, header)
+        got = payload[off[s]:off[s + 1]].tobytes()
+        assert got == want, f"stream {s} differs"
+
+
+def _rand_syn_i(rng, density=0.3, level_scale=3):
+    mb_type = rng.integers(0, 2, (MB_H, MB_W)).astype(np.int16)  # 1=I4x4
+    i4 = mb_type == 1
+    i16_mode = rng.integers(0, 4, (MB_H, MB_W)).astype(np.int16)
+    i4_modes = rng.integers(0, 9, (MB_H, MB_W, 16)).astype(np.int16)
+    chroma_mode = rng.integers(0, 4, (MB_H, MB_W)).astype(np.int16)
+    cbp_chroma = rng.integers(0, 3, (MB_H, MB_W)).astype(np.int16)
+    cbp_luma = rng.integers(0, 16, (MB_H, MB_W)).astype(np.int16)
+    # I_16x16 luma cbp is all-or-nothing
+    cbp_luma[~i4] = np.where(rng.random((MB_H, MB_W)) < 0.5, 15, 0)[~i4]
+
+    def levels(shape):
+        lv = rng.integers(-level_scale, level_scale + 1, shape)
+        return (lv * (rng.random(shape) < density)).astype(np.int16)
+
+    luma = levels((MB_H, MB_W, 16, 16))
+    luma[~i4, :, 0] = 0          # I16 AC blocks carry coefs 1..15 only
+    dc = levels((MB_H, MB_W, 16))
+    dc[i4] = 0
+    nz_dc = (dc != 0).any(-1).astype(np.int16)
+    cdc = levels((MB_H, MB_W, 2, 4))
+    cac = levels((MB_H, MB_W, 2, 4, 16))
+    cac[..., 0] = 0
+    return dict(mb_type=mb_type, i16_mode=i16_mode, i4_modes=i4_modes,
+                chroma_mode=chroma_mode, cbp_luma=cbp_luma,
+                cbp_chroma=cbp_chroma, nz_luma_dc=nz_dc,
+                luma_levels=luma, luma_dc_levels=dc,
+                chroma_dc_levels=cdc, chroma_ac_levels=cac)
+
+
+def _headers_i():
+    hw = BitWriter()
+    hw.write_ue(0)
+    hw.write_ue(7)
+    hw.write_ue(0)
+    hw.write(4, 0)
+    hw.write_ue(0)
+    hw.write1(0)
+    hw.write1(0)
+    hw.write_se(0)
+    hw.write_ue(0)
+    hw.write_se(0)
+    hw.write_se(0)
+    return hw.get_unaligned()
+
+
+@pytest.mark.parametrize("seed,density,scale", [
+    (0, 0.3, 3), (1, 0.6, 25), (2, 0.05, 1),
+])
+def test_device_i_matches_native(seed, density, scale):
+    rng = np.random.default_rng(seed)
+    syn = _rand_syn_i(rng, density=density, level_scale=scale)
+    qp_mb = rng.integers(22, 30, (MB_H, MB_W)).astype(np.int16)
+    header = _headers_i()
+    want = native.write_slice_i(header, MB_W, MB_H, 26, syn, qp_mb=qp_mb)
+    hv, hl = CD.header_elements(*header)
+    syn_j = {k: jnp.asarray(v.astype(np.int32)) for k, v in syn.items()}
+    payload, bits, ov = jax.jit(
+        lambda s, q, hv, hl: CD.cavlc_i_payload(
+            s, q, 26, MB_H, MB_W, hv, hl, cap_bytes=1 << 16)
+    )(syn_j, jnp.asarray(qp_mb.astype(np.int32)), jnp.asarray(hv),
+      jnp.asarray(hl))
+    assert not bool(ov)
+    got = np.asarray(payload)[:(int(bits) + 7) // 8].tobytes()
+    assert got == want
+
+
 def test_all_skip_frame():
     syn = _rand_syn(np.random.default_rng(9), density=0.0, skip_frac=1.0,
                     partitions=False)

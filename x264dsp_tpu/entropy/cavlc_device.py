@@ -665,6 +665,239 @@ def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
     return payload, bits, n_skip, ov
 
 
+# I-slice mode fixups (entropy.cpp:74-76 twins)
+_FIX4 = np.array([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 2, 2, 2], np.int32)
+_FIX16 = np.array([0, 1, 2, 3, 2, 2, 2], np.int32)
+_FIXC = np.array([0, 1, 2, 3, 0, 0, 0], np.int32)
+_CBP_INTRA = np.array([
+    3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
+    16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
+    41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0],
+    np.int32)
+
+# I MB slots: mb_type(1) + i4 modes(16) + chroma_mode(1) + cbp(1)
+# + dqp(1) = 20, then 27 blocks (luma DC + 16 luma + 2 cDC + 8 cAC)
+_I_HDR_SLOTS = 20
+_I_MB_SLOTS = _I_HDR_SLOTS + 27 * _BLK_SLOTS
+
+
+def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
+    """CAVLC syntax elements of an I slice body (write_mb_i twin):
+    (vals, lens) int32 (B * _I_MB_SLOTS + 1,) in stream order (the last
+    slot is the rbsp stop bit), plus the overflow flag."""
+    B = mb_h * mb_w
+    mb_type = syn["mb_type"].astype(jnp.int32)      # 1 = I_4x4
+    is_i4 = (mb_type == 1)
+    i16m = syn["i16_mode"].astype(jnp.int32)
+    i4m = syn["i4_modes"].astype(jnp.int32)         # (mb_h, mb_w, 16)
+    cmode = syn["chroma_mode"].astype(jnp.int32)
+    cl = syn["cbp_luma"].astype(jnp.int32)
+    cch = syn["cbp_chroma"].astype(jnp.int32)
+    nz_dc = syn["nz_luma_dc"].astype(jnp.int32)
+    qp_mb = qp_mb.astype(jnp.int32)
+
+    i4f = is_i4.reshape(B)
+    clf = cl.reshape(B)
+    cchf = cch.reshape(B)
+    nzf = nz_dc.reshape(B)
+    qpf = qp_mb.reshape(B)
+
+    # dqp chain: i4 updates last_qp iff cbp != 0; i16 iff cbp|nz_dc
+    updates = jnp.where(i4f, (clf | cchf) != 0,
+                        (clf != 0) | (cchf != 0) | (nzf != 0))
+    idxs = jnp.arange(B, dtype=jnp.int32)
+    prev_u = jnp.concatenate([
+        jnp.full((1,), -1, jnp.int32),
+        jax.lax.cummax(jnp.where(updates, idxs, -1))[:-1]])
+    last_qp = jnp.where(prev_u >= 0, qpf[jnp.maximum(prev_u, 0)],
+                        slice_qp)
+
+    hdr_v = []
+    hdr_l = []
+    # mb_type: I_4x4 -> ue(0); I_16x16 -> composite ue
+    fix16 = jnp.asarray(_FIX16)[jnp.clip(i16m.reshape(B), 0, 6)]
+    t16 = 1 + fix16 + cchf * 4 + jnp.where(clf != 0, 12, 0)
+    v, ln = _ue(jnp.where(i4f, 0, t16), 6)
+    hdr_v.append(v)
+    hdr_l.append(ln)
+    # prev_intra4x4_pred_mode syntax: needs the MPM grid
+    fixed4 = jnp.asarray(_FIX4)[jnp.clip(i4m + 1, 0, 12)]  # (h, w, 16)
+    mode_grid = jnp.zeros((mb_h, 4, mb_w, 4), jnp.int32)
+    mode_grid = mode_grid.at[:, jnp.asarray(_BIY), :, jnp.asarray(_BIX)] \
+        .set(fixed4.transpose(2, 0, 1))
+    mode_grid = mode_grid.reshape(mb_h * 4, mb_w * 4)
+    eff = jnp.where(jnp.repeat(jnp.repeat(is_i4, 4, 0), 4, 1),
+                    mode_grid, 2)
+    left = jnp.pad(eff, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
+    top = jnp.pad(eff, ((1, 0), (0, 0)), constant_values=-1)[:-1, :]
+    pred_g = jnp.minimum(left, top)
+    pred_g = jnp.where(pred_g < 0, 2, pred_g)
+    by = (jnp.arange(mb_h)[:, None, None] * 4
+          + jnp.asarray(_BIY)[None, None, :])
+    bx = (jnp.arange(mb_w)[None, :, None] * 4
+          + jnp.asarray(_BIX)[None, None, :])
+    pred = pred_g[by, bx].reshape(B, 16)
+    mode = fixed4.reshape(B, 16)
+    same = pred == mode
+    v4 = jnp.where(same, 1, mode - (mode > pred))
+    l4 = jnp.where(same, 1, 4)
+    for i in range(16):
+        hdr_v.append(v4[:, i] * i4f)
+        hdr_l.append(l4[:, i] * i4f)
+    # chroma mode
+    v, ln = _ue(jnp.asarray(_FIXC)[jnp.clip(cmode.reshape(B), 0, 6)], 3)
+    hdr_v.append(v)
+    hdr_l.append(ln)
+    # cbp (I_4x4 only; I_16x16 carries it in mb_type)
+    v, ln = _ue(jnp.asarray(_CBP_INTRA)[(cchf << 4) | clf], 6)
+    hdr_v.append(v * i4f)
+    hdr_l.append(ln * i4f)
+    # dqp: i16 always; i4 iff cbp (empty-I16 suppression: dqp 0)
+    dqp = jnp.where(updates, qpf - last_qp, 0)
+    v, ln = _se(dqp, 7)
+    on = i4f & updates | ~i4f
+    hdr_v.append(v * on)
+    hdr_l.append(ln * on)
+    hdr_V = jnp.stack(hdr_v, 1)                     # (B, 20)
+    hdr_L = jnp.stack(hdr_l, 1)
+
+    # ---- luma nC grid: i4 -> nnz of 16-coef blocks; i16 -> nnz of the
+    # 15 AC coefs when cbp set; else 0 (luma_cnt twin)
+    lvl = syn["luma_levels"].astype(jnp.int32).reshape(B, 16, 16)
+    blk_coded_i4 = i4f[:, None] & (((clf[:, None]
+                                     >> (jnp.arange(16)[None, :] >> 2))
+                                    & 1) == 1)
+    blk_coded_i16 = jnp.broadcast_to(
+        ((~i4f) & (clf != 0))[:, None], (B, 16))
+    nnz_i4 = (lvl != 0).sum(axis=2)
+    nnz_i16 = (lvl[:, :, 1:] != 0).sum(axis=2)
+    cnt_blk = jnp.where(blk_coded_i4, nnz_i4,
+                        jnp.where(blk_coded_i16, nnz_i16, 0))
+    cnt = jnp.zeros((mb_h, 4, mb_w, 4), jnp.int32)
+    cnt = cnt.at[:, jnp.asarray(_BIY), :, jnp.asarray(_BIX)].set(
+        cnt_blk.reshape(mb_h, mb_w, 16).transpose(2, 0, 1))
+    cnt = cnt.reshape(mb_h * 4, mb_w * 4)
+    nc_grid = _nc_from_grid(cnt, mb_h * 4, mb_w * 4)
+    nc_luma = nc_grid[by, bx].reshape(B, 16)
+
+    # luma DC block (I_16x16 only): nC at the MB origin
+    dc_lv = syn["luma_dc_levels"].astype(jnp.int32).reshape(B, 16)
+    nc_dc = nc_grid[::4, ::4].reshape(B)
+    Vdc, Ldc, _, ov0 = _block_elements(dc_lv, 16, nc_dc, False, ~i4f)
+
+    # luma blocks: code BOTH variants (n=16 vs AC-15), select per MB
+    V16, L16, _, ov1 = _block_elements(
+        lvl.reshape(B * 16, 16), 16, nc_luma.reshape(B * 16), False,
+        blk_coded_i4.reshape(B * 16))
+    V15, L15, _, ov2 = _block_elements(
+        lvl[:, :, 1:].reshape(B * 16, 15), 15, nc_luma.reshape(B * 16),
+        False, blk_coded_i16.reshape(B * 16))
+    sel = i4f[:, None, None]
+    Vl = jnp.where(sel, V16.reshape(B, 16, _BLK_SLOTS),
+                   V15.reshape(B, 16, _BLK_SLOTS))
+    Ll = jnp.where(sel, L16.reshape(B, 16, _BLK_SLOTS),
+                   L15.reshape(B, 16, _BLK_SLOTS))
+
+    # chroma (identical to the P path)
+    cdc = syn["chroma_dc_levels"].astype(jnp.int32).reshape(B, 2, 4)
+    dc_coded = jnp.repeat((cchf > 0)[:, None], 2, 1)
+    Vd, Ld, _, ov3 = _block_elements(
+        cdc.reshape(B * 2, 4), 4, jnp.zeros((B * 2,), jnp.int32), True,
+        dc_coded.reshape(B * 2))
+    cac = syn["chroma_ac_levels"].astype(jnp.int32).reshape(B, 2, 4, 16)
+    ac_coded_mb = cchf == 2
+    ac_nnz = (cac[..., 1:] != 0).sum(axis=3) * ac_coded_mb[:, None, None]
+    nc_ac = []
+    for ch in range(2):
+        g = ac_nnz[:, ch].reshape(mb_h, mb_w, 2, 2) \
+            .transpose(0, 2, 1, 3).reshape(mb_h * 2, mb_w * 2)
+        ncg = _nc_from_grid(g, mb_h * 2, mb_w * 2)
+        nc_ac.append(ncg.reshape(mb_h, 2, mb_w, 2)
+                     .transpose(0, 2, 1, 3).reshape(B, 4))
+    nc_ac = jnp.stack(nc_ac, 1)
+    Va, La, _, ov4 = _block_elements(
+        cac[..., 1:].reshape(B * 8, 15), 15, nc_ac.reshape(B * 8), False,
+        jnp.repeat(ac_coded_mb[:, None], 8, 1).reshape(B * 8))
+
+    V = jnp.concatenate([
+        hdr_V, Vdc, Vl.reshape(B, 16 * _BLK_SLOTS),
+        Vd.reshape(B, 2 * _BLK_SLOTS), Va.reshape(B, 8 * _BLK_SLOTS)],
+        axis=1).reshape(B * _I_MB_SLOTS)
+    L = jnp.concatenate([
+        hdr_L, Ldc, Ll.reshape(B, 16 * _BLK_SLOTS),
+        Ld.reshape(B, 2 * _BLK_SLOTS), La.reshape(B, 8 * _BLK_SLOTS)],
+        axis=1).reshape(B * _I_MB_SLOTS)
+    V = jnp.concatenate([V, jnp.ones((1,), jnp.int32)])   # rbsp stop
+    L = jnp.concatenate([L, jnp.ones((1,), jnp.int32)])
+    return V, L, (ov0 | ov1 | ov2 | ov3 | ov4)
+
+
+def cavlc_i_payload(syn, qp_mb, slice_qp: int, mb_h: int, mb_w: int,
+                    header_vals, header_lens, cap_bytes: int):
+    """Full device CAVLC I-slice payload. Returns (bytes, total_bits,
+    overflow)."""
+    V, L, ov = cavlc_i_elements(syn, qp_mb, slice_qp, mb_h, mb_w)
+    payload, bits = bitpack(V, L, header_vals, header_lens, cap_bytes)
+    return payload, bits, ov
+
+
+def cavlc_i_payload_batched(syn, qp_mb, slice_qp: int, mb_h: int,
+                            mb_w: int, header_vals, header_lens,
+                            cap_bytes: int):
+    """Batched-stream I-slice device CAVLC (see the P twin)."""
+    S = syn["cbp_luma"].shape[0]
+    V, L, ov = jax.vmap(
+        lambda s, q: cavlc_i_elements(s, q, slice_qp, mb_h, mb_w)
+    )(syn, qp_mb)
+    hv = jnp.broadcast_to(header_vals[None], (S,) + header_vals.shape)
+    hl = jnp.broadcast_to(header_lens[None], (S,) + header_lens.shape)
+    VV = jnp.concatenate([hv, V], axis=1)
+    LL = jnp.concatenate([hl, L], axis=1)
+    bits_s = LL.sum(axis=1)
+    pad = (8 - (bits_s & 7)) & 7
+    VV = jnp.concatenate([VV, jnp.zeros((S, 1), VV.dtype)], axis=1)
+    LL = jnp.concatenate([LL, pad[:, None]], axis=1)
+    bytes_s = (bits_s + pad) >> 3
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(bytes_s).astype(jnp.int32)])
+    empty = jnp.zeros((0,), jnp.int32)
+    payload, _ = bitpack(VV.reshape(-1), LL.reshape(-1), empty, empty,
+                         cap_bytes)
+    return payload, off, ov
+
+
+def cavlc_p_payload_batched(syn, qp_mb, slice_qp: int, n_ref: int,
+                            mb_h: int, mb_w: int, header_vals,
+                            header_lens, cap_bytes: int):
+    """Batched-stream device CAVLC: syn fields carry a leading stream
+    axis S. All S slice payloads are packed back-to-back into ONE byte
+    buffer (each stream's stream is byte-aligned via an explicit pad
+    element), so the host pulls one meta array and one exact-size
+    payload slice per batch instead of per-MB syntax tensors.
+
+    Returns (payload uint8 (cap_bytes,), byte_off int32 (S+1,),
+    n_skip (S,), overflow (S,) bool)."""
+    S = syn["cbp_luma"].shape[0]
+    V, L, n_skip, ov = jax.vmap(
+        lambda s, q: cavlc_p_elements(s, q, slice_qp, n_ref, mb_h, mb_w)
+    )(syn, qp_mb)
+    hv = jnp.broadcast_to(header_vals[None], (S,) + header_vals.shape)
+    hl = jnp.broadcast_to(header_lens[None], (S,) + header_lens.shape)
+    VV = jnp.concatenate([hv, V], axis=1)
+    LL = jnp.concatenate([hl, L], axis=1)
+    bits_s = LL.sum(axis=1)
+    pad = (8 - (bits_s & 7)) & 7
+    VV = jnp.concatenate([VV, jnp.zeros((S, 1), VV.dtype)], axis=1)
+    LL = jnp.concatenate([LL, pad[:, None]], axis=1)
+    bytes_s = (bits_s + pad) >> 3
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(bytes_s).astype(jnp.int32)])
+    empty = jnp.zeros((0,), jnp.int32)
+    payload, _ = bitpack(VV.reshape(-1), LL.reshape(-1), empty, empty,
+                         cap_bytes)
+    return payload, off, n_skip, ov
+
+
 def header_elements(header: bytes, nbits_partial: int, max_slots: int = 16):
     """Host helper: slice-header bytes (+ trailing partial bits) as
     fixed-size (vals, lens) arrays for bitpack."""
