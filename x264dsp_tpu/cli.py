@@ -71,11 +71,27 @@ def main(argv=None):
     t0 = time.time()
     total_bytes = 0
     last_status = 0.0
+    # PTS bookkeeping (x264.c:260-271): with the YUV demuxer input is
+    # CFR, so pts = frame index; non-strictly-monotonic timestamps are
+    # patched to largest + 1 tick with a warning, like the reference
+    largest_pts = -1
+    pts_warning_cnt = 0
     for i in range(n_frames):
         planes = reader.read_frame(i)
         if planes is None:
             break
-        nals, _ = enc.encode(Picture.from_planes(*planes, pts=i))
+        pts = i
+        if pts <= largest_pts:
+            if pts_warning_cnt < 3:
+                print(f"x264 [warning]: non-strictly-monotonic pts at "
+                      f"frame {i} ({pts} <= {largest_pts})")
+            elif pts_warning_cnt == 3:
+                print("x264 [warning]: too many non-monotonic pts "
+                      "warnings, suppressing further ones")
+            pts_warning_cnt += 1
+            pts = largest_pts + 1
+        largest_pts = pts
+        nals, _ = enc.encode(Picture.from_planes(*planes, pts=pts))
         payload = b"".join(n.payload for n in nals)
         out.write_frame(payload)
         total_bytes += len(payload)
