@@ -108,6 +108,14 @@ def main(argv=None):
                   f"{i + 1}/{n_frames} frames, {enc_fps:.2f} fps, "
                   f"{kbps:.2f} kb/s, eta {eta // 3600}:"
                   f"{eta // 60 % 60:02d}:{eta % 60:02d}", flush=True)
+    # drain frames delayed in the lookahead queue (x264.c:284-293)
+    while True:
+        nals, _ = enc.encode(None)
+        if not nals:
+            break
+        payload = b"".join(n.payload for n in nals)
+        out.write_frame(payload)
+        total_bytes += len(payload)
     elapsed = max(time.time() - t0, 1e-9)
     fps = param.i_fps_num / param.i_fps_den
     kbps = total_bytes * 8 * fps / max(n_frames, 1) / 1000

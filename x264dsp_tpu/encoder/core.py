@@ -116,6 +116,16 @@ class EncoderCore:
         self.rc = RateControl(p, self.mb_w * self.mb_h)
         self.slicetype = SlicetypeDecider(p)
 
+        # lookahead frame queue (x264_lookahead_t next list,
+        # lookahead.c:59-115): frames are buffered for i_delay inputs
+        # when VBV lookahead planning is on (frames.i_delay =
+        # max(i_bframe, rc_lookahead) gated on mb_tree/vbv,
+        # encoder.c:505-517; the fork has no B-frames)
+        self.la_next: list[dict] = []
+        self.frames_input = 0
+        self.frames_delay = (p.rc.i_lookahead
+                             if p.rc.i_vbv_buffer_size > 0 else 0)
+
         # mbcmp selection (encoder.c:412: satd unless subme <= 1)
         self.use_satd = p.analyse.i_subpel_refine > 1
         self.i4x4_enabled = bool(p.analyse.intra & P.ANALYSE_I4x4)
@@ -390,16 +400,42 @@ class EncoderCore:
                 np.asarray(dv).astype(np.uint8))
 
     def encode(self, pic: Picture | None):
-        if pic is None:
-            return [], None  # no lookahead delay in the CQP path
+        """x264_encoder_encode (encoder.c:1719): push the input frame
+        through the lookahead queue, return the oldest decided frame's
+        NALs — or ([], None) while the queue fills (encoder.c:1775-1781
+        "waiting for filling of buffers") and on drained encode(None)."""
+        if pic is not None:
+            fy = pad_mod16(np.asarray(pic.y, np.uint8), 16)
+            fu = pad_mod16(np.asarray(pic.u, np.uint8), 8)
+            fv = pad_mod16(np.asarray(pic.v, np.uint8), 8)
+            # slice-type decision at put time (x264_lookahead_put_frame +
+            # slicetype_analyse over the next list, lookahead.c:59,102):
+            # types/costs of queued frames are known before the head
+            # encodes, feeding the VBV lookahead planner
+            slice_type, is_keyframe, frame_cost = self.slicetype.decide(fy)
+            self.la_next.append(
+                {"pic": pic, "fy": fy, "fu": fu, "fv": fv,
+                 "slice_type": slice_type, "is_keyframe": is_keyframe,
+                 "frame_cost": frame_cost,
+                 # put-time snapshots consumed at pop time: the decider
+                 # state has advanced past this frame by then
+                 "row_costs": getattr(self.slicetype, "row_costs", None),
+                 "st_idx": self.slicetype.frame_idx - 1})
+            self.frames_input += 1
+            if self.frames_input <= self.frames_delay:
+                return [], None  # buffering (encoder.c:1775-1781)
+        if not self.la_next:
+            return [], None  # drained (x264_lookahead_is_empty)
+        rec = self.la_next.pop(0)
+        planned = [(r["slice_type"], r["frame_cost"])
+                   for r in self.la_next]
+        return self._encode_frame(rec, planned)
+
+    def _encode_frame(self, rec: dict, planned: list[tuple[int, int]]):
+        pic, fy, fu, fv = rec["pic"], rec["fy"], rec["fu"], rec["fv"]
+        slice_type, is_keyframe = rec["slice_type"], rec["is_keyframe"]
+        frame_cost = rec["frame_cost"]
         p = self.param
-
-        fy = pad_mod16(np.asarray(pic.y, np.uint8), 16)
-        fu = pad_mod16(np.asarray(pic.u, np.uint8), 8)
-        fv = pad_mod16(np.asarray(pic.v, np.uint8), 8)
-
-        # slice-type decision (lookahead lowres pass + scenecut/keyint)
-        slice_type, is_keyframe, frame_cost = self.slicetype.decide(fy)
         # active reference list skips corrupt DPB entries
         # (x264_reference_build, encoder.c:825-826)
         valid_dpb = [e for e in self.dpb if not e["corrupt"]]
@@ -409,10 +445,10 @@ class EncoderCore:
             # no valid reference frames left → force IDR
             # (encoder.c:1808-1820)
             slice_type, is_keyframe = P.SLICE_TYPE_I, True
-            self.slicetype.last_keyframe = self.slicetype.frame_idx - 1
+            self.slicetype.last_keyframe = rec["st_idx"]
         is_idr = is_keyframe
 
-        qp = self.rc.start(slice_type, frame_cost)
+        qp = self.rc.start(slice_type, frame_cost, planned=planned)
         if pic.i_qpplus1:
             qp = pic.i_qpplus1 - 1  # i_force_qp (ratecontrol.c:579-580)
         qp = int(np.clip(qp, p.rc.i_qp_min, p.rc.i_qp_max))
@@ -600,7 +636,7 @@ class EncoderCore:
         # we run the same end-of-row QP-step walk over the MEASURED
         # per-row bits, re-encode the frame with the adjusted ramp, and
         # iterate to a fixed point (bounded).
-        row_satd = getattr(self.slicetype, "row_costs", None)
+        row_satd = rec["row_costs"]
         if (self.rc.b_vbv and len(slices) == 1 and row_satd is not None
                 and len(row_satd) == self.mb_h):
             ramp = np.full(self.mb_h, qp, np.int32)

@@ -16,11 +16,14 @@ Implements the reference's CQP / CRF / ABR math exactly:
 - Frame-level VBV: init_reconfigurable (:319-369), size predictors
   (predict_size/update_predictor :444-456,897-921), clip_qscale's
   reactive no-lookahead path (:1040-1060 — the fork defaults
-  rc_lookahead=0, common/common.c:84), MinCR frame_size_maximum
-  (:536-562), update_vbv (:924-957), update_vbv_plan (:959-966).
-
-Per-row VBV re-encode (i_row_bits / row_pred / x264_ratecontrol_mb)
-is the remaining gap — tracked for round 2.
+  rc_lookahead=0, common/common.c:84) AND the lookahead VBV planner
+  over queued frames (:979-1038, rc_lookahead > 0), MinCR
+  frame_size_maximum (:536-562), update_vbv (:924-957),
+  update_vbv_plan (:959-966).
+- Per-row VBV (x264_ratecontrol_mb :651-780): row size predictors
+  (:599-645), intra-frame QP steps and the row re-encode signal,
+  driven per slice-band row from device row SATD/bits tensors
+  (row_vbv_adjust / row_vbv_commit below).
 """
 
 from __future__ import annotations
@@ -131,6 +134,10 @@ class RateControl:
         self.buffer_size = 0.0
         self.buffer_rate = 0.0
         self.vbv_max_rate = 0.0
+        # (type, satd) of the frames buffered behind the current one —
+        # i_planned_type/i_planned_satd (frame.h:148-150) for the
+        # lookahead VBV planner in _clip_qscale
+        self.planned: list[tuple[int, int]] = []
         self.buffer_fill_final = 0.0   # bits (the C stores ×time_scale)
         self.buffer_fill = 0.0
         self.qp_novbv = 0.0
@@ -259,33 +266,87 @@ class RateControl:
         return q
 
     def _clip_qscale(self, pict_type: int, q: float) -> float:
-        """clip_qscale (ratecontrol.c:968-1106): lmin/lmax plus the
-        reactive no-lookahead VBV path (:1040-1060; the fork defaults
-        rc_lookahead=0, common/common.c:84)."""
+        """clip_qscale (ratecontrol.c:968-1106): lmin/lmax plus both VBV
+        paths — the lookahead planner over the buffered frame queue
+        (:979-1038, active when rc_lookahead > 0 and the encoder holds
+        delayed frames) and the reactive no-lookahead fallback
+        (:1040-1060, the fork default rc_lookahead=0)."""
         lmin = self.lmin[pict_type]
         lmax = self.lmax[pict_type]
         q0 = q
         if self.b_vbv and self.last_satd > 0:
-            # purely-reactive algorithm, no lookahead
-            if ((pict_type == P.SLICE_TYPE_P
-                 or (pict_type == P.SLICE_TYPE_I
-                     and self.last_non_b_pict_type == P.SLICE_TYPE_I))
-                    and self.buffer_fill / self.buffer_size < 0.5):
-                q /= float(np.clip(2.0 * self.buffer_fill / self.buffer_size,
-                                   0.5, 1.0))
-            bits = self.pred[pict_type].predict(q, self.last_satd)
-            # hard threshold so the frame fits in VBV (mostly I frames)
-            max_fill_factor = (
-                2.0 if self.buffer_size >= 5 * self.buffer_rate else 1.0)
-            min_fill_factor = 1.0 if self.single_frame_vbv else 2.0
-            if bits > self.buffer_fill / max_fill_factor:
-                qf = float(np.clip(
-                    self.buffer_fill / (max_fill_factor * bits), 0.2, 1.0))
-                q /= qf
-                bits *= qf
-            if bits < self.buffer_rate / min_fill_factor:
-                q *= bits * min_fill_factor / self.buffer_rate
-            q = max(q0, q)
+            if self.param.rc.i_lookahead and self.planned:
+                # Lookahead VBV: raise q until no planned frame overflows
+                # and the buffer ends the window in a reasonable state
+                # (ratecontrol.c:985-1038). Planned types/satd come from
+                # the slicetype decisions of the queued frames
+                # (i_planned_type/i_planned_satd, frame.h:148-150);
+                # durations are 1/fps (CFR input, pic_struct progressive).
+                dur = 1.0 / self.fps
+                terminate = 0
+                for _ in range(1000):
+                    if terminate == 3:
+                        break
+                    cur_bits = self.pred[pict_type].predict(
+                        q, self.last_satd)
+                    buffer_fill_cur = self.buffer_fill - cur_bits
+                    total_duration = 0.0
+                    # frame_q indexed by slice type (P=0, B=1, I=2)
+                    q_p = (q * self.param.rc.f_ip_factor
+                           if pict_type == P.SLICE_TYPE_I else q)
+                    frame_q = {
+                        P.SLICE_TYPE_P: q_p,
+                        P.SLICE_TYPE_I: q_p / self.param.rc.f_ip_factor,
+                    }
+                    for (i_type, i_satd) in self.planned:
+                        if not (0 <= buffer_fill_cur <= self.buffer_size):
+                            break
+                        total_duration += dur
+                        buffer_fill_cur += self.vbv_max_rate * dur
+                        buffer_fill_cur -= self.pred[i_type].predict(
+                            frame_q[i_type], i_satd)
+                    # buffer at least 50% filled, no impossible goals
+                    target_fill = min(
+                        self.buffer_fill
+                        + total_duration * self.vbv_max_rate * 0.5,
+                        self.buffer_size * 0.5)
+                    if buffer_fill_cur < target_fill:
+                        q *= 1.01
+                        terminate |= 1
+                        continue
+                    # buffer no more than 80% filled
+                    target_fill = float(np.clip(
+                        self.buffer_fill
+                        - total_duration * self.vbv_max_rate * 0.5,
+                        self.buffer_size * 0.8, self.buffer_size))
+                    if self.b_vbv_min_rate and buffer_fill_cur > target_fill:
+                        q /= 1.01
+                        terminate |= 2
+                        continue
+                    break
+            else:
+                # purely-reactive algorithm, no lookahead
+                if ((pict_type == P.SLICE_TYPE_P
+                     or (pict_type == P.SLICE_TYPE_I
+                         and self.last_non_b_pict_type == P.SLICE_TYPE_I))
+                        and self.buffer_fill / self.buffer_size < 0.5):
+                    q /= float(np.clip(
+                        2.0 * self.buffer_fill / self.buffer_size,
+                        0.5, 1.0))
+                bits = self.pred[pict_type].predict(q, self.last_satd)
+                # hard threshold so the frame fits in VBV (mostly I frames)
+                max_fill_factor = (
+                    2.0 if self.buffer_size >= 5 * self.buffer_rate else 1.0)
+                min_fill_factor = 1.0 if self.single_frame_vbv else 2.0
+                if bits > self.buffer_fill / max_fill_factor:
+                    qf = float(np.clip(
+                        self.buffer_fill / (max_fill_factor * bits),
+                        0.2, 1.0))
+                    q /= qf
+                    bits *= qf
+                if bits < self.buffer_rate / min_fill_factor:
+                    q *= bits * min_fill_factor / self.buffer_rate
+                q = max(q0, q)
 
             # MinCR restriction (:1064-1067)
             bits = self.pred[pict_type].predict(q, self.last_satd)
@@ -475,9 +536,13 @@ class RateControl:
 
     # ------------------------------------------------------------------
     def start(self, pict_type: int, frame_satd: int,
-              overhead: float = 0.0) -> int:
-        """x264_ratecontrol_start (:518-600). Returns the frame QP."""
+              overhead: float = 0.0,
+              planned: list[tuple[int, int]] | None = None) -> int:
+        """x264_ratecontrol_start (:518-600). Returns the frame QP.
+        planned = (type, satd) of the still-queued lookahead frames,
+        consumed by _clip_qscale's lookahead VBV planner."""
         p = self.param
+        self.planned = planned or []
         if self.b_vbv:
             self._update_vbv_plan(overhead)
             # MinCR frame-size ceiling from the H.264 level (:536-562)
