@@ -14,12 +14,64 @@
 #include <stdlib.h>
 #include <string.h>
 #include <stdint.h>
-#include "common/x264.h"
+#include "common/common.h"   /* full x264_t: per-MB decision tables for
+                                the ORACLE_DUMP per-MB diff harness */
 
 static int env_int(const char *name, int def)
 {
     const char *v = getenv(name);
     return v ? atoi(v) : def;
+}
+
+/* ORACLE_DUMP=<path>: after each frame, append one line per MB with the
+ * reference's decisions — read from the per-frame tables the encoder
+ * leaves in h->mb / h->fdec (common/common.h:777-793; mv/ref live on
+ * the 4x4/8x8 block grids, macroblock.c cache_save). */
+static void dump_mb_decisions(FILE *df, x264_t *h, int frame, int w,
+                              int frame_type, int frame_bytes)
+{
+    int mb_w = (w + 15) >> 4;
+    int mb_count = h->mb.i_mb_count;
+    int b4_stride = h->mb.i_b4_stride;
+    int b8_stride = h->mb.i_b8_stride;
+    fprintf(df, "frame %d type %d bytes %d satd %d qprc %.4f\n", frame,
+            frame_type, frame_bytes, h->fdec->i_satd,
+            h->fdec->f_qp_avg_rc);
+    for (int i = 0; i < mb_count; i++) {
+        int x = i % mb_w, y = i / mb_w;
+        int b4 = (4 * y) * b4_stride + 4 * x;
+        int b8 = (2 * y) * b8_stride + 2 * x;
+        fprintf(df, "%d %d t %d part %d qp %d cbp %d ref %d mv %d %d "
+                "cpm %d i4",
+                x, y, h->mb.type[i], h->mb.partition[i], h->mb.qp[i],
+                h->mb.cbp[i], h->mb.ref[0][b8], h->mb.mv[0][b4][0],
+                h->mb.mv[0][b4][1], h->mb.chroma_pred_mode[i]);
+        for (int k = 0; k < 7; k++)
+            fprintf(df, " %d", h->mb.intra4x4_pred_mode[i][k]);
+        fprintf(df, "\n");
+    }
+    /* lookahead lowres ME results of this frame (fenc->lowres_mvs /
+     * lowres_mv_costs, frame.h:140-147; written by slicetype_mb_cost) */
+    if (h->fenc->lowres_mvs[0][0] && h->fenc->lowres_mv_costs[0][0]) {
+        for (int i = 0; i < mb_count; i++)
+            fprintf(df, "low %d %d mv %d %d cost %d\n",
+                    i % mb_w, i / mb_w,
+                    h->fenc->lowres_mvs[0][0][i][0],
+                    h->fenc->lowres_mvs[0][0][i][1],
+                    h->fenc->lowres_mv_costs[0][0][i]);
+        /* per-8x8-block pixel sums of the lowres[0] plane, to diff the
+         * downsample itself against ours */
+        for (int by = 0; by * 8 < h->mb.i_mb_height * 8; by++)
+            for (int bx = 0; bx * 8 < h->mb.i_mb_width * 8; bx++) {
+                int s = 0;
+                for (int yy = 0; yy < 8; yy++)
+                    for (int xx = 0; xx < 8; xx++)
+                        s += h->fenc->lowres[0][
+                            (by * 8 + yy) * h->fenc->i_stride_lowres
+                            + bx * 8 + xx];
+                fprintf(df, "lowsum %d %d %d\n", bx, by, s);
+            }
+    }
 }
 
 int main(int argc, char **argv)
@@ -80,6 +132,9 @@ int main(int argc, char **argv)
     size_t luma = (size_t)width * height;
     int max_frames = argc > 3 ? atoi(argv[3]) : 1 << 30;
     int64_t pts = 0;
+    FILE *df = NULL;
+    if (getenv("ORACLE_DUMP"))
+        df = fopen(getenv("ORACLE_DUMP"), "w");
     for (int f = 0; f < max_frames; f++) {
         if (fread(pic.img.plane[0], 1, luma, fin) != luma) break;
         if (fread(pic.img.plane[1], 1, luma / 4, fin) != luma / 4) break;
@@ -90,7 +145,10 @@ int main(int argc, char **argv)
         int sz = x264_encoder_encode(h, &nal, &i_nal, &pic, &pic_out);
         if (sz < 0) { fprintf(stderr, "encode failed\n"); return 1; }
         if (sz) fwrite(nal[0].p_payload, 1, sz, fout);
+        if (df)
+            dump_mb_decisions(df, h, f, width, pic_out.i_type, sz);
     }
+    if (df) fclose(df);
     x264_encoder_close(h);
     fclose(fin);
     fclose(fout);

@@ -1333,6 +1333,7 @@ class EncoderCore:
                 if cbp_chroma != 2:
                     cnnz[:, mby*2:mby*2+2, mbx*2:mbx*2+2] = 0
 
+        self._last_mb_types = mb_types   # debug handle (tools/mbdiff.py)
         return header + cb.flush()
 
     def _write_slice_p_cavlc(self, syn, qp, qp_mb=None, n_ref=1,
