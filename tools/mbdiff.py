@@ -138,12 +138,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="4_cif_ippp_cabac_crf")
     ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="temporally-independent sensor noise sigma")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     c = CONFIGS[args.config]
     w, h, n = c["w"], c["h"], args.frames
     clip = synth_clip(w, h, n)
+    if args.noise > 0:
+        rng = np.random.default_rng(1003)
+        clip = [(np.clip(y.astype(np.int16) + np.round(
+            rng.normal(0, args.noise, y.shape)).astype(np.int16),
+            0, 255).astype(np.uint8), u, v) for (y, u, v) in clip]
     with tempfile.TemporaryDirectory() as td:
         oracle = run_oracle(clip, w, h, td, c["oracle"], n)
     ours = run_ours(clip, w, h, c["params"])
