@@ -566,16 +566,38 @@ class EncoderCore:
         syn = device_encode(qp_mb)
 
         # -- in-band recovery (a): CAVLC level-code overflow →
-        # re-encode the flagged MBs at QP+1 (cavlc.c:56-60,
-        # encoder.c:1560-1569; whole-frame kernel re-run, SURVEY §7.1)
+        # re-encode the flagged MBs at raised QP (cavlc.c:56-60,
+        # encoder.c:1560-1569; whole-frame kernel re-run, SURVEY §7.1).
+        # The reference bumps one MB inline by +1 per retry; a whole-
+        # frame re-run per +1 step would make adversarial content
+        # (many MBs overflowing at staggered QPs) O(51) re-encodes, so
+        # we step each flagged MB by the analytic estimate instead:
+        # levels scale ~2^(-dqp/6), so dqp = ceil(6*log2(maxlev/1024))
+        # brings the max |level| under the escape bound, then the exact
+        # detector re-checks. Bounded: 8 estimated steps, then QP_MAX.
         if not p.b_cabac:
-            for _ in range(P.QP_MAX_SPEC):
+            for it in range(9):
                 flagged = self._detect_cavlc_overflow(syn, slice_type)
                 if not flagged.any():
                     break
-                qp_mb = np.where(flagged,
-                                 np.minimum(qp_mb + 1, P.QP_MAX_SPEC),
-                                 qp_mb)
+                if it == 8:
+                    bump = np.where(flagged, P.QP_MAX_SPEC, 0)
+                else:
+                    maxlev = np.abs(syn["luma_levels"]).max(axis=(-1, -2))
+                    maxlev = np.maximum(
+                        maxlev,
+                        np.abs(syn["chroma_dc_levels"]).max(axis=(-1, -2)))
+                    maxlev = np.maximum(
+                        maxlev,
+                        np.abs(syn["chroma_ac_levels"]).max(axis=(-1, -2, -3)))
+                    if "luma_dc_levels" in syn:
+                        maxlev = np.maximum(
+                            maxlev,
+                            np.abs(syn["luma_dc_levels"]).max(axis=-1))
+                    est = np.ceil(6.0 * np.log2(
+                        np.maximum(maxlev, 1) / 1024.0)).astype(np.int64)
+                    bump = np.where(flagged, np.maximum(est, 1), 0)
+                qp_mb = np.minimum(qp_mb + bump, P.QP_MAX_SPEC)
                 syn = device_encode(qp_mb)
         self._last_qp_mb = qp_mb
         self._last_syn = syn
