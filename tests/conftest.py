@@ -15,7 +15,10 @@ from pathlib import Path
 # pin the platform through jax.config directly.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/x264tpu_jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+# Cache EVERY compile: XLA's self-reported compile times land under a
+# 1.0s threshold even when wall time is multi-second, which silently
+# disabled the persistent cache for the whole suite.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import jax  # noqa: E402
 
@@ -32,15 +35,22 @@ ORACLE_DIR = Path(os.environ.get("X264_ORACLE_DIR", "/tmp/x264ref"))
 
 @pytest.fixture(scope="session")
 def oracle():
-    """Path to the compiled reference encoder binary (built once)."""
+    """Path to the compiled reference encoder binary (built once;
+    flock-guarded so parallel xdist workers don't race the build)."""
+    import fcntl
     binary = ORACLE_DIR / "x264ref"
     ref = Path(os.environ.get("REFERENCE_DIR", "/root/reference"))
     if not ref.exists():
         pytest.skip("reference sources not available")
     if not binary.exists():
-        subprocess.run(
-            [str(REPO / "tools" / "build_reference_oracle.sh"), str(ORACLE_DIR)],
-            check=True, capture_output=True)
+        ORACLE_DIR.mkdir(parents=True, exist_ok=True)
+        with open(ORACLE_DIR / ".build.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if not binary.exists():
+                subprocess.run(
+                    [str(REPO / "tools" / "build_reference_oracle.sh"),
+                     str(ORACLE_DIR)],
+                    check=True, capture_output=True)
     return binary
 
 
