@@ -107,6 +107,103 @@ def run_ours(frames, w, h, cfg):
     return total, float(np.mean(psnrs)), float(np.mean(dec_psnrs))
 
 
+def run_mesh8(n_frames=3, s=8, w=1920, h=1088):
+    """BASELINE config 5 parity: 8-stream batched 1080p through
+    parallel/mesh.py on the 8-virtual-device CPU mesh. Multi-sequence
+    macroblock batching is a throughput axis, never an output axis —
+    the batched encode must be tensor-identical per stream to the
+    single-stream pipeline. Asserts identity on spot-checked streams
+    and records recon PSNR of the batched run."""
+    import jax
+    import jax.numpy as jnp
+    from x264dsp_tpu.parallel import mesh as M
+    from x264dsp_tpu.encoder import intra_frame as IFR
+    from x264dsp_tpu.ops import deblock as DB
+    from x264dsp_tpu.ops import mc as MC
+
+    mb_w, mb_h = w // 16, h // 16
+    qp = qpc = 26
+    lam = 5
+    clips = [synth_clip(w, h, n_frames, seed=100 + si) for si in range(s)]
+
+    def stack(t, plane):
+        return jnp.stack([jnp.asarray(clips[si][t][plane])
+                          for si in range(s)])
+
+    def deblock_refs(out, intra):
+        if intra:
+            bs = jnp.full((mb_h, mb_w, 2, 4, 4), 3, jnp.int32)
+            feo = jnp.zeros((mb_h, mb_w), jnp.int32)
+            bs_s = jnp.broadcast_to(bs, (out["recon_y"].shape[0],) + bs.shape)
+            feo_s = jnp.broadcast_to(feo, (out["recon_y"].shape[0],) + feo.shape)
+        else:
+            bs_s, feo_s = out["bs"], out["feo"]
+        zero = jnp.zeros((mb_h, mb_w), jnp.int32)
+
+        def post(y, u, v, bs1, feo1):
+            dy, du, dv = DB.deblock_frame.__wrapped__(
+                y, u, v, bs1, zero + (1 if intra else 0), feo1, qp, qpc,
+                0, 0, mb_w=mb_w, mb_h=mb_h, use_pallas=None)
+            return (dy, MC.make_ref_planes(dy), MC.pad_chroma(du),
+                    MC.pad_chroma(dv))
+        return jax.vmap(post)(out["recon_y"], out["recon_u"],
+                              out["recon_v"], bs_s, feo_s)
+
+    def run(streams_sel, mesh=None):
+        """Encode I + (n-1) chained P steps for the selected streams."""
+        sel = np.asarray(list(streams_sel))
+        fy = stack(0, 0)[sel]
+        fu = stack(0, 1)[sel]
+        fv = stack(0, 2)[sel]
+        if mesh is not None:
+            fy, fu, fv = M.shard_streams(mesh, fy, fu, fv)
+        outs = []
+        out = M.encode_i_frames_batched(fy, fu, fv, qp, qpc, lam,
+                                        mb_w=mb_w, mb_h=mb_h,
+                                        use_satd=True, i4x4_enabled=True)
+        dy, ref4, refu, refv = deblock_refs(out, intra=True)
+        outs.append({k: np.asarray(v) for k, v in out.items()} |
+                    {"deblocked_y": np.asarray(dy)})
+        for t in range(1, n_frames):
+            fy = stack(t, 0)[sel]
+            fu = stack(t, 1)[sel]
+            fv = stack(t, 2)[sel]
+            if mesh is not None:
+                fy, fu, fv = M.shard_streams(mesh, fy, fu, fv)
+            out, (ref4, refu, refv) = M.encode_p_pipeline_batched(
+                fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
+                mb_w=mb_w, mb_h=mb_h, me_range=16, mv_range=512,
+                dct_decimate=True, me_parallel=True)
+            outs.append({k: np.asarray(v) for k, v in out.items()})
+        return outs
+
+    mesh = M.make_stream_mesh()
+    batched = run(range(s), mesh=mesh)
+
+    # spot-check: streams 0 and s-1 re-encoded single-stream must match
+    # the batched tensors exactly
+    bitexact = True
+    for si in (0, s - 1):
+        single = run([si])
+        for t, (b, o) in enumerate(zip(batched, single)):
+            for k in o:
+                if not np.array_equal(b[k][si], o[k][0]):
+                    bitexact = False
+                    print(f"MISMATCH stream {si} frame {t} field {k}")
+
+    psnrs = []
+    for si in range(s):
+        crop = batched[0]["deblocked_y"][si][:clips[si][0][0].shape[0]]
+        psnrs.append(psnr(crop, clips[si][0][0]))
+        for t in range(1, n_frames):
+            ry = batched[t]["recon_y"][si][:clips[si][t][0].shape[0]]
+            psnrs.append(psnr(ry, clips[si][t][0]))
+    return {"streams": s, "frames": n_frames,
+            "bitexact_vs_single_stream": bool(bitexact),
+            "devices": len(jax.devices()),
+            "recon_psnr_y": round(float(np.mean(psnrs)), 3)}
+
+
 def run_oracle(frames, w, h, workdir, env_cfg):
     """Encode with the reference via the env-configurable oracle CLI
     (tools/oracle/oracle_cli.c) at MATCHED settings."""
@@ -178,15 +275,31 @@ CONFIGS = {
 
 
 def main():
+    # pin the 8-virtual-device CPU mesh (matches tests/conftest.py; the
+    # image's axon hook force-registers the TPU platform otherwise)
+    if os.environ.get("X264_PARITY_ON_TPU") != "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="PARITY.json")
-    ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--configs",
+                    default=",".join(CONFIGS) + ",8_1080p_8stream_mesh")
     ap.add_argument("--frames", type=int, default=0,
                     help="override per-config frame count (smoke runs)")
     args = ap.parse_args()
     results = {}
     for name in args.configs.split(","):
         name = name.strip()
+        if name == "8_1080p_8stream_mesh":
+            r = run_mesh8(n_frames=args.frames or 3)
+            results[name] = r
+            print(f"{name}: bitexact={r['bitexact_vs_single_stream']} "
+                  f"recon {r['recon_psnr_y']:.2f} dB "
+                  f"({r['streams']} streams x {r['frames']} frames, "
+                  f"{r['devices']} devices)")
+            continue
         if name not in CONFIGS:
             continue
         c = CONFIGS[name]

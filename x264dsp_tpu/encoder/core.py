@@ -803,8 +803,12 @@ class EncoderCore:
         ftype = (P.TYPE_IDR if is_idr
                  else P.TYPE_I if slice_type == P.SLICE_TYPE_I
                  else P.TYPE_P)
-        pic_out = Picture(y=self.last_recon[0], u=self.last_recon[1],
-                          v=self.last_recon[2],
+        # crop the mod16-padded recon to the visible frame (the decoder
+        # applies the SPS crop window, sps.i_crop_*; pic_out must match)
+        ch, cw = pic.u.shape
+        pic_out = Picture(y=self.last_recon[0][:h, :w],
+                          u=self.last_recon[1][:ch, :cw],
+                          v=self.last_recon[2][:ch, :cw],
                           i_frame_qp=qp, i_frame_type=ftype, i_pts=pic.i_pts)
         return nals, pic_out
 

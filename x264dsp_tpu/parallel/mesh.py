@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
 
-from ..encoder import intra_frame
+from ..encoder import inter_frame, intra_frame
+from ..ops import deblock as DB
+from ..ops import mc as MC
 
 
 def make_stream_mesh(devices=None, name: str = "stream") -> Mesh:
@@ -50,7 +52,6 @@ def encode_p_frames_batched(fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
     steps are shared across streams, so per-step work scales with S while
     the sequential depth stays constant — the main throughput lever for
     the latency-bound decision wavefronts (BASELINE config 5)."""
-    from ..encoder import inter_frame
     fn = functools.partial(inter_frame.encode_p_frame.__wrapped__,
                            mb_w=mb_w, mb_h=mb_h, me_range=me_range,
                            mv_range=mv_range, dct_decimate=dct_decimate,
@@ -82,9 +83,6 @@ def encode_p_pipeline_batched(fy, fu, fv, ref4, refu, refv, qp, qpc, lam,
     shared across streams (per-step work scales with S, step count does
     not) — this is how the latency-bound wavefronts reach throughput
     (BASELINE config 5: multi-stream 1080p)."""
-    from ..encoder import inter_frame
-    from ..ops import deblock as DB
-    from ..ops import mc as MC
 
     fn = functools.partial(inter_frame.encode_p_frame.__wrapped__,
                            mb_w=mb_w, mb_h=mb_h, me_range=me_range,
