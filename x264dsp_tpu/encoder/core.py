@@ -347,7 +347,7 @@ class EncoderCore:
         nr["offset"][:, 0] = 0
 
     def _update_reference(self, recon_y, recon_u, recon_v, syn, slice_type,
-                          qp, qp_mb):
+                          qp, qp_mb, is_idr=None):
         """Deblock the reconstruction (x264_fdec_filter_row reborn as one
         full-frame wavefront) and build the hpel reference pyramid
         (x264_frame_filter, common/mc.c:506)."""
@@ -384,8 +384,9 @@ class EncoderCore:
             dy, du, dv = (jnp.asarray(recon_y), jnp.asarray(recon_u),
                           jnp.asarray(recon_v))
         # hpel pyramid into the DPB (x264_reference_update,
-        # encoder.c:878-907; IDR resets the list, :909-916)
-        if slice_type == P.SLICE_TYPE_I:
+        # encoder.c:878-907; only IDR resets the list, :909-916 — a
+        # non-IDR I frame is an ordinary reference frame)
+        if is_idr or (is_idr is None and slice_type == P.SLICE_TYPE_I):
             self.dpb = []
         self.dpb.insert(0, {"planes": (MC.make_ref_planes(dy),
                                        MC.pad_chroma(du),
@@ -439,14 +440,24 @@ class EncoderCore:
         # active reference list skips corrupt DPB entries
         # (x264_reference_build, encoder.c:825-826)
         valid_dpb = [e for e in self.dpb if not e["corrupt"]]
-        if not is_keyframe and (pic.i_type in (P.TYPE_IDR, P.TYPE_I)
+        is_idr = is_keyframe
+        if not is_keyframe and (pic.i_type == P.TYPE_IDR
                                 or pic.b_keyframe
                                 or not valid_dpb):
-            # no valid reference frames left → force IDR
+            # user-forced IDR, or no valid reference frames left → IDR
             # (encoder.c:1808-1820)
-            slice_type, is_keyframe = P.SLICE_TYPE_I, True
+            slice_type, is_keyframe, is_idr = P.SLICE_TYPE_I, True, True
             self.slicetype.last_keyframe = rec["st_idx"]
-        is_idr = is_keyframe
+        elif not is_keyframe and pic.i_type == P.TYPE_I:
+            # user-forced I: promoted to IDR once keyint_min has elapsed
+            # (closed GOP, slicetype.c:521-529); inside keyint_min it
+            # stays a NON-IDR I slice — frame_num/DPB/GOP all continue
+            gop = rec["st_idx"] - self.slicetype.last_keyframe
+            if gop >= max(p.i_keyint_min, 1):
+                slice_type, is_keyframe, is_idr = P.SLICE_TYPE_I, True, True
+                self.slicetype.last_keyframe = rec["st_idx"]
+            else:
+                slice_type = P.SLICE_TYPE_I
 
         qp = self.rc.start(slice_type, frame_cost, planned=planned)
         if pic.i_qpplus1:
@@ -743,7 +754,7 @@ class EncoderCore:
 
         self.last_recon = self._update_reference(
             syn["recon_y"], syn["recon_u"], syn["recon_v"], syn,
-            slice_type, qp, qp_mb)
+            slice_type, qp, qp_mb, is_idr=is_idr)
         if self.nr is not None and slice_type == P.SLICE_TYPE_P:
             self._nr_update(syn)
 
