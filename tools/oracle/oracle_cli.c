@@ -37,6 +37,15 @@ static void dump_mb_decisions(FILE *df, x264_t *h, int frame, int w,
     fprintf(df, "frame %d type %d bytes %d satd %d qprc %.4f\n", frame,
             frame_type, frame_bytes, h->fdec->i_satd,
             h->fdec->f_qp_avg_rc);
+    if (getenv("ORACLE_DUMP_DEBUG"))
+        fprintf(df, "ptr type=%p part=%p qp=%p cbp=%p ref=%p mv=%p "
+                "cpm=%p i4=%p mbc=%d b4s=%d b8s=%d\n",
+                (void *)h->mb.type, (void *)h->mb.partition,
+                (void *)h->mb.qp, (void *)h->mb.cbp,
+                (void *)h->mb.ref[0], (void *)h->mb.mv[0],
+                (void *)h->mb.chroma_pred_mode,
+                (void *)h->mb.intra4x4_pred_mode, mb_count,
+                b4_stride, b8_stride);
     for (int i = 0; i < mb_count; i++) {
         int x = i % mb_w, y = i / mb_w;
         int b4 = (4 * y) * b4_stride + 4 * x;
@@ -45,9 +54,12 @@ static void dump_mb_decisions(FILE *df, x264_t *h, int frame, int w,
                 "cpm %d i4",
                 x, y, h->mb.type[i], h->mb.partition[i], h->mb.qp[i],
                 h->mb.cbp[i], h->mb.ref[0][b8], h->mb.mv[0][b4][0],
-                h->mb.mv[0][b4][1], h->mb.chroma_pred_mode[i]);
+                h->mb.mv[0][b4][1],
+                /* only allocated under CABAC (macroblock.c cache_allocate) */
+                h->mb.chroma_pred_mode ? h->mb.chroma_pred_mode[i] : -1);
         for (int k = 0; k < 7; k++)
-            fprintf(df, " %d", h->mb.intra4x4_pred_mode[i][k]);
+            fprintf(df, " %d", h->mb.intra4x4_pred_mode
+                    ? h->mb.intra4x4_pred_mode[i][k] : -1);
         fprintf(df, "\n");
     }
     /* lookahead lowres ME results of this frame (fenc->lowres_mvs /
@@ -133,8 +145,10 @@ int main(int argc, char **argv)
     int max_frames = argc > 3 ? atoi(argv[3]) : 1 << 30;
     int64_t pts = 0;
     FILE *df = NULL;
-    if (getenv("ORACLE_DUMP"))
+    if (getenv("ORACLE_DUMP")) {
         df = fopen(getenv("ORACLE_DUMP"), "w");
+        if (df) setvbuf(df, NULL, _IONBF, 0);   /* survive a crash */
+    }
     for (int f = 0; f < max_frames; f++) {
         if (fread(pic.img.plane[0], 1, luma, fin) != luma) break;
         if (fread(pic.img.plane[1], 1, luma / 4, fin) != luma / 4) break;
