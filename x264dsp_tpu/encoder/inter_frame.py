@@ -1065,9 +1065,18 @@ def probe_pskip(fenc_y, fenc_u, fenc_v, wins4, winsu, winsv, pskip_mv,
         ssd = (d * d).reshape(mb_h, 8, mb_w, 8).sum((1, 3))
         cm = RP.sub_dct_cm(fenc_c.astype(jnp.int32), predc)
         dc_bg = cm[0]                                  # (2mbh, 2mbw)
-        q_dc = T.quant_dc(
-            RP.blockgrid_to_mb(dc_bg, mb_h, mb_w, 2).reshape(
-                mb_h, mb_w, 4), qpc_g, False, cqm, 3)
+        # sub8x8_dct_dc INCLUDES the 2x2 DC Hadamard (common/dct.c:186-
+        # 190): the probe must quantize the transformed DCs, else four
+        # small same-sign DCs (a uniform chroma offset) sum past the
+        # deadzone in the real encode but pass the probe
+        dc_mb = RP.blockgrid_to_mb(dc_bg, mb_h, mb_w, 2).reshape(
+            mb_h, mb_w, 4)
+        s0 = dc_mb[..., 0] + dc_mb[..., 1]
+        s1 = dc_mb[..., 2] + dc_mb[..., 3]
+        r0 = dc_mb[..., 0] - dc_mb[..., 1]
+        r1 = dc_mb[..., 2] - dc_mb[..., 3]
+        had = jnp.stack([s0 + s1, r0 + r1, s0 - s1, r0 - r1], axis=-1)
+        q_dc = T.quant_dc(had, qpc_g, False, cqm, 3)
         dc_nz = jnp.any(q_dc != 0, axis=-1)
         cm_ac = [jnp.zeros_like(cm[0])] + cm[1:]
         zc = RP.zigzag_order(RP.quant_cm(cm_ac, qpc_g, False, 2,
