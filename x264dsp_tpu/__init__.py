@@ -22,6 +22,9 @@ from .params import (  # noqa: F401
     SLICE_TYPE_I, SLICE_TYPE_P, SLICE_TYPE_B,
     TYPE_AUTO, TYPE_IDR, TYPE_I, TYPE_P,
 )
-from .api import Encoder, Picture, NAL  # noqa: F401
+from .api import (  # noqa: F401
+    BIT_DEPTH, CHROMA_FORMAT, Encoder, NAL, Picture, nal_encode,
+    picture_alloc, picture_clean, picture_init,
+)
 
 __version__ = "0.1.0"

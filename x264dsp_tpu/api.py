@@ -11,6 +11,11 @@ import numpy as np
 
 from . import params as P
 
+# x264_bit_depth / x264_chroma_format twins (common/common.c:10-12;
+# BIT_DEPTH 8, X264_CHROMA_FORMAT 0 = all supported — osdep.h:24-26)
+BIT_DEPTH = 8
+CHROMA_FORMAT = 0
+
 
 @dataclass
 class Picture:
@@ -32,6 +37,33 @@ class Picture:
         return Picture(y=np.asarray(y, dtype=np.uint8),
                        u=np.asarray(u, dtype=np.uint8),
                        v=np.asarray(v, dtype=np.uint8), i_pts=pts)
+
+
+def picture_init(pic: Picture) -> None:
+    """x264_picture_init twin (common/common.c:194): reset a Picture to
+    defaults in place."""
+    fresh = Picture()
+    for f in Picture.__dataclass_fields__:
+        setattr(pic, f, getattr(fresh, f))
+
+
+def picture_alloc(width: int, height: int, i_csp: int = P.CSP_I420
+                  ) -> Picture:
+    """x264_picture_alloc twin (common/common.c:205): a zeroed I420
+    Picture with allocated planes. Only I420 is accepted — the fork
+    errors on anything else (encoder/encoder.c:30)."""
+    if i_csp != P.CSP_I420:
+        raise ValueError("only X264_CSP_I420 input is supported "
+                         "(encoder.c:30)")
+    return Picture(y=np.zeros((height, width), np.uint8),
+                   u=np.zeros((height // 2, width // 2), np.uint8),
+                   v=np.zeros((height // 2, width // 2), np.uint8))
+
+
+def picture_clean(pic: Picture) -> None:
+    """x264_picture_clean twin (common/common.c:259): drop the plane
+    references (the GC is the allocator here)."""
+    pic.y = pic.u = pic.v = None
 
 
 @dataclass
@@ -89,6 +121,20 @@ class Encoder:
             if frame_idx is None or e["frame_idx"] == frame_idx:
                 e["corrupt"] = True
 
+    def parameters(self) -> P.Param:
+        """x264_encoder_parameters twin (encoder/encoder.c:638): a copy
+        of the VALIDATED in-use parameter set."""
+        import copy
+        return copy.deepcopy(self._core.param)
+
     @property
     def stats(self) -> dict:
         return self._core.stats()
+
+
+def nal_encode(nal: NAL) -> bytes:
+    """x264_nal_encode twin (common/bitstream.c): the Annex-B bytes of a
+    NAL (start code + escaped payload). NAL payloads here are already
+    encapsulated at encode() time — this accessor exists for parity with
+    the reference's nalu_process flow (x264.h:677-694)."""
+    return nal.payload
