@@ -42,7 +42,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import numpy as np
 
-W, H = 1920, 1088
+W = int(os.environ.get("BENCH_W", "1920"))
+H = int(os.environ.get("BENCH_H", "1088"))
 MB_W, MB_H = W // 16, H // 16
 QP = 26
 KEYINT = 50
@@ -147,7 +148,8 @@ def main():
             imb = jnp.zeros((S, MB_H, MB_W), jnp.int32)
         dy, du, dv = DB.deblock_frame_skew_batched.__wrapped__(
             out["recon_y"], out["recon_u"], out["recon_v"], bs, imb,
-            feo, QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H, intra_mode=mode)
+            feo, QP, qpc, 0, 0, mb_w=MB_W, mb_h=MB_H, intra_mode=mode,
+            interpret=jax.default_backend() != "tpu")
         return dy, du, dv
 
     def refs_of(dy, du, dv):
@@ -235,6 +237,68 @@ def main():
     S = streams
     pstep = jax.jit(p_step_batched)
     istep = jax.jit(i_step_batched)
+
+    if os.environ.get("BENCH_PROFILE") == "1":
+        # per-stage breakdown of the BATCHED pipeline (memoization-proof
+        # unique-input sweeps, tunnel round-trip amortized)
+        def sweep(name, fn, argsets):
+            outs = fn(*argsets[0])
+            jax.block_until_ready(outs)
+            t0 = time.perf_counter()
+            outs = [fn(*a) for a in argsets]
+            jax.block_until_ready(outs)
+            dt = (time.perf_counter() - t0) / len(argsets)
+            print(f"{name:34s} {dt*1e3:8.2f} ms/batch  "
+                  f"({dt*1e3/S:6.2f} ms/frame)", file=sys.stderr)
+            return outs[0]
+
+        K = 4
+        tss = [jnp.full((S,), float(1 + k), jnp.float32) for k in range(K)]
+
+        synthb = jax.jit(lambda ts: jax.vmap(synth)(ts))
+        sweep("synth (batched)", synthb, [(t,) for t in tss])
+
+        _, refs0 = istep(tss[0])
+        jax.block_until_ready(refs0)
+
+        encb = jax.jit(lambda ts, r4, ru, rv: jax.vmap(
+            lambda a, b, c, d, e, f: encode_p_frame.__wrapped__(
+                a, b, c, d, e, f, QP, qpc, lam, mb_w=MB_W, mb_h=MB_H,
+                me_range=16, mv_range=512, dct_decimate=True,
+                me_parallel=True))(*jax.vmap(synth)(ts), r4, ru, rv))
+        out0 = sweep("P encode (no deblock/entropy)", encb,
+                     [(t,) + refs0 for t in tss])
+
+        dbb = jax.jit(lambda o: deblock(o, S, intra=False))
+        sweep("deblock (skew, batched)", dbb, [(encb(t, *refs0),)
+                                               for t in tss])
+        dy0, du0, dv0 = dbb(out0)
+        refb = jax.jit(refs_of)
+        sweep("hpel ref update", refb, [(dbb(encb(t, *refs0)))
+                                        for t in tss])
+
+        def cavlc_only(o):
+            syn = {k: o[k] for k in
+                   ("partition", "ref", "cbp_luma", "cbp_chroma", "mv8",
+                    "luma_levels", "chroma_dc_levels", "chroma_ac_levels")}
+            qp_mb = jnp.full((S, MB_H, MB_W), QP, jnp.int32)
+            return CD.cavlc_p_payload_batched(
+                syn, qp_mb, QP, 1, MB_H, MB_W, hv_j, hl_j,
+                cap_bytes=CAP_S * S)
+        cvb = jax.jit(cavlc_only)
+        sweep("device CAVLC (batched)", cvb, [(encb(t, *refs0),)
+                                              for t in tss])
+        sweep("FUSED P step (all stages)", pstep,
+              [(t,) + refs0 for t in tss])
+        sweep("FUSED I step", istep, [(t,) for t in tss])
+
+        wire0, _ = pstep(tss[0], *refs0)
+        t0 = time.perf_counter()
+        entropy_batch(("P", wire0, None))
+        print(f"{'host pull+escape+frame':34s} "
+              f"{(time.perf_counter()-t0)*1e3:8.2f} ms/batch",
+              file=sys.stderr)
+        return
 
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=min(max(S, 2), 8))
