@@ -38,7 +38,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/x264tpu_jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import numpy as np
 

@@ -26,7 +26,7 @@ sys.path.insert(0, str(REPO / "tools"))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/x264tpu_jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import numpy as np  # noqa: E402
 

@@ -5,7 +5,7 @@ import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/.cache/x264tpu_jaxcache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
