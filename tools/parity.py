@@ -271,6 +271,12 @@ CONFIGS = {
         w=1920, h=1080, n=30,
         params={"b_cabac": 1, "rc.i_rc_method": 2, "rc.i_bitrate": 4000},
         oracle={"ORACLE_CABAC": 1, "ORACLE_BITRATE": 4000}),
+    # fast ABR-dynamics twin of config 7 (CIF scale) for mbdiff RC
+    # trajectory comparison
+    "9_cif_cabac_abr": dict(
+        w=352, h=288, n=30,
+        params={"b_cabac": 1, "rc.i_rc_method": 2, "rc.i_bitrate": 400},
+        oracle={"ORACLE_CABAC": 1, "ORACLE_BITRATE": 400}),
 }
 
 
