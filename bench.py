@@ -235,7 +235,10 @@ def main():
         return (payload, off, ov), refs_of(dy, du, dv)
 
     S = streams
-    pstep = jax.jit(p_step_batched)
+    # donate the previous reference pyramid: each step consumes refs
+    # exactly once and emits the next set, so XLA can write the new
+    # hpel planes in place instead of holding both generations in HBM
+    pstep = jax.jit(p_step_batched, donate_argnums=(1, 2, 3))
     istep = jax.jit(i_step_batched)
 
     if os.environ.get("BENCH_PROFILE") == "1":
@@ -288,7 +291,8 @@ def main():
         cvb = jax.jit(cavlc_only)
         sweep("device CAVLC (batched)", cvb, [(encb(t, *refs0),)
                                               for t in tss])
-        sweep("FUSED P step (all stages)", pstep,
+        # undonated variant: the sweep reuses refs0 across calls
+        sweep("FUSED P step (all stages)", jax.jit(p_step_batched),
               [(t,) + refs0 for t in tss])
         sweep("FUSED I step", istep, [(t,) for t in tss])
 
@@ -370,7 +374,7 @@ def main():
             print(f"public-API path failed: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": (f"1080p IPPP+keyint{KEYINT} baseline-profile steady "
+        "metric": (f"{W}x{H} IPPP+keyint{KEYINT} baseline-profile steady "
                    f"pipeline fps/chip ({S}-stream aggregate: device "
                    f"encode+deblock+ref update+device CAVLC entropy + "
                    f"payload pull + host NAL framing)"),
