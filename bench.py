@@ -305,64 +305,84 @@ def main():
         return
 
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(max_workers=min(max(S, 2), 8))
 
-    def entropy_batch(prev):
-        """Pull the previous step's output and finish the NALs: meta
-        pull (per-stream byte offsets) + ONE exact-size payload pull —
-        the payload IS the entropy-coded slice body (device CAVLC);
-        the host only runs the C++ nal_escape and frames the NAL."""
-        _kind, wire, _ = prev
-        payload, off, ov = wire
-        off_np = np.asarray(off)
-        raw = np.asarray(payload[:int(off_np[-1])])
-        assert not np.asarray(ov).any(), "CAVLC level overflow"
+    def run_pipeline(S, frames):
+        """Warm + run the steady pipeline at batch size S; returns
+        (aggregate fps, ms/batch)."""
+        pool = ThreadPoolExecutor(max_workers=min(max(S, 2), 8))
 
-        def one(s):
-            body = raw[off_np[s]:off_np[s + 1]].tobytes()
-            esc = native.nal_escape(body)
-            return 4 + 1 + len(esc if esc is not None else body)
-        return sum(pool.map(one, range(S)))
+        def entropy_batch(prev):
+            """Pull the previous step's output and finish the NALs: meta
+            pull (per-stream byte offsets) + ONE exact-size payload pull
+            — the payload IS the entropy-coded slice body (device
+            CAVLC); the host only escapes and frames the NAL."""
+            _kind, wire = prev
+            payload, off, ov = wire
+            off_np = np.asarray(off)
+            raw = np.asarray(payload[:int(off_np[-1])])
+            assert not np.asarray(ov).any(), "CAVLC level overflow"
 
-    def batch_ts(i):
-        # frame phase: triangle wave 1,2,3,4,3,2,... — steady |delta|=1
-        # motion per frame (like a real pan) and enough distinct states
-        # to defeat the runtime's execution memoization
-        ph = i % 6
-        t = 1 + ph if ph < 4 else 7 - ph
-        return jnp.full((S,), float(t), jnp.float32)
+            def one(s):
+                body = raw[off_np[s]:off_np[s + 1]].tobytes()
+                esc = native.nal_escape(body)
+                return 4 + 1 + len(esc if esc is not None else body)
+            return sum(pool.map(one, range(S)))
 
-    def dispatch(i, refs):
-        if i % KEYINT == 0:
-            wire, refs2 = istep(batch_ts(i))
-            return ("I", wire, None), refs2
-        wire, refs2 = pstep(batch_ts(i), *refs)
-        return ("P", wire, (batch_ts(i),) + refs), refs2
+        def batch_ts(i):
+            # frame phase: triangle wave 1,2,3,4,3,2,... — steady
+            # |delta|=1 motion per frame (like a real pan) and enough
+            # distinct states to defeat execution memoization
+            ph = i % 6
+            t = 1 + ph if ph < 4 else 7 - ph
+            return jnp.full((S,), float(t), jnp.float32)
 
-    # bootstrap refs from an I step + warm all compiles
-    warm_i, refs = istep(batch_ts(0))
-    entropy_batch(("I", warm_i, None))
-    warm_p, refs = pstep(batch_ts(1), *refs)
-    entropy_batch(("P", warm_p, None))
-    jax.block_until_ready(refs)
+        def dispatch(i, refs):
+            if i % KEYINT == 0:
+                wire, refs2 = istep(batch_ts(i))
+                return ("I", wire), refs2
+            wire, refs2 = pstep(batch_ts(i), *refs)
+            return ("P", wire), refs2
 
-    # timed loop, one batch in flight: dispatch N+1, then pull + entropy
-    # N while the device computes
-    prev, refs = dispatch(2, refs)
-    t0 = time.perf_counter()
-    done = 0
-    for i in range(n_frames):
-        cur, refs = dispatch(3 + i, refs)
+        # bootstrap refs from an I step + warm all compiles
+        warm_i, refs = istep(batch_ts(0))
+        entropy_batch(("I", warm_i))
+        warm_p, refs = pstep(batch_ts(1), *refs)
+        entropy_batch(("P", warm_p))
+        jax.block_until_ready(refs)
+
+        # timed loop, one batch in flight: dispatch N+1, then pull +
+        # entropy N while the device computes
+        prev, refs = dispatch(2, refs)
+        t0 = time.perf_counter()
+        done = 0
+        for i in range(frames):
+            cur, refs = dispatch(3 + i, refs)
+            entropy_batch(prev)
+            done += S
+            prev = cur
         entropy_batch(prev)
         done += S
-        prev = cur
-    entropy_batch(prev)
-    done += S
-    dt = time.perf_counter() - t0
-    fps = done / dt
+        dt = time.perf_counter() - t0
+        return done / dt, dt / (frames + 1) * 1e3
+
+    if os.environ.get("BENCH_STREAMS"):
+        S = streams
+    else:
+        # calibrate the stream-batch size on THIS rig: wavefront
+        # amortization vs HBM pressure trade differently per chip
+        best = None
+        for cand in (4, 8):
+            f, ms = run_pipeline(cand, 6)
+            print(f"calibrate S={cand}: {f:.2f} fps aggregate "
+                  f"({ms:.1f} ms/batch)", file=sys.stderr)
+            if best is None or f > best[1]:
+                best = (cand, f)
+        S = best[0]
+
+    fps, msb = run_pipeline(S, n_frames)
     print(f"steady pipeline: {fps:.2f} fps aggregate "
-          f"({S} streams, {dt/ (n_frames+1) * 1e3:.1f} ms/batch, "
-          f"keyint {KEYINT})", file=sys.stderr)
+          f"({S} streams, {msb:.1f} ms/batch, keyint {KEYINT})",
+          file=sys.stderr)
 
     if os.environ.get("BENCH_API", "1") != "0":
         try:
