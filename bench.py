@@ -245,6 +245,9 @@ def main():
         # per-stage breakdown of the BATCHED pipeline (memoization-proof
         # unique-input sweeps, tunnel round-trip amortized)
         def sweep(name, fn, argsets):
+            # block on argsets first: async dispatch would charge any
+            # upstream stage calls embedded in them to this stage
+            jax.block_until_ready(argsets)
             outs = fn(*argsets[0])
             jax.block_until_ready(outs)
             t0 = time.perf_counter()

@@ -31,7 +31,10 @@ K = 6
 
 
 def sweep(name, fn, argsets):
-    """One warmup on argsets[0], then time len(argsets) unique calls."""
+    """One warmup on argsets[0], then time len(argsets) unique calls.
+    Blocks on the argsets first: async dispatch would otherwise charge
+    any upstream stage calls embedded in them to the timed stage."""
+    jax.block_until_ready(argsets)
     outs = fn(*argsets[0])
     jax.block_until_ready(outs)
     t0 = time.perf_counter()
