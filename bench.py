@@ -219,7 +219,7 @@ def main():
         intra deblock + reference update + device CAVLC entropy."""
         S = ts.shape[0]
         fy, fu, fv = jax.vmap(synth)(ts)
-        out = jax.vmap(lambda a, b, c: IFR.encode_i_frame(
+        out = jax.vmap(lambda a, b, c: IFR.encode_i_frame_best(
             a, b, c, QP, qpc, lam, mb_w=MB_W, mb_h=MB_H,
             use_satd=True, i4x4_enabled=True))(fy, fu, fv)
         dy, du, dv = deblock(out, S, intra=True)

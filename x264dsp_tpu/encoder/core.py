@@ -504,7 +504,7 @@ class EncoderCore:
             lam_cur = LAMBDA_TAB[qpb].astype(np.int32)
             mb_hb = y1 - y0
             if slice_type == P.SLICE_TYPE_I:
-                dev = intra_frame.encode_i_frame(
+                dev = intra_frame.encode_i_frame_best(
                     fy[y0 * 16:y1 * 16], fu[y0 * 8:y1 * 8],
                     fv[y0 * 8:y1 * 8], qpb, qpc_cur, lam_cur,
                     mb_w=self.mb_w, mb_h=mb_hb,

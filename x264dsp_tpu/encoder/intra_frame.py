@@ -653,6 +653,164 @@ def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "use_satd",
+                                             "i4x4_enabled", "cqm"))
+def encode_i_frame_skew(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
+                        mb_w: int, mb_h: int, use_satd: bool,
+                        i4x4_enabled: bool, cqm=None):
+    """encode_i_frame with SKEWED plane storage (bit-identical output).
+
+    MB (y, x) lives in skew column d = x + 2y (ops/pallas/deblock_skew
+    layout: [diag, intra-tile col j, lane 4 + tile*y + r]), so every
+    neighbor pixel of diagonal d sits in columns d-1..d-3 at STATIC
+    lane offsets: each wavefront step is one dynamic_slice of a 3-column
+    strip + static strided slices, replacing the ~10 per-slot vmapped
+    gathers and 3 full-plane scatters of the gather-based path (the
+    deblock skew kernel's trick applied to intra). Unavailable
+    neighbors read the never-written zero lanes — the same zeros the
+    padded-plane gathers produced, so outputs match exactly."""
+    from ..ops.pallas.deblock_skew import deskew_plane, skew_plane
+
+    def rup(n, m=128):
+        return (n + m - 1) // m * m
+
+    qp_mb = jnp.broadcast_to(jnp.asarray(qp), (mb_h, mb_w))
+    qpc_mb = jnp.broadcast_to(jnp.asarray(qpc), (mb_h, mb_w))
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
+    n_diag = mb_w + 2 * mb_h - 2
+    Ly = rup(16 * mb_h + 8)
+    Lc = rup(8 * mb_h + 8)
+
+    fy_sk = skew_plane(fenc_y.astype(jnp.int32)[None], mb_w, mb_h, 16)[0]
+    fu_sk = skew_plane(fenc_u.astype(jnp.int32)[None], mb_w, mb_h, 8)[0]
+    fv_sk = skew_plane(fenc_v.astype(jnp.int32)[None], mb_w, mb_h, 8)[0]
+
+    # mutable skewed recon, 3 zero front columns so the d-3..d-1
+    # neighbor strip needs no clamping (column c = d + 3)
+    sy = jnp.zeros((n_diag + 3, 16, Ly), jnp.int32)
+    su = jnp.zeros((n_diag + 3, 8, Lc), jnp.int32)
+    sv = jnp.zeros((n_diag + 3, 8, Lc), jnp.int32)
+
+    encode_mb = make_encode_mb(use_satd, i4x4_enabled, cqm)
+    vmb = jax.vmap(encode_mb)
+
+    out = dict(
+        mb_type=jnp.zeros((mb_h, mb_w), jnp.int32),
+        i16_mode=jnp.zeros((mb_h, mb_w), jnp.int32),
+        i4_modes=jnp.zeros((mb_h, mb_w, 16), jnp.int32),
+        chroma_mode=jnp.zeros((mb_h, mb_w), jnp.int32),
+        cbp_luma=jnp.zeros((mb_h, mb_w), jnp.int32),
+        cbp_chroma=jnp.zeros((mb_h, mb_w), jnp.int32),
+        luma_levels=jnp.zeros((mb_h, mb_w, 16, 16), jnp.int32),
+        luma_nnz=jnp.zeros((mb_h, mb_w, 16), jnp.int32),
+        luma_dc_levels=jnp.zeros((mb_h, mb_w, 16), jnp.int32),
+        nz_luma_dc=jnp.zeros((mb_h, mb_w), jnp.int32),
+        chroma_dc_levels=jnp.zeros((mb_h, mb_w, 2, 4), jnp.int32),
+        chroma_ac_levels=jnp.zeros((mb_h, mb_w, 2, 4, 16), jnp.int32),
+        chroma_nnz_ac=jnp.zeros((mb_h, mb_w, 2, 4), jnp.int32),
+        chroma_nz_dc=jnp.zeros((mb_h, mb_w, 2), jnp.int32),
+    )
+
+    ys = jnp.arange(mb_h, dtype=jnp.int32)
+
+    def tiles_of(strip, t):
+        """(t, 4 + t*mb_h + pad) lanes → (mb_h, t_r, t_j) slot tiles."""
+        return strip[:, 4:4 + t * mb_h].reshape(t, mb_h, t).transpose(1, 2, 0)
+
+    def step(d, state):
+        sy, su, sv, out = state
+        nby = jax.lax.dynamic_slice(sy, (d, 0, 0), (3, 16, Ly))
+        nbu = jax.lax.dynamic_slice(su, (d, 0, 0), (3, 8, Lc))
+        nbv = jax.lax.dynamic_slice(sv, (d, 0, 0), (3, 8, Lc))
+        fY = jax.lax.dynamic_slice(fy_sk, (d, 0, 0), (1, 16, Ly))[0]
+        fU = jax.lax.dynamic_slice(fu_sk, (d, 0, 0), (1, 8, Lc))[0]
+        fV = jax.lax.dynamic_slice(fv_sk, (d, 0, 0), (1, 8, Lc))[0]
+
+        xs = d - 2 * ys
+        valid = (xs >= 0) & (xs < mb_w)
+        xc = jnp.clip(xs, 0, mb_w - 1)
+
+        fenc16 = tiles_of(fY, 16)
+        fencu = tiles_of(fU, 8)
+        fencv = tiles_of(fV, 8)
+
+        # neighbor pixels: lane 4+16y-1 of the row ABOVE each slot is
+        # the static strided slice [3 : 3+16*mb_h : 16]
+        rowy = nby[:, :, 3:3 + 16 * mb_h:16]          # (3, 16j, mb_h)
+        tl = rowy[0, 15]                               # (mb_h,)
+        top = rowy[1].T                                # (mb_h, 16)
+        tr = rowy[2, 0:8].T                            # (mb_h, 8)
+        ytop25 = jnp.concatenate([tl[:, None], top, tr], axis=1)
+        yleft16 = nby[2, 15, 4:4 + 16 * mb_h].reshape(mb_h, 16)
+
+        rowu = nbu[:, :, 3:3 + 8 * mb_h:8]
+        utop9 = jnp.concatenate([rowu[0, 7][:, None], rowu[1].T], axis=1)
+        uleft8 = nbu[2, 7, 4:4 + 8 * mb_h].reshape(mb_h, 8)
+        rowv = nbv[:, :, 3:3 + 8 * mb_h:8]
+        vtop9 = jnp.concatenate([rowv[0, 7][:, None], rowv[1].T], axis=1)
+        vleft8 = nbv[2, 7, 4:4 + 8 * mb_h].reshape(mb_h, 8)
+
+        avail_l = xs > 0
+        avail_t = ys > 0
+        avail_tl = avail_l & avail_t
+        avail_tr = avail_t & (xs < mb_w - 1)
+
+        def eff_modes(y, x, idxs, avail):
+            mb_modes = out["i4_modes"][y, x][idxs]
+            is_i4 = out["mb_type"][y, x] == 1
+            mm = jnp.where(is_i4, mb_modes, jnp.full((4,), 2, jnp.int32))
+            return jnp.where(avail, mm, jnp.full((4,), -1, jnp.int32))
+
+        left_modes = jax.vmap(
+            lambda y, x, a: eff_modes(y, jnp.maximum(x - 1, 0),
+                                      _LEFT_COL_IDX, a))(ys, xc, avail_l)
+        top_modes = jax.vmap(
+            lambda y, x, a: eff_modes(jnp.maximum(y - 1, 0), x,
+                                      _TOP_ROW_IDX, a))(ys, xc, avail_t)
+
+        res = vmb(fenc16, fencu, fencv, ytop25, yleft16, utop9, uleft8,
+                  vtop9, vleft8, avail_l, avail_t, avail_tl, avail_tr,
+                  left_modes, top_modes, qp_mb[ys, xc], qpc_mb[ys, xc],
+                  lam_mb[ys, xc])
+
+        # ---------- write back ----------
+        def col_of(recon, t, L):
+            # (mb_h, t_r, t_j) → (t_j, lanes), invalid slots stay zero
+            # (their lanes map to nonexistent MBs, never read)
+            v = jnp.where(valid[:, None, None], recon, 0)
+            strip = v.transpose(2, 0, 1).reshape(t, mb_h * t)
+            return jnp.pad(strip, ((0, 0), (4, L - 4 - t * mb_h)))[None]
+
+        sy = jax.lax.dynamic_update_slice(
+            sy, col_of(res["recon_y"], 16, Ly), (d + 3, 0, 0))
+        su = jax.lax.dynamic_update_slice(
+            su, col_of(res["recon_u"], 8, Lc), (d + 3, 0, 0))
+        sv = jax.lax.dynamic_update_slice(
+            sv, col_of(res["recon_v"], 8, Lc), (d + 3, 0, 0))
+
+        oob = jnp.int32(1 << 20)
+        sy_i = jnp.where(valid, ys, oob)
+        sx_i = jnp.where(valid, xc, oob)
+        out2 = {k: v.at[sy_i, sx_i].set(res[k], mode="drop")
+                for k, v in out.items()}
+        return sy, su, sv, out2
+
+    sy, su, sv, out = jax.lax.fori_loop(0, n_diag, step, (sy, su, sv, out))
+    out["recon_y"] = deskew_plane(sy[3:][None], mb_w, mb_h, 16)[0]
+    out["recon_u"] = deskew_plane(su[3:][None], mb_w, mb_h, 8)[0]
+    out["recon_v"] = deskew_plane(sv[3:][None], mb_w, mb_h, 8)[0]
+    return out
+
+
+def encode_i_frame_best(*args, **kwargs):
+    """Backend dispatch: the skewed-layout wavefront on TPU (strided
+    slices instead of per-diagonal gathers — bit-identical output,
+    tests/test_intra_skew.py), the gather path elsewhere."""
+    if jax.default_backend() == "tpu":
+        return encode_i_frame_skew(*args, **kwargs)
+    return encode_i_frame(*args, **kwargs)
+
+
 # I-slice syntax wire layout (the CABAC/CAVLC I writers' input set,
 # entropy/native.py write_slice_i / write_slice_cabac is_p=0)
 SYN_I_LAYOUT = (

@@ -35,7 +35,10 @@ def encode_i_frames_batched(fy, fu, fv, qp, qpc, lam,
     """Batched I-frame encode: planes carry a leading stream axis.
     fy: (S, H, W), fu/fv: (S, H/2, W/2); qp/qpc/lam scalars (per-batch QP
     support comes with rate control)."""
-    fn = functools.partial(intra_frame.encode_i_frame.__wrapped__,
+    base = (intra_frame.encode_i_frame_skew
+            if jax.default_backend() == "tpu"
+            else intra_frame.encode_i_frame)
+    fn = functools.partial(base.__wrapped__,
                            mb_w=mb_w, mb_h=mb_h, use_satd=use_satd,
                            i4x4_enabled=i4x4_enabled)
     return jax.vmap(lambda y, u, v: fn(y, u, v, qp, qpc, lam))(fy, fu, fv)
