@@ -127,7 +127,8 @@ class EncoderCore:
                              if p.rc.i_vbv_buffer_size > 0 else 0)
 
         # mbcmp selection (encoder.c:412: satd unless subme <= 1)
-        self.use_satd = p.analyse.i_subpel_refine > 1
+        # SATD for intra mbcmp except subme 0 (mbcmp_init, encoder.c:412-423)
+        self.use_satd = p.analyse.i_subpel_refine > 0
         self.i4x4_enabled = bool(p.analyse.intra & P.ANALYSE_I4x4)
 
         self.i_frame = 0          # input frame counter
