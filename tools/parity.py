@@ -87,9 +87,11 @@ def run_ours(frames, w, h, cfg):
         else:
             setattr(p, k, v)
     enc = xt.Encoder(p)
-    headers = b"".join(n.payload for n in enc.headers())
-    total = len(headers)
-    stream = headers
+    # no explicit header write: like the reference CLI at default
+    # b_repeat_headers=1 (x264.c:231), SPS/PPS arrive in-band on the
+    # first frame so our byte total matches the oracle file exactly
+    total = 0
+    stream = b""
     psnrs = []
     for (y, u, v) in frames:
         nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
@@ -295,9 +297,17 @@ def main():
     ap.add_argument("--frames", type=int, default=0,
                     help="override per-config frame count (smoke runs)")
     args = ap.parse_args()
+    all_names = list(CONFIGS) + ["8_1080p_8stream_mesh"]
     results = {}
     for name in args.configs.split(","):
         name = name.strip()
+        # accept bare config numbers ("--configs 1,2") as prefixes
+        if name not in all_names:
+            hits = [n for n in all_names if n.split("_")[0] == name]
+            if len(hits) != 1:
+                raise SystemExit(f"unknown parity config {name!r}; "
+                                 f"choose from {all_names}")
+            name = hits[0]
         if name == "8_1080p_8stream_mesh":
             r = run_mesh8(n_frames=args.frames or 3)
             results[name] = r

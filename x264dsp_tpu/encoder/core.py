@@ -615,8 +615,11 @@ class EncoderCore:
         self._last_syn = syn
 
         nals = []
-        if is_idr and p.b_repeat_headers:
-            # SPS/PPS precede every keyframe (encoder.c:1916-1944)
+        if p.b_repeat_headers and self.i_frame == 0:
+            # in-band SPS/PPS on the FIRST frame only — the fork writes
+            # them for i_frame == 0, not per keyframe, and its in-band
+            # version-SEI write is compiled out (encoder.c:1916-1944;
+            # the explicit x264_encoder_headers flow keeps the SEI)
             nals.extend(self.headers()[:2])
         if is_idr:
             self.frame_num = 0
