@@ -300,8 +300,14 @@ def main():
         sweep("FUSED I step", istep, [(t,) for t in tss])
 
         wire0, _ = pstep(tss[0], *refs0)
+        jax.block_until_ready(wire0)
+        payload, off, ov = wire0
         t0 = time.perf_counter()
-        entropy_batch(("P", wire0, None))
+        off_np = np.asarray(off)
+        raw = np.asarray(payload[:int(off_np[-1])])
+        for s in range(S):
+            body = raw[off_np[s]:off_np[s + 1]].tobytes()
+            native.nal_escape(body)
         print(f"{'host pull+escape+frame':34s} "
               f"{(time.perf_counter()-t0)*1e3:8.2f} ms/batch",
               file=sys.stderr)
