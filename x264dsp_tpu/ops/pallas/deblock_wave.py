@@ -42,26 +42,26 @@ def _slot_geom(d, k, mb_w: int, mb_h: int):
 
 
 def _onehot_cols(off, n_sel: int):
-    """(SUPER, n_sel) f32 with [c, j] = (c == off + j)."""
+    """(SUPER, n_sel) bf16 with [c, j] = (c == off + j)."""
     c = jax.lax.broadcasted_iota(jnp.int32, (SUPER, n_sel), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (SUPER, n_sel), 1)
-    return (c == off + j).astype(jnp.float32)
+    return (c == off + j).astype(jnp.bfloat16)
 
 
 
 def _shift_mat(n_in: int, n_out: int):
-    """(n_in, n_out) f32 one-hot P[i, i+4] = 1, built from iota (pallas
+    """(n_in, n_out) bf16 one-hot P[i, i+4] = 1, built from iota (pallas
     kernels cannot capture array constants)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
-    return (j == i + 4).astype(jnp.float32)
+    return (j == i + 4).astype(jnp.bfloat16)
 
 
 def _row_place16(x16):
     """(K, 16) per-edge lanes -> (K, 20) aligned to plane rows 4..20,
     via a one-hot matmul (no pad/concat — Mosaic rejects misaligned
     lane concats)."""
-    return jnp.dot(x16.astype(jnp.float32), _shift_mat(16, 20),
+    return jnp.dot(x16.astype(jnp.bfloat16), _shift_mat(16, 20),
                    preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
@@ -133,7 +133,7 @@ def _filter_chroma_regs(regs, tcc, enc, uic, alc, blc):
         else:
             p1, p0, q0, q1 = [regs[:, c - 2 + i, :] for i in range(4)]
         tc8 = tcc[:, d * 16 + e * 8:d * 16 + e * 8 + 8]
-        tc = jnp.dot(tc8.astype(jnp.float32), _shift_mat(8, 12),
+        tc = jnp.dot(tc8.astype(jnp.bfloat16), _shift_mat(8, 12),
                      preferred_element_type=jnp.float32).astype(jnp.int32)
         en = (enc[:, d * 2 + e:d * 2 + e + 1] != 0)
         ui = (uic[:, d * 2 + e:d * 2 + e + 1] != 0)
@@ -182,7 +182,7 @@ def _luma_kernel(mb_w: int, mb_h: int, K: int,
         off = col0 - base
         win = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
         Bk = _onehot_cols(off, 20)
-        reg = jnp.dot(win.astype(jnp.float32), Bk,
+        reg = jnp.dot(win.astype(jnp.bfloat16), Bk,
                       preferred_element_type=jnp.float32)
         regs.append(reg.astype(jnp.int32))
         geoms.append((row, base, Bk))
@@ -193,7 +193,10 @@ def _luma_kernel(mb_w: int, mb_h: int, K: int,
                                  bl_ref[0, 0])
 
     # ---- scatter deltas back (regions on a diagonal are disjoint) ----
-    delta = (regs_new - regs_old).astype(jnp.float32)
+    # bf16 is exact here and in every dot in this kernel: pixels and
+    # filter deltas are in [-255, 255] and tc0 <= 25, all within bf16's
+    # 8-bit significand, and accumulation is f32
+    delta = (regs_new - regs_old).astype(jnp.bfloat16)
     for k in range(K):
         row, base, Bk = geoms[k]
         wide = jnp.dot(Bk, delta[k].T,
@@ -227,7 +230,7 @@ def _chroma_kernel(mb_w: int, mb_h: int, K: int,
         Bk = _onehot_cols(off, 12)
         for ch in range(2):
             win = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
-            reg = jnp.dot(win.astype(jnp.float32), Bk,
+            reg = jnp.dot(win.astype(jnp.bfloat16), Bk,
                           preferred_element_type=jnp.float32)
             regs.append(reg.astype(jnp.int32))
         geoms.append((row, base, Bk))
@@ -237,7 +240,7 @@ def _chroma_kernel(mb_w: int, mb_h: int, K: int,
                                    enc_ref[0, 0], uic_ref[0, 0],
                                    alc_ref[0, 0], blc_ref[0, 0])
 
-    delta = (regs_new - regs_old).astype(jnp.float32)
+    delta = (regs_new - regs_old).astype(jnp.bfloat16)
     for k in range(K):
         row, base, Bk = geoms[k]
         for ch in range(2):

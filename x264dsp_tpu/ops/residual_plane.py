@@ -60,14 +60,35 @@ def _mats(n: int):
     return jnp.asarray(A), jnp.asarray(P)
 
 
+def _hilo_lmul(lhs_bf16, x_int):
+    """Exact lhs @ x for integer-valued x in [-2^15, 2^15) against a
+    bf16-exact lhs: split x into (hi << 8) + lo bytes — both exactly
+    representable in bf16 — and run ONE single-pass bf16 dot over the
+    column-concatenated pair with f32 accumulation. Bit-exact regardless
+    of the backend's DEFAULT f32 dot precision (which may round f32
+    operands to bf16), and cheaper than a HIGHEST-precision f32 dot
+    (6 MXU passes)."""
+    hi = (x_int >> 8).astype(jnp.bfloat16)
+    lo = (x_int & 0xFF).astype(jnp.bfloat16)
+    out = jnp.dot(lhs_bf16, jnp.concatenate([hi, lo], axis=1),
+                  preferred_element_type=jnp.float32)
+    n = x_int.shape[1]
+    return out[:, :n] * 256.0 + out[:, n:]
+
+
 def sub_dct_cm(fenc, pred):
     """Whole-plane forward DCT of (fenc - pred): returns a list of 16
     int32 coefficient planes (H/4, W/4), natural order c = 4*i + j."""
     H, W = fenc.shape
     AH, _ = _mats(H)
     AW, _ = _mats(W)
-    res = (fenc - pred).astype(jnp.float32)
-    D = AH @ res @ AW.T
+    # res is in [-255, 255] — exact in bf16 — so the first pass is one
+    # exact bf16 dot; its output reaches +-2040 (11 bits), so the second
+    # pass goes through the hi/lo split (see _hilo_lmul).
+    res = (fenc - pred).astype(jnp.bfloat16)
+    R1 = jnp.dot(res, AW.T.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    D = _hilo_lmul(AH.astype(jnp.bfloat16), R1)
     Hq, Wq = H // 4, W // 4
     return [D[i * Hq:(i + 1) * Hq, j * Wq:(j + 1) * Wq].astype(jnp.int32)
             for i in range(4) for j in range(4)]
@@ -102,8 +123,24 @@ def idct_add_plane(pred, dq_cm):
         r[3 * 4 + j] = (s02 - s13 + 32) >> 6
     grouped = jnp.concatenate(
         [jnp.concatenate(r[4 * i:4 * i + 4], axis=1) for i in range(4)],
-        axis=0).astype(jnp.float32)
-    res = (PH.T @ grouped @ PW).astype(jnp.int32)
+        axis=0)
+    # Residual values reach +-2^13 (dequant growth), past bf16's 8-bit
+    # significand, so ungroup via the hi/lo byte split (_hilo_lmul note).
+    # PH/PW are permutations — they never mix values — so the hi and lo
+    # halves stay within their bf16-exact ranges through both dots and
+    # recombine only at the end.
+    hi = grouped >> 8
+    lo = grouped & 0xFF
+    X = jnp.dot(PH.T.astype(jnp.bfloat16),
+                jnp.concatenate([hi, lo], axis=1).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    Wd = grouped.shape[1]
+    Y = jnp.dot(jnp.concatenate([X[:, :Wd], X[:, Wd:]],
+                                axis=0).astype(jnp.bfloat16),
+                PW.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    Hd = grouped.shape[0]
+    res = (Y[:Hd] * 256.0 + Y[Hd:]).astype(jnp.int32)
     return jnp.clip(pred.astype(jnp.int32) + res, 0, 255)
 
 

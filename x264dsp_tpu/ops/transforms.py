@@ -130,8 +130,14 @@ def table_rows(table, idx):
     flat = idx.reshape(-1)
     oh = (flat[:, None] == jnp.arange(N, dtype=idx.dtype)[None, :]
           ).astype(jnp.float32)
+    # precision must be pinned: quant/dequant mf values run past 2^16
+    # (custom CQM scales them), and the TPU's DEFAULT dot precision may
+    # round f32 operands to bf16. HIGHEST keeps true-f32 semantics —
+    # exact for < 2^24 — and these dots contract over N <= 52, so the
+    # extra passes are free.
     out = jax.lax.dot(oh, table.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return out.astype(table.dtype).reshape(idx.shape + (K,))
 
 
