@@ -82,3 +82,33 @@ def test_chroma_grouping():
         qq = T.quant4x4(d, qp_mb[my, mx], False)
         z = T.zigzag4x4(qq)
         assert np.array_equal(np.asarray(lv[my, mx, q]), np.asarray(z))
+
+
+def test_extreme_residuals_exact():
+    """The hi/lo byte-split dots in sub_dct_cm / idct_add_plane must be
+    exact at the range extremes (random pixel data never reaches them):
+    max-magnitude residuals (+-255 checkerboard) through the lowest and
+    highest QPs, where dequantized coefficients grow toward +-2^13."""
+    rng = np.random.default_rng(7)
+    for qp in (0, 51):
+        # worst-case residual: alternating 0/255 against its inverse
+        base = ((np.indices((H, W)).sum(axis=0) & 1) * 255).astype(np.int32)
+        fenc = jnp.asarray(base)
+        pred = jnp.asarray(255 - base)
+        qp_mb = jnp.full((MB_H, MB_W), qp, jnp.int32)
+
+        blk_f = MG.mb_to_blocks4(_tiles(np.asarray(fenc), 16))
+        blk_p = MG.mb_to_blocks4(_tiles(np.asarray(pred), 16))
+        dct_t = T.sub_dct4x4(blk_f, blk_p)
+        q_t = T.quant4x4(dct_t, qp, False)
+        dq_t = T.dequant4x4(q_t, qp)
+        rec_t = T.idct4x4_add(blk_p, dq_t)
+        rec_t_plane = RP.mb_to_blockgrid(
+            MG.blocks4_to_mb(rec_t).reshape(MB_H, MB_W, 16, 16),
+            MB_H, MB_W, 16)
+
+        cm = RP.sub_dct_cm(fenc, pred)
+        q_cm = RP.quant_cm(cm, qp_mb, False, 4)
+        dq_cm = RP.dequant_cm(q_cm, qp_mb, 4)
+        rec_p = RP.idct_add_plane(pred, dq_cm)
+        assert np.array_equal(np.asarray(rec_p), np.asarray(rec_t_plane)), qp
