@@ -158,3 +158,27 @@ def test_aq_offsets_shape_and_flatness():
     assert off.shape == (2, 2)
     assert off[0, 0] < -10        # flat MB
     assert off[1, 1] > 0          # noisy MB
+
+
+def test_crf_max_caps_qscale():
+    """f_rf_constant_max: with CRF+VBV the clip never raises q above
+    qp_novbv + (crf_max - crf) (ratecontrol.c:347-354, 974-975)."""
+    p = xt.param_default()
+    p.i_width, p.i_height = 64, 48
+    p.rc.i_rc_method = P.RC_CRF
+    p.rc.f_rf_constant = 23.0
+    p.rc.f_rf_constant_max = 27.0
+    p.rc.i_vbv_max_bitrate = 80
+    p.rc.i_vbv_buffer_size = 40
+    P.validate_parameters(p)
+    rc = RateControl(p, (64 // 16) * (48 // 16))
+    assert rc.b_vbv and rc.rate_factor_max_increment == pytest.approx(4.0)
+    rc.last_satd = 10000
+    rc.qp_novbv = 23.0
+    rc.buffer_fill = rc.buffer_size * 0.05   # nearly empty → VBV panic
+    q = rc._clip_qscale(P.SLICE_TYPE_P, qp2qscale(23))
+    assert qscale2qp(q) <= 27.0 + 1e-9
+    # without the cap the same state clips to a coarser quantizer
+    rc.rate_factor_max_increment = 0.0
+    q_uncapped = rc._clip_qscale(P.SLICE_TYPE_P, qp2qscale(23))
+    assert q_uncapped > q

@@ -91,11 +91,22 @@ class RateControl:
         self.nmb = mb_count
         self.cbr_decay = 1.0
 
+        # CRF-max: don't allow the effective rate factor above
+        # f_rf_constant_max (ratecontrol.c:347-354; caps row/frame QP at
+        # qp_novbv + increment, :692-693 and :974-975)
+        self.rate_factor_max_increment = 0.0
         if p.rc.i_rc_method == P.RC_CRF:
             base_cplx = mb_count * 80  # no B-frames in the fork
             self.rate_factor_constant = (
                 base_cplx ** (1 - self.qcompress)
                 / qp2qscale(p.rc.f_rf_constant))
+            if p.rc.f_rf_constant_max:
+                inc = p.rc.f_rf_constant_max - p.rc.f_rf_constant
+                if inc <= 0:
+                    P.x264_log(p, P.LOG_WARNING,
+                               "CRF max must be greater than CRF\n")
+                    inc = 0.0
+                self.rate_factor_max_increment = inc
 
         self.abr_init_qp = (p.rc.f_rf_constant
                             if p.rc.i_rc_method == P.RC_CRF else 24)
@@ -273,6 +284,10 @@ class RateControl:
         (:1040-1060, the fork default rc_lookahead=0)."""
         lmin = self.lmin[pict_type]
         lmax = self.lmax[pict_type]
+        if self.rate_factor_max_increment:
+            # CRF-max cap (ratecontrol.c:974-975)
+            lmax = min(lmax, qp2qscale(self.qp_novbv
+                                       + self.rate_factor_max_increment))
         q0 = q
         if self.b_vbv and self.last_satd > 0:
             if self.param.rc.i_lookahead and self.planned:
@@ -434,6 +449,11 @@ class RateControl:
 
             prev_row_qp = qpm
             qp_absolute_max = float(p.rc.i_qp_max)
+            if self.rate_factor_max_increment:
+                # CRF-max cap on the row walk (ratecontrol.c:692-693)
+                qp_absolute_max = min(
+                    qp_absolute_max,
+                    self.qp_novbv + self.rate_factor_max_increment)
             qp_max = min(prev_row_qp + p.rc.i_qp_step, qp_absolute_max)
             qp_min = max(prev_row_qp - p.rc.i_qp_step,
                          float(p.rc.i_qp_min))
