@@ -140,3 +140,41 @@ def test_multiref_python_native_parity():
             streams[force] = parts
         for i, (a, b) in enumerate(zip(streams[False], streams[True])):
             assert a == b, f"cabac={cabac} frame={i}"
+
+
+def test_frame_packing5_ref_order():
+    """i_frame_packing == 5 (3D, one view per frame): L0 orders by the
+    view-pair distance (x264_reference_distance, encoder.c:804-810) so
+    the same-view frame ranks before the closer other-view frame, with
+    an explicit ref_pic_list_modification since frame_num no longer
+    descends. Stream must still decode to the encoder recon."""
+    W, H, N = 64, 48, 5
+    frames = _flicker_clip(W, H, N)  # t matches t-2: same "view"
+    p = xt.param_default()
+    p.i_width, p.i_height = W, H
+    p.b_cabac = 0
+    p.rc.i_rc_method = P.RC_CQP
+    p.rc.i_qp_constant = 26
+    p.i_frame_reference = 3
+    p.i_frame_packing = 5
+    enc = xt.Encoder(p)
+    stream = b""
+    recons = []
+    orders = []
+    for t, (y, u, v) in enumerate(frames):
+        nals, po = enc.encode(xt.Picture.from_planes(y, u, v))
+        stream += b"".join(n.payload for n in nals)
+        recons.append((po.y, po.u, po.v))
+        if t >= 3:
+            orders.append(list(enc._core._active_refs))
+    enc.close()
+    # For an EVEN frame t (first of pair {t, t+1}) the same-view frame
+    # t-2 (distance 2) outranks the adjacent other-view frame t-1
+    # (distance 3); for an ODD frame the pair-mate t-1 (distance 1) is
+    # nearest anyway, giving the default order.
+    for t, order in zip(range(3, N), orders):
+        want = (t - 2) if t % 2 == 0 else (t - 1)
+        assert order[0] == want % 16, (t, order)
+    dec = Decoder().decode(stream)
+    for t, (fy, fu, fv) in enumerate(dec):
+        np.testing.assert_array_equal(fy, recons[t][0], err_msg=f"Y {t}")

@@ -441,6 +441,16 @@ class EncoderCore:
         # active reference list skips corrupt DPB entries
         # (x264_reference_build, encoder.c:825-826)
         valid_dpb = [e for e in self.dpb if not e["corrupt"]]
+        if p.i_frame_packing == 5 and len(valid_dpb) > 1:
+            # 3D one-view-per-frame: L0 orders by the view-pair distance
+            # (x264_reference_distance, encoder.c:804-810; sort at
+            # :833-853) so the same-view frame of each pair ranks first.
+            # Stable sort = the reference's bubble sort over a
+            # nearest-first array.
+            cur = rec["st_idx"]
+            valid_dpb.sort(key=lambda e: abs((cur & ~1)
+                                             - (e["frame_idx"] & ~1))
+                           + ((cur & 1) != (e["frame_idx"] & 1)))
         is_idr = is_keyframe
         if not is_keyframe and (pic.i_type == P.TYPE_IDR
                                 or pic.b_keyframe
@@ -487,10 +497,17 @@ class EncoderCore:
         # from the decoder's default order → signal an explicit
         # ref_pic_list_modification (x264_reference_check_reorder,
         # encoder.c:777-788; order built at :1013-1027)
+        active = valid_dpb[:n_ref_active]
         self._ref_reorder = (slice_type == P.SLICE_TYPE_P
-                             and any(e["corrupt"] for e in self.dpb))
-        self._active_refs = [e["frame_num"]
-                             for e in valid_dpb[:n_ref_active]]
+                             and (any(e["corrupt"] for e in self.dpb)
+                                  # non-default order (frame_num must
+                                  # descend for a P list,
+                                  # x264_reference_check_reorder,
+                                  # encoder.c:789-799)
+                                  or any(active[i + 1]["frame_idx"]
+                                         > active[i]["frame_idx"]
+                                         for i in range(len(active) - 1))))
+        self._active_refs = [e["frame_num"] for e in active]
 
         slices = self._slice_ranges()
 
