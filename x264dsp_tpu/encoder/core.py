@@ -397,6 +397,11 @@ class EncoderCore:
                             % (1 << self.sps.i_log2_max_frame_num),
                             "corrupt": False})
         del self.dpb[max(self.param.i_frame_reference, 1):]
+        for v in (dy, du, dv):
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
         return (np.asarray(dy).astype(np.uint8),
                 np.asarray(du).astype(np.uint8),
                 np.asarray(dv).astype(np.uint8))
@@ -567,6 +572,15 @@ class EncoderCore:
                     nr_offset=None if self.nr is None else
                     (jnp.asarray(self.nr["offset"][0]),
                      jnp.asarray(self.nr["offset"][1])))
+            # overlap the per-tensor pulls: start every host copy
+            # before blocking on the first (each np.asarray alone is a
+            # serialized round-trip; on a high-latency link that's ~20
+            # RPCs end to end)
+            for v in dev.values():
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
             return {k: np.asarray(v) for k, v in dev.items()}
 
         def device_encode(qp_mb_cur):
