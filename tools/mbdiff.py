@@ -204,6 +204,48 @@ def main():
             if same_mv_oP:
                 print(f"   same-mv oracle-P MBs: {same_mv_oP}, of which "
                       f"we code zero residual: {same_mv_oP_we_zero}")
+        # ref agreement + MV deltas among both-P MBs (multiref diag)
+        if um["ref"] is not None:
+            ref_eq = ref_tot = 0
+            refconf = Counter()
+            mvd = []
+            part_conf = Counter()
+            for y in range(mb_h):
+                for x in range(mb_w):
+                    o = om["mb"][(y, x)]
+                    ocls = ORACLE_CLASS.get(o["t"], -1)
+                    ucls = int(um["mb_types"][y, x])
+                    if ocls != 2 or ucls != 2:
+                        continue
+                    uref = int(np.ravel(um["ref"][y, x])[0])
+                    ref_tot += 1
+                    refconf[(o["ref"], uref)] += 1
+                    part_conf[(o["part"],
+                               int(np.ravel(um["part"][y, x])[0]))] += 1
+                    if o["ref"] == uref and um["mv"] is not None:
+                        umv = tuple(um["mv"][y, x])
+                        if umv != o["mv"]:
+                            mvd.append((abs(umv[0] - o["mv"][0])
+                                        + abs(umv[1] - o["mv"][1]),
+                                        (y, x), o["mv"], umv, o["ref"]))
+                    if o["ref"] == uref:
+                        ref_eq += 1
+            if ref_tot:
+                print(f"   ref eq {ref_eq}/{ref_tot} among both-P; "
+                      f"confusion {dict((f'{a}->{b}', v) for (a, b), v in refconf.items() if a != b)}")
+                pm = {f"{a}->{b}": v for (a, b), v
+                      in sorted(part_conf.items(), key=lambda kv: -kv[1])
+                      if a != b}
+                if pm:
+                    print(f"   partition confusion (oracle->ours): {pm}")
+                if mvd:
+                    mvd.sort(reverse=True)
+                    print(f"   same-ref mv mismatches: {len(mvd)}, "
+                          f"|d| quartiles "
+                          f"{[mvd[int(q * (len(mvd) - 1))][0] for q in (1.0, 0.75, 0.5, 0.25, 0)][::-1]}")
+                    for d, (y, x), omv, umv, r in mvd[:8]:
+                        print(f"     ({y},{x}) ref {r} oracle {omv} "
+                              f"ours {umv}")
         tot = mb_w * mb_h
         agree = sum(v for (a, b), v in conf.items() if a == b)
         print(f"   mb class agree {agree}/{tot} "

@@ -1436,9 +1436,22 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
         cost8_r = [fullpel_cost_surfaces_8x8(fenc_y, ref4[r, 0], mb_w,
                                              mb_h, me_range)
                    for r in range(n_ref)]
-        # per-MB best ref: min over fullpel 16x16 SAD + λ·ref bits
-        # (the λ·mvbits term is ref-agnostic at this stage)
-        best = [c8.sum(axis=(2, 3)).reshape(mb_h, mb_w, -1).min(-1)
+        # per-MB best ref: min over fullpel 16x16 SAD + λ·mvbits + λ·ref
+        # bits. The mv-rate term is NOT ref-agnostic: a ref k frames
+        # back matches at ~k× the motion, and the oracle's per-ref cost
+        # (me.cost = SATD + λ·mvbits(mv − mvp_ref) + ref cost,
+        # analyse.c:801-851) charges those longer vectors — its MVP for
+        # a so-far-unused ref falls back near zero
+        # (x264_mb_predict_mv_16x16 medians same-ref neighbours only),
+        # so a zero-MVP bit grid is the faithful stand-in here. Without
+        # it, sensor noise flips ~30% of MBs to the farther ref, each
+        # then coding a doubled MV (PARITY config 5 ×1.04).
+        off_bits = _mv_bits(4 * jnp.abs(jnp.arange(-me_range,
+                                                   me_range + 1)))
+        mv_grid = off_bits[:, None] + off_bits[None, :]   # (n, n)
+        best = [(c8.sum(axis=(2, 3))
+                 + lam_mb[..., None, None] * mv_grid
+                 ).reshape(mb_h, mb_w, -1).min(-1)
                 + lam_mb * _ref_bits(r, n_ref)
                 for r, c8 in enumerate(cost8_r)]
         ref_mb = jnp.argmin(jnp.stack(best), axis=0).astype(jnp.int32)
