@@ -158,97 +158,105 @@ def _filter_chroma_regs(regs, tcc, enc, uic, alc, blc):
     return regs
 
 
-def _luma_kernel(mb_w: int, mb_h: int, K: int,
+def _luma_kernel(mb_w: int, mb_h: int, K: int, U: int,
                  yin_ref, tc0_ref, en_ref, ui_ref, al_ref, bl_ref,
                  yout_ref, sem):
     s_idx = pl.program_id(0)   # stream (batch) axis
-    d = pl.program_id(1)       # wavefront diagonal
+    dblk = pl.program_id(1)    # block of U consecutive wavefront diagonals
 
-    @pl.when(d == 0)
+    @pl.when(dblk == 0)
     def _init():
         dma = pltpu.make_async_copy(yin_ref.at[s_idx], yout_ref.at[0],
                                     sem)
         dma.start()
         dma.wait()
 
-    # ---- gather all slot regions (one-hot column select on the MXU) ----
-    regs = []
-    geoms = []
-    for k in range(K):
-        y, x, _ = _slot_geom(d, k, mb_w, mb_h)
-        row = pl.multiple_of(16 * y, 8)
-        col0 = 16 * x
-        base = pl.multiple_of((col0 // 128) * 128, 128)
-        off = col0 - base
-        win = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
-        Bk = _onehot_cols(off, 20)
-        reg = jnp.dot(win.astype(jnp.bfloat16), Bk,
-                      preferred_element_type=jnp.float32)
-        regs.append(reg.astype(jnp.int32))
-        geoms.append((row, base, Bk))
-    regs_old = jnp.stack(regs)                       # (K, 20, 20)
+    # U diagonals per grid step, processed IN ORDER (diagonal d+1 reads
+    # pixels diagonal d just wrote) — identical semantics, ~U× fewer
+    # grid steps of fixed scheduling overhead on the latency-bound
+    # wavefront
+    for u in range(U):
+        d = dblk * U + u
+        # ---- gather slot regions (one-hot column select on the MXU) ----
+        regs = []
+        geoms = []
+        for k in range(K):
+            y, x, _ = _slot_geom(d, k, mb_w, mb_h)
+            row = pl.multiple_of(16 * y, 8)
+            col0 = 16 * x
+            base = pl.multiple_of((col0 // 128) * 128, 128)
+            off = col0 - base
+            win = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
+            Bk = _onehot_cols(off, 20)
+            reg = jnp.dot(win.astype(jnp.bfloat16), Bk,
+                          preferred_element_type=jnp.float32)
+            regs.append(reg.astype(jnp.int32))
+            geoms.append((row, base, Bk))
+        regs_old = jnp.stack(regs)                   # (K, 20, 20)
 
-    regs_new = _filter_luma_regs(regs_old, tc0_ref[0, 0], en_ref[0, 0],
-                                 ui_ref[0, 0], al_ref[0, 0],
-                                 bl_ref[0, 0])
+        regs_new = _filter_luma_regs(regs_old, tc0_ref[0, u],
+                                     en_ref[0, u], ui_ref[0, u],
+                                     al_ref[0, u], bl_ref[0, u])
 
-    # ---- scatter deltas back (regions on a diagonal are disjoint) ----
-    # bf16 is exact here and in every dot in this kernel: pixels and
-    # filter deltas are in [-255, 255] and tc0 <= 25, all within bf16's
-    # 8-bit significand, and accumulation is f32
-    delta = (regs_new - regs_old).astype(jnp.bfloat16)
-    for k in range(K):
-        row, base, Bk = geoms[k]
-        wide = jnp.dot(Bk, delta[k].T,
-                       preferred_element_type=jnp.float32)  # (SUPER, 20)
-        cur = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
-        yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)] = (
-            cur + wide.T.astype(jnp.int32))
+        # ---- scatter deltas back (regions on a diagonal are disjoint) ----
+        # bf16 is exact here and in every dot in this kernel: pixels and
+        # filter deltas are in [-255, 255] and tc0 <= 25, all within
+        # bf16's 8-bit significand, and accumulation is f32
+        delta = (regs_new - regs_old).astype(jnp.bfloat16)
+        for k in range(K):
+            row, base, Bk = geoms[k]
+            wide = jnp.dot(Bk, delta[k].T,
+                           preferred_element_type=jnp.float32)
+            cur = yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)]
+            yout_ref[0, pl.ds(row, 20), pl.ds(base, SUPER)] = (
+                cur + wide.T.astype(jnp.int32))
 
 
-def _chroma_kernel(mb_w: int, mb_h: int, K: int,
+def _chroma_kernel(mb_w: int, mb_h: int, K: int, U: int,
                    cin_ref, tcc_ref, enc_ref, uic_ref, alc_ref, blc_ref,
                    cout_ref, sem):
     s_idx = pl.program_id(0)   # stream (batch) axis
-    d = pl.program_id(1)       # wavefront diagonal
+    dblk = pl.program_id(1)    # block of U consecutive diagonals
 
-    @pl.when(d == 0)
+    @pl.when(dblk == 0)
     def _init():
         dma = pltpu.make_async_copy(cin_ref.at[s_idx], cout_ref.at[0],
                                     sem)
         dma.start()
         dma.wait()
 
-    regs = []
-    geoms = []
-    for k in range(K):
-        y, x, _ = _slot_geom(d, k, mb_w, mb_h)
-        row = pl.multiple_of(8 * y, 8)
-        col0 = 8 * x
-        base = pl.multiple_of((col0 // 128) * 128, 128)
-        off = col0 - base
-        Bk = _onehot_cols(off, 12)
-        for ch in range(2):
-            win = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
-            reg = jnp.dot(win.astype(jnp.bfloat16), Bk,
-                          preferred_element_type=jnp.float32)
-            regs.append(reg.astype(jnp.int32))
-        geoms.append((row, base, Bk))
-    regs_old = jnp.stack(regs)                       # (2K, 12, 12)
+    for u in range(U):
+        d = dblk * U + u
+        regs = []
+        geoms = []
+        for k in range(K):
+            y, x, _ = _slot_geom(d, k, mb_w, mb_h)
+            row = pl.multiple_of(8 * y, 8)
+            col0 = 8 * x
+            base = pl.multiple_of((col0 // 128) * 128, 128)
+            off = col0 - base
+            Bk = _onehot_cols(off, 12)
+            for ch in range(2):
+                win = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
+                reg = jnp.dot(win.astype(jnp.bfloat16), Bk,
+                              preferred_element_type=jnp.float32)
+                regs.append(reg.astype(jnp.int32))
+            geoms.append((row, base, Bk))
+        regs_old = jnp.stack(regs)                   # (2K, 12, 12)
 
-    regs_new = _filter_chroma_regs(regs_old, tcc_ref[0, 0],
-                                   enc_ref[0, 0], uic_ref[0, 0],
-                                   alc_ref[0, 0], blc_ref[0, 0])
+        regs_new = _filter_chroma_regs(regs_old, tcc_ref[0, u],
+                                       enc_ref[0, u], uic_ref[0, u],
+                                       alc_ref[0, u], blc_ref[0, u])
 
-    delta = (regs_new - regs_old).astype(jnp.bfloat16)
-    for k in range(K):
-        row, base, Bk = geoms[k]
-        for ch in range(2):
-            wide = jnp.dot(Bk, delta[2 * k + ch].T,
-                           preferred_element_type=jnp.float32)
-            cur = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
-            cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)] = (
-                cur + wide.T.astype(jnp.int32))
+        delta = (regs_new - regs_old).astype(jnp.bfloat16)
+        for k in range(K):
+            row, base, Bk = geoms[k]
+            for ch in range(2):
+                wide = jnp.dot(Bk, delta[2 * k + ch].T,
+                               preferred_element_type=jnp.float32)
+                cur = cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)]
+                cout_ref[0, ch, pl.ds(row, 12), pl.ds(base, SUPER)] = (
+                    cur + wide.T.astype(jnp.int32))
 
 
 def _plane_dims(mb_w: int, size: int):
@@ -257,28 +265,37 @@ def _plane_dims(mb_w: int, size: int):
     return max(w0, base_max + SUPER)
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret",
+                                              "unroll"))
 def deblock_wave_luma(y, tc0y, eny, uiy, aly, bly, mb_w: int, mb_h: int,
-                      interpret: bool = False):
+                      interpret: bool = False, unroll: int = 2):
     """y: (S, 16mb_h, 16mb_w) int32 recon planes (leading stream axis).
     Lane tensors: (S, n_diag, K, ...) per-diagonal per-slot filter params
     (layouts as in ops/pallas/deblock_filter.py). Returns the filtered
-    planes."""
+    planes. unroll: diagonals per grid step (the lane tensors are padded
+    with en=0 no-op diagonals to a multiple)."""
     S, n_diag, K = eny.shape[:3]
+    U = max(1, min(unroll, n_diag))
+    pad_d = (-n_diag) % U
+    if pad_d:
+        padl = lambda t: jnp.pad(t, ((0, 0), (0, pad_d)) + ((0, 0),)
+                                 * (t.ndim - 2))
+        tc0y, eny, uiy, aly, bly = map(padl, (tc0y, eny, uiy, aly, bly))
+        n_diag += pad_d
     Wp = _plane_dims(mb_w, 16)
     yp = jnp.pad(y.astype(jnp.int32),
                  ((0, 0), (4, 4), (4, Wp - 4 - 16 * mb_w)))
-    kernel = functools.partial(_luma_kernel, mb_w, mb_h, K)
+    kernel = functools.partial(_luma_kernel, mb_w, mb_h, K, U)
     blk = lambda shp: pl.BlockSpec(
         shp, lambda si, d: (si, d) + (0,) * (len(shp) - 2),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(S, n_diag),
+        grid=(S, n_diag // U),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  blk((1, 1, K, 128)), blk((1, 1, K, 8)),
-                  blk((1, 1, K, 8)), blk((1, 1, K, 8)),
-                  blk((1, 1, K, 8))],
+                  blk((1, U, K, 128)), blk((1, U, K, 8)),
+                  blk((1, U, K, 8)), blk((1, U, K, 8)),
+                  blk((1, U, K, 8))],
         out_specs=pl.BlockSpec((1,) + yp.shape[1:],
                                lambda si, d: (si, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -291,29 +308,38 @@ def deblock_wave_luma(y, tc0y, eny, uiy, aly, bly, mb_w: int, mb_h: int,
     return out[:, 4:4 + 16 * mb_h, 4:4 + 16 * mb_w]
 
 
-@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "interpret",
+                                              "unroll"))
 def deblock_wave_chroma(u, v, tcc, enc, uic, alc, blc,
-                        mb_w: int, mb_h: int, interpret: bool = False):
+                        mb_w: int, mb_h: int, interpret: bool = False,
+                        unroll: int = 2):
     """u/v: (S, 8mb_h, 8mb_w) int32 (leading stream axis). Chroma lane
     tensors interleave (u, v) per slot: (S, n_diag, 2K, ...). Returns
-    filtered (u, v)."""
+    filtered (u, v). unroll: diagonals per grid step."""
     S, n_diag, K2 = enc.shape[:3]
     K = K2 // 2
+    U = max(1, min(unroll, n_diag))
+    pad_d = (-n_diag) % U
+    if pad_d:
+        padl = lambda t: jnp.pad(t, ((0, 0), (0, pad_d)) + ((0, 0),)
+                                 * (t.ndim - 2))
+        tcc, enc, uic, alc, blc = map(padl, (tcc, enc, uic, alc, blc))
+        n_diag += pad_d
     Wp = _plane_dims(mb_w, 8)
     padw = ((0, 0), (4, 4), (4, Wp - 4 - 8 * mb_w))
     cp = jnp.stack([jnp.pad(u.astype(jnp.int32), padw),
                     jnp.pad(v.astype(jnp.int32), padw)], axis=1)
-    kernel = functools.partial(_chroma_kernel, mb_w, mb_h, K)
+    kernel = functools.partial(_chroma_kernel, mb_w, mb_h, K, U)
     blk = lambda shp: pl.BlockSpec(
         shp, lambda si, d: (si, d) + (0,) * (len(shp) - 2),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(S, n_diag),
+        grid=(S, n_diag // U),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  blk((1, 1, 2 * K, 32)), blk((1, 1, 2 * K, 4)),
-                  blk((1, 1, 2 * K, 4)), blk((1, 1, 2 * K, 4)),
-                  blk((1, 1, 2 * K, 4))],
+                  blk((1, U, 2 * K, 32)), blk((1, U, 2 * K, 4)),
+                  blk((1, U, 2 * K, 4)), blk((1, U, 2 * K, 4)),
+                  blk((1, U, 2 * K, 4))],
         out_specs=pl.BlockSpec((1,) + cp.shape[1:],
                                lambda si, d: (si, 0, 0, 0),
                                memory_space=pltpu.VMEM),
