@@ -17,6 +17,7 @@ the diagonal, applies the 4+4 luma and 2+2 chroma edges in order
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -592,11 +593,16 @@ def deblock_frame_wave_batched(y, u, v, bs, intra_mb, first_edge_only,
         lambda b, i, f, q, qc: _wave_lanes(b, i, f, q, qc, alpha_off,
                                            beta_off, mb_w, mb_h))(
         bs, intra_mb, first_edge_only, qp_mb, qpc_mb)
+    # X264_DEBLOCK_UNROLL: diagonals per wavefront grid step (bit-exact
+    # either way; on-chip A/B knob, and the fallback if Mosaic rejects
+    # the larger unrolled body on some toolchain)
+    unroll = int(os.environ.get("X264_DEBLOCK_UNROLL", "2"))
     dy = deblock_wave_luma(y.astype(jnp.int32), *luma_l,
-                           mb_w=mb_w, mb_h=mb_h, interpret=interpret)
+                           mb_w=mb_w, mb_h=mb_h, interpret=interpret,
+                           unroll=unroll)
     du, dv = deblock_wave_chroma(u.astype(jnp.int32), v.astype(jnp.int32),
                                  *chroma_l, mb_w=mb_w, mb_h=mb_h,
-                                 interpret=interpret)
+                                 interpret=interpret, unroll=unroll)
     return dy, du, dv
 
 
