@@ -256,7 +256,12 @@ def decide_mvs(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
 
     mv0 = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
     c0 = jnp.zeros((mb_h, mb_w), jnp.int32)
-    mv_field, cost_field = jax.lax.fori_loop(0, n_diag, step, (mv0, c0))
+    # unroll: each step is tiny arithmetic on (2R+1)^2 surfaces, so the
+    # ~mb_w+2*mb_h sequential iterations are loop-machinery-bound;
+    # unrolling keeps the exact diagonal order (d depends on d-1/d-2)
+    # while quartering the while-loop overhead
+    mv_field, cost_field = jax.lax.fori_loop(0, n_diag, step, (mv0, c0),
+                                             unroll=4)
 
     # ---- stage 2: batched subpel refinement (exact MVP field) ----
     def mvp_one(mbx, mby):

@@ -646,7 +646,8 @@ def encode_i_frame(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
                 for k, v in out.items()}
         return ry2, ru2, rv2, out2
 
-    ry, ru, rv, out = jax.lax.fori_loop(0, n_diag, step, (ry, ru, rv, out))
+    ry, ru, rv, out = jax.lax.fori_loop(0, n_diag, step, (ry, ru, rv, out),
+                                        unroll=2)
     out["recon_y"] = ry[PAD:PAD + H, PAD:PAD + W]
     out["recon_u"] = ru[PAD:PAD + H // 2, PAD:PAD + W // 2]
     out["recon_v"] = rv[PAD:PAD + H // 2, PAD:PAD + W // 2]
@@ -795,7 +796,8 @@ def encode_i_frame_skew(fenc_y, fenc_u, fenc_v, qp, qpc, lam,
                 for k, v in out.items()}
         return sy, su, sv, out2
 
-    sy, su, sv, out = jax.lax.fori_loop(0, n_diag, step, (sy, su, sv, out))
+    sy, su, sv, out = jax.lax.fori_loop(0, n_diag, step, (sy, su, sv, out),
+                                        unroll=2)
     out["recon_y"] = deskew_plane(sy[3:][None], mb_w, mb_h, 16)[0]
     out["recon_u"] = deskew_plane(su[3:][None], mb_w, mb_h, 8)[0]
     out["recon_v"] = deskew_plane(sv[3:][None], mb_w, mb_h, 8)[0]
