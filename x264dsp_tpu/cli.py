@@ -36,6 +36,7 @@ def main(argv=None):
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--ssim", action="store_true")
+    ap.add_argument("--psnr", action="store_true")
     args = ap.parse_args(argv)
 
     param = param_default()
@@ -59,6 +60,8 @@ def main(argv=None):
         param.i_keyint_max = args.keyint
     if args.ssim:
         param.analyse.b_ssim = 1
+    if args.psnr:
+        param.analyse.b_psnr = 1
 
     n_frames = reader.num_frames
     if args.frames:

@@ -12,7 +12,9 @@ The TPU-native reshaping of encoder/encoder.c:
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 
 import numpy as np
 
@@ -48,6 +50,49 @@ LAMBDA_TAB = np.array([
     406, 456, 512, 575, 645, 724, 813, 912,
     1024, 1149, 1290, 1448, 1625, 1825, 2048, 2299,
     2048, 2299], np.int32)
+
+
+# device CAVLC payload cap: H.264's worst-case CAVLC MB is ~3200 bits
+# (all-escape levels); 512 B/MB is generous headroom. Overshoot is
+# detected (total_bits > cap) and falls back to the host writers.
+_DEV_PAYLOAD_BYTES_PER_MB = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _device_payload_fn(is_p: bool, mb_h: int, mb_w: int, n_ref: int,
+                       cap_bytes: int):
+    """Jitted device CAVLC slice-payload packer (entropy/cavlc_device):
+    the API-path twin of the bench pipeline's device entropy stage. One
+    compile per (slice kind, geometry, ref count); the slice QP and the
+    header bits are traced so RC/AQ steps don't recompile."""
+    import jax
+    from ..entropy import cavlc_device as CD
+
+    if is_p:
+        def f(syn, qp_mb, slice_qp, hv, hl):
+            return CD.cavlc_p_payload(syn, qp_mb, slice_qp, n_ref,
+                                      mb_h, mb_w, hv, hl, cap_bytes,
+                                      with_rows=True)
+    else:
+        def f(syn, qp_mb, slice_qp, hv, hl):
+            return CD.cavlc_i_payload(syn, qp_mb, slice_qp, mb_h, mb_w,
+                                      hv, hl, cap_bytes, with_rows=True)
+    return jax.jit(f)
+
+
+# syn keys the device payload packers consume (entropy/cavlc_device.py)
+_DEV_SYN_P = ("partition", "ref", "cbp_luma", "cbp_chroma", "mv8",
+              "luma_levels", "chroma_dc_levels", "chroma_ac_levels")
+_DEV_SYN_I = ("mb_type", "i16_mode", "i4_modes", "chroma_mode",
+              "cbp_luma", "cbp_chroma", "nz_luma_dc", "luma_levels",
+              "luma_dc_levels", "chroma_dc_levels", "chroma_ac_levels")
+
+# big per-frame tensors that stay device-resident on the device-entropy
+# path (the payload consumes them on device; recon feeds the reference
+# update on device; none is read host-side unless a fallback fires)
+_DEV_KEEP = frozenset({"recon_y", "recon_u", "recon_v", "luma_levels",
+                       "chroma_ac_levels", "chroma_dc_levels",
+                       "luma_dc_levels", "bs"})
 
 
 def pad_mod16(plane: np.ndarray, mb: int) -> np.ndarray:
@@ -90,7 +135,8 @@ class Stats:
         with np.errstate(divide="ignore"):
             psnr = [float(10 * np.log10(255.0 ** 2 * p / s)) if s else float("inf")
                     for s, p in zip(self.ssd, self.pixels)]
-        out["psnr_yuv"] = psnr
+        if self.pixels[0]:
+            out["psnr_yuv"] = psnr
         if self.i_mb_count_ref.sum():
             out["ref_histogram"] = self.i_mb_count_ref.tolist()
         out["psnr_yuv_by_type"] = {
@@ -185,6 +231,16 @@ class EncoderCore:
         # per-row bits of the last single-slice native entropy pass
         # (i_row_bits twin; feeds the row-VBV walk)
         self._row_bits = None
+
+        # device CAVLC entropy stage on the API path (the bench
+        # pipeline's wire, entropy/cavlc_device.py): the slice payload
+        # itself crosses the wire instead of the per-MB syntax tensors.
+        # Default ON on TPU (where the syntax pull dominates), OFF on
+        # CPU (the native C++ writers are instant and per-geometry jit
+        # compiles would dominate CI); X264_DEVICE_ENTROPY=1/0 forces.
+        env = os.environ.get("X264_DEVICE_ENTROPY")
+        self._dev_entropy = None if env is None else env == "1"
+        self._dev_wire = None
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NAL]:
@@ -516,7 +572,28 @@ class EncoderCore:
 
         slices = self._slice_ranges()
 
-        def encode_band(qp_mb_cur, y0, y1):
+        # device-entropy eligibility: CAVLC + whole-frame slice (CABAC
+        # and multi-band slices keep the host writers). The slice header
+        # is fixed for the frame and rides into the device packer as
+        # (vals, lens) bit elements.
+        dev_ent = self._dev_entropy
+        if dev_ent is None:
+            import jax
+            dev_ent = jax.default_backend() == "tpu"
+        dev_ent = dev_ent and not p.b_cabac
+        dev_hdr = None
+        if dev_ent:
+            from ..entropy import cavlc_device as CD
+            hbw = BitWriter()
+            self._write_slice_header_common(
+                hbw, slice_type, qp, self.idr_pic_id if is_idr else -1,
+                n_ref=n_ref_active, first_mb=0)
+            hb, hn = hbw.get_unaligned()
+            hv, hl = CD.header_elements(hb, hn, max_slots=32)
+            dev_hdr = (jnp.asarray(hv), jnp.asarray(hl),
+                       (len(hb) - 1) * 8 + hn)
+
+        def encode_band(qp_mb_cur, y0, y1, keep_device=frozenset()):
             """Encode MB rows [y0, y1) as an independent band (a slice:
             row 0 of the band is the slice top, so the device pipelines'
             row-0 unavailability IS the slice-boundary rule)."""
@@ -575,17 +652,55 @@ class EncoderCore:
             # overlap the per-tensor pulls: start every host copy
             # before blocking on the first (each np.asarray alone is a
             # serialized round-trip; on a high-latency link that's ~20
-            # RPCs end to end)
-            for v in dev.values():
+            # RPCs end to end). keep_device tensors never cross: the
+            # device entropy stage consumes them in place.
+            for k, v in dev.items():
+                if k in keep_device:
+                    continue
                 try:
                     v.copy_to_host_async()
                 except AttributeError:
                     pass
-            return {k: np.asarray(v) for k, v in dev.items()}
+            return {k: (v if k in keep_device else np.asarray(v))
+                    for k, v in dev.items()}
 
         def device_encode(qp_mb_cur):
+            fast = dev_ent and len(slices) == 1
+            self._dev_wire = None
             if len(slices) == 1:
-                return encode_band(qp_mb_cur, 0, self.mb_h)
+                syn = encode_band(qp_mb_cur, 0, self.mb_h,
+                                  keep_device=_DEV_KEEP if fast
+                                  else frozenset())
+                if fast:
+                    is_p = slice_type == P.SLICE_TYPE_P
+                    keys = _DEV_SYN_P if is_p else _DEV_SYN_I
+                    sub = {k: syn[k] for k in keys if k in syn}
+                    cap = (_DEV_PAYLOAD_BYTES_PER_MB * self.mb_w
+                           * self.mb_h + 4096)
+                    cap = -(-cap // 4) * 4
+                    fn = _device_payload_fn(is_p, self.mb_h, self.mb_w,
+                                            n_ref_active, cap)
+                    hv, hl, hbits = dev_hdr
+                    out = fn(sub, jnp.asarray(qp_mb_cur), qp, hv, hl)
+                    if is_p:
+                        payload, bits, n_skip, ov, rows = out
+                    else:
+                        payload, bits, ov, rows = out
+                        n_skip = None
+                    # overlap the scalar/meta pulls with whatever the
+                    # host does next (the payload is pulled exact-size
+                    # in _pull_device_slice once bits is known)
+                    for t in (bits, ov, rows) + (
+                            () if n_skip is None else (n_skip,)):
+                        try:
+                            t.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                    self._dev_wire = {
+                        "payload": payload, "bits": bits, "ov": ov,
+                        "rows": rows, "n_skip": n_skip, "hbits": hbits,
+                        "cap": cap}
+                return syn
             bands = [encode_band(qp_mb_cur, y0, y1) for y0, y1 in slices]
             # nr accumulators are frame totals: sum over bands
             syn = {k: (np.sum([b[k] for b in bands], axis=0)
@@ -620,6 +735,17 @@ class EncoderCore:
         # detector re-checks. Bounded: 8 estimated steps, then QP_MAX.
         if not p.b_cabac:
             for it in range(9):
+                if self._dev_wire is not None:
+                    # device packer: exact overflow flag + payload-cap
+                    # check. Clean → keep the device wire; dirty →
+                    # materialize the levels and fall back to the host
+                    # analytic-bump loop + host writers for this frame.
+                    w = self._dev_wire
+                    if (not bool(np.asarray(w["ov"]))
+                            and int(np.asarray(w["bits"])) <= w["cap"] * 8):
+                        break
+                    syn = {k: np.asarray(v) for k, v in syn.items()}
+                    self._dev_wire = None
                 flagged = self._detect_cavlc_overflow(syn, slice_type)
                 if not flagged.any():
                     break
@@ -674,6 +800,13 @@ class EncoderCore:
         def write_slice(syn_cur, qp_mb_cur):
             """One payload per slice band (first_mb_in_slice = band
             start, independent entropy state per slice)."""
+            if self._dev_wire is not None:
+                pl = self._pull_device_slice(slice_type, syn_cur)
+                if pl is not None:
+                    return [pl]
+                # late overflow (a recovery step lowered QP): host path
+                for k in list(syn_cur):
+                    syn_cur[k] = np.asarray(syn_cur[k])
             payloads = []
             for (y0, y1) in slices:
                 band = None if len(slices) == 1 else (y0, y1)
@@ -808,15 +941,18 @@ class EncoderCore:
             st.i_frame_size[slice_type] += len(nals[-1].payload)
         st.f_frame_qp[slice_type] += float(qp_mb.mean())
         h, w = pic.y.shape
-        for plane, (rec, src) in enumerate(
-                zip(self.last_recon, (pic.y, pic.u, pic.v))):
-            ph, pw = src.shape
-            d = rec[:ph, :pw].astype(np.int64) - src.astype(np.int64)
-            ssd_p = int((d * d).sum())
-            st.ssd[plane] += ssd_p
-            st.pixels[plane] += ph * pw
-            st.ssd_type[slice_type][plane] += ssd_p
-            st.pixels_type[slice_type][plane] += ph * pw
+        if p.analyse.b_psnr:
+            # SSD accumulation is gated on b_psnr like the reference
+            # (encoder.c:1398; debug-only by default, common.c:127-131)
+            for plane, (rec, src) in enumerate(
+                    zip(self.last_recon, (pic.y, pic.u, pic.v))):
+                ph, pw = src.shape
+                d = rec[:ph, :pw].astype(np.int64) - src.astype(np.int64)
+                ssd_p = int((d * d).sum())
+                st.ssd[plane] += ssd_p
+                st.pixels[plane] += ph * pw
+                st.ssd_type[slice_type][plane] += ssd_p
+                st.pixels_type[slice_type][plane] += ph * pw
         if slice_type == P.SLICE_TYPE_P:
             # ref-usage histogram (encoder.c:1612, :2348-2367); P_SKIP MBs
             # always reference frame 0 and are excluded like the reference
@@ -857,6 +993,48 @@ class EncoderCore:
                           v=self.last_recon[2][:ch, :cw],
                           i_frame_qp=qp, i_frame_type=ftype, i_pts=pic.i_pts)
         return nals, pic_out
+
+    # ------------------------------------------------------------------
+    def _pull_device_slice(self, slice_type, syn) -> bytes | None:
+        """Finish a device-entropy slice: pull the exact-size packed
+        payload (the device CAVLC wire) and the per-row bit positions,
+        and tally the MB-type stats the host writers would have.
+        Returns None when the wire is dirty (level-code overflow or
+        payload-cap overshoot) — the caller falls back to the host
+        writers. Payload pulls use power-of-two buckets so the eager
+        device slice compiles O(log size) variants, not one per frame."""
+        w = self._dev_wire
+        bits = int(np.asarray(w["bits"]))
+        if bool(np.asarray(w["ov"])) or bits > w["cap"] * 8:
+            self._dev_wire = None
+            return None
+        nbytes = (bits + 7) >> 3
+        cap = w["payload"].shape[0]
+        bucket = min(1 << max(12, (max(nbytes, 1) - 1).bit_length()), cap)
+        payload = np.asarray(w["payload"][:bucket])[:nbytes].tobytes()
+        self._row_bits = np.diff(np.asarray(w["rows"]).astype(np.int64),
+                                 prepend=w["hbits"])
+        st = self.stats
+        if slice_type == P.SLICE_TYPE_P:
+            n_skip = int(np.asarray(w["n_skip"]))
+            st.i_mb_count["P_SKIP"] = \
+                st.i_mb_count.get("P_SKIP", 0) + n_skip
+            part = (np.asarray(syn["partition"]) if "partition" in syn
+                    else np.zeros((self.mb_h, self.mb_w), np.int32))
+            hist = np.bincount(part.ravel(), minlength=4)
+            hist[0] -= n_skip   # skips are partition-0 MBs
+            for name, n in zip(("P_L0", "P_16x8", "P_8x16", "P_8x8"),
+                               hist):
+                if n:
+                    st.i_mb_count[name] = \
+                        st.i_mb_count.get(name, 0) + int(n)
+        else:
+            n_i4 = int((np.asarray(syn["mb_type"]) == 1).sum())
+            st.i_mb_count["I_4x4"] = st.i_mb_count.get("I_4x4", 0) + n_i4
+            st.i_mb_count["I_16x16"] = \
+                st.i_mb_count.get("I_16x16", 0) \
+                + self.mb_w * self.mb_h - n_i4
+        return payload
 
     # ------------------------------------------------------------------
     def _write_slice_cavlc(self, syn, slice_type, qp, idr_pic_id,

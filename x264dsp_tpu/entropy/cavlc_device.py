@@ -655,14 +655,24 @@ def bitpack(vals, lens, header_vals, header_lens, cap_bytes: int):
 
 
 def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
-                    mb_w: int, header_vals, header_lens, cap_bytes: int):
+                    mb_w: int, header_vals, header_lens, cap_bytes: int,
+                    with_rows: bool = False):
     """Full device CAVLC P-slice payload: header + MB stream + trailing
     bits, packed. Returns (bytes (cap_bytes,), total_bits, n_skip,
-    overflow)."""
+    overflow) — plus, with_rows, the cumulative bit position at the end
+    of each MB row (header included, trailing skip-run/stop excluded:
+    the native writers' row_bits_out semantics, entropy.cpp:1244-1245),
+    feeding the row-VBV walk."""
     V, L, n_skip, ov = cavlc_p_elements(syn, qp_mb, slice_qp, n_ref,
                                         mb_h, mb_w)
     payload, bits = bitpack(V, L, header_vals, header_lens, cap_bytes)
-    return payload, bits, n_skip, ov
+    if not with_rows:
+        return payload, bits, n_skip, ov
+    B = mb_h * mb_w
+    rows = (header_lens.sum()
+            + jnp.cumsum(L[:B * _MB_SLOTS]
+                         .reshape(mb_h, mb_w * _MB_SLOTS).sum(axis=1)))
+    return payload, bits, n_skip, ov, rows
 
 
 # I-slice mode fixups (entropy.cpp:74-76 twins)
@@ -833,12 +843,20 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
 
 
 def cavlc_i_payload(syn, qp_mb, slice_qp: int, mb_h: int, mb_w: int,
-                    header_vals, header_lens, cap_bytes: int):
+                    header_vals, header_lens, cap_bytes: int,
+                    with_rows: bool = False):
     """Full device CAVLC I-slice payload. Returns (bytes, total_bits,
-    overflow)."""
+    overflow) — plus, with_rows, cumulative end-of-row bit positions
+    (see cavlc_p_payload)."""
     V, L, ov = cavlc_i_elements(syn, qp_mb, slice_qp, mb_h, mb_w)
     payload, bits = bitpack(V, L, header_vals, header_lens, cap_bytes)
-    return payload, bits, ov
+    if not with_rows:
+        return payload, bits, ov
+    B = mb_h * mb_w
+    rows = (header_lens.sum()
+            + jnp.cumsum(L[:B * _I_MB_SLOTS]
+                         .reshape(mb_h, mb_w * _I_MB_SLOTS).sum(axis=1)))
+    return payload, bits, ov, rows
 
 
 def cavlc_i_payload_batched(syn, qp_mb, slice_qp: int, mb_h: int,
@@ -899,12 +917,14 @@ def cavlc_p_payload_batched(syn, qp_mb, slice_qp: int, n_ref: int,
 
 
 def header_elements(header: bytes, nbits_partial: int, max_slots: int = 16):
-    """Host helper: slice-header bytes (+ trailing partial bits) as
-    fixed-size (vals, lens) arrays for bitpack."""
+    """Host helper: BitWriter.get_unaligned() output as fixed-size
+    (vals, lens) arrays for bitpack. get_unaligned always appends a
+    trailing partial byte — when the header landed byte-aligned
+    (nbits_partial == 0) that byte is spurious and contributes 0 bits."""
     hv = np.zeros(max_slots, np.int32)
     hl = np.zeros(max_slots, np.int32)
-    nfull = len(header) - (1 if nbits_partial else 0)
-    assert nfull + (1 if nbits_partial else 0) <= max_slots
+    nfull = len(header) - 1
+    assert len(header) <= max_slots
     for i in range(nfull):
         hv[i] = header[i]
         hl[i] = 8
