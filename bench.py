@@ -115,7 +115,35 @@ def api_fps(n_frames=6):
     return n_frames / dt
 
 
+def backend_ready(timeout_s: float) -> bool:
+    """Probe jax backend init with a watchdog: this rig's TPU tunnel can
+    wedge in a way that makes jax.devices() hang for hours, which would
+    otherwise hang the whole bench run. The probe runs in a daemon
+    thread so a hung init can't block process exit."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            ok.append(len(jax.devices()))
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not backend_ready(float(os.environ.get("BENCH_INIT_TIMEOUT",
+                                              "600"))):
+        print("bench: jax backend init did not complete within the "
+              "watchdog window (wedged TPU tunnel?) — failing fast "
+              "instead of hanging; set BENCH_INIT_TIMEOUT to extend",
+              file=sys.stderr)
+        sys.exit(1)
     import jax
     import jax.numpy as jnp
     from x264dsp_tpu.encoder import intra_frame as IFR
