@@ -94,6 +94,28 @@ _DEV_KEEP = frozenset({"recon_y", "recon_u", "recon_v", "luma_levels",
                        "chroma_ac_levels", "chroma_dc_levels",
                        "luma_dc_levels", "bs"})
 
+# block-granular syntax wire (inter_frame.pack_syn_blocks) for P frames
+# whose entropy runs in the HOST writers (CABAC; or CAVLC with device
+# entropy disabled): one small dense buffer + one 12-byte entry per
+# coded 4x4 block replace the multi-MB level tensors on the wire.
+# Everything the wire reconstructs stays device-resident.
+_WIRE_SYN = ("mv8", "partition", "ref", "cbp_luma", "cbp_chroma",
+             "chroma_dc_levels", "luma_levels", "chroma_ac_levels")
+_WIRE_KEEP = frozenset(_WIRE_SYN) | frozenset(
+    {"recon_y", "recon_u", "recon_v", "bs", "mv", "luma_nnz",
+     "chroma_nnz_ac", "chroma_nz_dc"})
+
+
+@functools.lru_cache(maxsize=None)
+def _syn_wire_fn(mb_h: int, mb_w: int):
+    """Jitted block-granular syntax pack (one compile per geometry)."""
+    import jax
+    from . import inter_frame
+
+    def f(syn):
+        return inter_frame.pack_syn_blocks(syn, mb_w, mb_h)
+    return jax.jit(f)
+
 
 def pad_mod16(plane: np.ndarray, mb: int) -> np.ndarray:
     """x264_frame_expand_border_mod16 (common/frame.c:423): replicate edge
@@ -241,6 +263,10 @@ class EncoderCore:
         env = os.environ.get("X264_DEVICE_ENTROPY")
         self._dev_entropy = None if env is None else env == "1"
         self._dev_wire = None
+        # block-granular syntax wire for host-writer P frames (CABAC):
+        # same default rule as the device entropy stage
+        env = os.environ.get("X264_SYN_WIRE")
+        self._syn_wire = None if env is None else env == "1"
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NAL]:
@@ -580,6 +606,10 @@ class EncoderCore:
         if dev_ent is None:
             import jax
             dev_ent = jax.default_backend() == "tpu"
+        use_wire = self._syn_wire
+        if use_wire is None:
+            import jax
+            use_wire = jax.default_backend() == "tpu"
         dev_ent = dev_ent and not p.b_cabac
         dev_hdr = None
         if dev_ent:
@@ -666,11 +696,16 @@ class EncoderCore:
 
         def device_encode(qp_mb_cur):
             fast = dev_ent and len(slices) == 1
+            wire = (use_wire and not fast and len(slices) == 1
+                    and slice_type == P.SLICE_TYPE_P)
             self._dev_wire = None
             if len(slices) == 1:
+                keep = (_DEV_KEEP if fast
+                        else _WIRE_KEEP if wire else frozenset())
                 syn = encode_band(qp_mb_cur, 0, self.mb_h,
-                                  keep_device=_DEV_KEEP if fast
-                                  else frozenset())
+                                  keep_device=keep)
+                if wire:
+                    self._pull_syn_wire(syn)
                 if fast:
                     is_p = slice_type == P.SLICE_TYPE_P
                     keys = _DEV_SYN_P if is_p else _DEV_SYN_I
@@ -993,6 +1028,46 @@ class EncoderCore:
                           v=self.last_recon[2][:ch, :cw],
                           i_frame_qp=qp, i_frame_type=ftype, i_pts=pic.i_pts)
         return nals, pic_out
+
+    # ------------------------------------------------------------------
+    def _pull_syn_wire(self, syn) -> None:
+        """Pull a host-writer P frame's syntax over the block-granular
+        wire (inter_frame.pack_syn_blocks): dense per-MB fields + one
+        12-byte entry per coded 4x4 block cross instead of the full
+        level tensors (~50x smaller on typical content). Reconstructed
+        np arrays replace the device entries in `syn` in place; recon
+        and deblock strengths stay device-resident for the reference
+        update. Falls back to full pulls when the frame trips the
+        wire's has-big limits (|level| > 8, dense field > int8, coded
+        blocks over budget)."""
+        from . import inter_frame
+        sub = {k: syn[k] for k in _WIRE_SYN}
+        dense, entries, _ = _syn_wire_fn(self.mb_h, self.mb_w)(sub)
+        # speculative prefix (2 coded blocks/MB covers typical P
+        # content): the dense buffer and the prefix cross in parallel
+        # RPCs; only an unusually dense frame pays a second pull
+        prefix = entries[:2 * self.mb_h * self.mb_w]
+        for t in (dense, prefix):
+            try:
+                t.copy_to_host_async()
+            except AttributeError:
+                pass
+        dense_np = np.asarray(dense)
+        up = None
+        if not dense_np[0]:
+            count = inter_frame.sparse_count(dense_np)
+            entries_np = (np.asarray(prefix) if count <= prefix.shape[0]
+                          else np.asarray(entries))
+            up = inter_frame.unpack_syn_blocks(
+                dense_np, entries_np, self.mb_w, self.mb_h)
+        if up is None:
+            # has-big: the tensors are still in syn, device-resident
+            for k in _WIRE_KEEP - {"recon_y", "recon_u", "recon_v",
+                                   "bs"}:
+                if k in syn:
+                    syn[k] = np.asarray(syn[k])
+            return
+        syn.update(up)
 
     # ------------------------------------------------------------------
     def _pull_device_slice(self, slice_type, syn) -> bytes | None:
