@@ -96,6 +96,55 @@ def test_pack_syn_blocks_roundtrip():
                                   np.asarray(out["chroma_nz_dc"]))
 
 
+def test_pack_syn_blocks_i_roundtrip():
+    import jax.numpy as jnp
+    from x264dsp_tpu.encoder import inter_frame as IF
+    from x264dsp_tpu.encoder.intra_frame import SYN_I_LAYOUT
+
+    rng = np.random.default_rng(21)
+    mb_h, mb_w = 3, 5
+    layout = dict(SYN_I_LAYOUT)
+    # ~0.45*24 = 10.8 coded blocks/MB — dense intra content, under the
+    # 12-blocks/MB frame budget
+    blk_coded = rng.random((mb_h, mb_w, 24)) < 0.45
+    out = {}
+    for k, sz in IF._I_DENSE:
+        shape = layout[k]
+        full = (mb_h, mb_w) + shape
+        if k in ("luma_dc_levels", "chroma_dc_levels"):
+            out[k] = jnp.asarray(rng.integers(-100, 101, full)
+                                 .astype(np.int32))
+        elif k == "i4_modes":
+            out[k] = jnp.asarray(rng.integers(0, 9, full).astype(np.int32))
+        else:
+            out[k] = jnp.asarray(rng.integers(0, 4, full).astype(np.int32))
+    out["luma_levels"] = jnp.asarray(
+        (rng.integers(-8, 8, (mb_h, mb_w, 16, 16))
+         * blk_coded[:, :, :16, None]).astype(np.int32))
+    out["chroma_ac_levels"] = jnp.asarray(
+        (rng.integers(-8, 8, (mb_h, mb_w, 2, 4, 16))
+         * blk_coded[:, :, 16:].reshape(mb_h, mb_w, 2, 4, 1))
+        .astype(np.int32))
+
+    dense, entries, count = IF.pack_syn_blocks_i(out, mb_w, mb_h)
+    assert np.asarray(dense)[0] == 0
+    syn = IF.unpack_syn_blocks_i(np.asarray(dense), np.asarray(entries),
+                                 mb_w, mb_h)
+    assert syn is not None
+    for k, _ in IF._I_DENSE:
+        np.testing.assert_array_equal(syn[k], np.asarray(out[k]), k)
+    for k in ("luma_levels", "chroma_ac_levels"):
+        np.testing.assert_array_equal(syn[k], np.asarray(out[k]), k)
+    np.testing.assert_array_equal(
+        syn["luma_nnz"],
+        np.count_nonzero(np.asarray(out["luma_levels"]), axis=-1))
+    # escape on a big DC level (dense field outside int8)
+    out2 = dict(out)
+    out2["luma_dc_levels"] = out["luma_dc_levels"].at[0, 0, 0].set(300)
+    dense, entries, _ = IF.pack_syn_blocks_i(out2, mb_w, mb_h)
+    assert np.asarray(dense)[0] == 1
+
+
 def test_pack_syn_blocks_escapes():
     import jax.numpy as jnp
     from x264dsp_tpu.encoder import inter_frame as IF

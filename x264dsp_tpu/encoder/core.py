@@ -94,26 +94,34 @@ _DEV_KEEP = frozenset({"recon_y", "recon_u", "recon_v", "luma_levels",
                        "chroma_ac_levels", "chroma_dc_levels",
                        "luma_dc_levels", "bs"})
 
-# block-granular syntax wire (inter_frame.pack_syn_blocks) for P frames
-# whose entropy runs in the HOST writers (CABAC; or CAVLC with device
-# entropy disabled): one small dense buffer + one 12-byte entry per
-# coded 4x4 block replace the multi-MB level tensors on the wire.
+# block-granular syntax wire (inter_frame.pack_syn_blocks[_i]) for
+# frames whose entropy runs in the HOST writers (CABAC; or CAVLC with
+# device entropy disabled): one small dense buffer + one 12-byte entry
+# per coded 4x4 block replace the multi-MB level tensors on the wire.
 # Everything the wire reconstructs stays device-resident.
 _WIRE_SYN = ("mv8", "partition", "ref", "cbp_luma", "cbp_chroma",
              "chroma_dc_levels", "luma_levels", "chroma_ac_levels")
 _WIRE_KEEP = frozenset(_WIRE_SYN) | frozenset(
     {"recon_y", "recon_u", "recon_v", "bs", "mv", "luma_nnz",
      "chroma_nnz_ac", "chroma_nz_dc"})
+_WIRE_SYN_I = ("mb_type", "i16_mode", "i4_modes", "chroma_mode",
+               "cbp_luma", "cbp_chroma", "nz_luma_dc", "luma_dc_levels",
+               "chroma_dc_levels", "luma_levels", "chroma_ac_levels")
+_WIRE_KEEP_I = frozenset(_WIRE_SYN_I) | frozenset(
+    {"recon_y", "recon_u", "recon_v", "luma_nnz", "chroma_nnz_ac",
+     "chroma_nz_dc"})
 
 
 @functools.lru_cache(maxsize=None)
-def _syn_wire_fn(mb_h: int, mb_w: int):
+def _syn_wire_fn(mb_h: int, mb_w: int, is_p: bool = True):
     """Jitted block-granular syntax pack (one compile per geometry)."""
     import jax
     from . import inter_frame
 
     def f(syn):
-        return inter_frame.pack_syn_blocks(syn, mb_w, mb_h)
+        pack = (inter_frame.pack_syn_blocks if is_p
+                else inter_frame.pack_syn_blocks_i)
+        return pack(syn, mb_w, mb_h)
     return jax.jit(f)
 
 
@@ -696,16 +704,17 @@ class EncoderCore:
 
         def device_encode(qp_mb_cur):
             fast = dev_ent and len(slices) == 1
-            wire = (use_wire and not fast and len(slices) == 1
-                    and slice_type == P.SLICE_TYPE_P)
+            wire = use_wire and not fast and len(slices) == 1
+            wire_p = slice_type == P.SLICE_TYPE_P
             self._dev_wire = None
             if len(slices) == 1:
                 keep = (_DEV_KEEP if fast
-                        else _WIRE_KEEP if wire else frozenset())
+                        else (_WIRE_KEEP if wire_p else _WIRE_KEEP_I)
+                        if wire else frozenset())
                 syn = encode_band(qp_mb_cur, 0, self.mb_h,
                                   keep_device=keep)
                 if wire:
-                    self._pull_syn_wire(syn)
+                    self._pull_syn_wire(syn, is_p=wire_p)
                 if fast:
                     is_p = slice_type == P.SLICE_TYPE_P
                     keys = _DEV_SYN_P if is_p else _DEV_SYN_I
@@ -1030,23 +1039,26 @@ class EncoderCore:
         return nals, pic_out
 
     # ------------------------------------------------------------------
-    def _pull_syn_wire(self, syn) -> None:
-        """Pull a host-writer P frame's syntax over the block-granular
-        wire (inter_frame.pack_syn_blocks): dense per-MB fields + one
-        12-byte entry per coded 4x4 block cross instead of the full
-        level tensors (~50x smaller on typical content). Reconstructed
-        np arrays replace the device entries in `syn` in place; recon
-        and deblock strengths stay device-resident for the reference
-        update. Falls back to full pulls when the frame trips the
-        wire's has-big limits (|level| > 8, dense field > int8, coded
-        blocks over budget)."""
+    def _pull_syn_wire(self, syn, is_p: bool = True) -> None:
+        """Pull a host-writer frame's syntax over the block-granular
+        wire (inter_frame.pack_syn_blocks / pack_syn_blocks_i): dense
+        per-MB fields + one 12-byte entry per coded 4x4 block cross
+        instead of the full level tensors (~50x smaller on typical P
+        content). Reconstructed np arrays replace the device entries in
+        `syn` in place; recon and deblock strengths stay device-resident
+        for the reference update. Falls back to full pulls when the
+        frame trips the wire's has-big limits (|level| > 8, dense field
+        > int8, coded blocks over budget)."""
         from . import inter_frame
-        sub = {k: syn[k] for k in _WIRE_SYN}
-        dense, entries, _ = _syn_wire_fn(self.mb_h, self.mb_w)(sub)
-        # speculative prefix (2 coded blocks/MB covers typical P
-        # content): the dense buffer and the prefix cross in parallel
-        # RPCs; only an unusually dense frame pays a second pull
-        prefix = entries[:2 * self.mb_h * self.mb_w]
+        keys = _WIRE_SYN if is_p else _WIRE_SYN_I
+        keep = _WIRE_KEEP if is_p else _WIRE_KEEP_I
+        sub = {k: syn[k] for k in keys}
+        dense, entries, _ = _syn_wire_fn(self.mb_h, self.mb_w, is_p)(sub)
+        # speculative prefix (2 coded blocks/MB for P, 8 for the denser
+        # intra frames covers typical content): the dense buffer and the
+        # prefix cross in parallel RPCs; only an unusually dense frame
+        # pays a second pull
+        prefix = entries[:(2 if is_p else 8) * self.mb_h * self.mb_w]
         for t in (dense, prefix):
             try:
                 t.copy_to_host_async()
@@ -1058,12 +1070,12 @@ class EncoderCore:
             count = inter_frame.sparse_count(dense_np)
             entries_np = (np.asarray(prefix) if count <= prefix.shape[0]
                           else np.asarray(entries))
-            up = inter_frame.unpack_syn_blocks(
-                dense_np, entries_np, self.mb_w, self.mb_h)
+            unpack = (inter_frame.unpack_syn_blocks if is_p
+                      else inter_frame.unpack_syn_blocks_i)
+            up = unpack(dense_np, entries_np, self.mb_w, self.mb_h)
         if up is None:
             # has-big: the tensors are still in syn, device-resident
-            for k in _WIRE_KEEP - {"recon_y", "recon_u", "recon_v",
-                                   "bs"}:
+            for k in keep - {"recon_y", "recon_u", "recon_v", "bs"}:
                 if k in syn:
                     syn[k] = np.asarray(syn[k])
             return

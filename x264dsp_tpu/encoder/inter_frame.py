@@ -1225,22 +1225,15 @@ def sparse_count(dense_np: np.ndarray) -> int:
 _BLOCKS_PER_MB_BUDGET = 4          # K_cap = 4*B entries
 
 
-def pack_syn_blocks(out: dict, mb_w: int, mb_h: int):
-    """Device wire pack, block-granular. Returns (dense, entries, count):
-      dense: int8 (5 + B*20,) — has-big flag, coded-block count (u32le),
-             then per-MB mv8/partition/ref/cbp/chroma-DC (20 B/MB);
-      entries: uint8 (K_cap, 12) — one row per coded 4x4 block, coded
-             rows first: [id u32le | 8B levels as nibbles lo|hi<<4].
-    has-big fires when any level leaves [-8, 7], a dense field leaves
-    int8, or the frame has more than K_cap coded blocks."""
-    B = mb_h * mb_w
-    K = _BLOCKS_PER_MB_BUDGET * B
-    dense_parts = [out[k].reshape(B, -1).astype(jnp.int32)
-                   for k, _ in _SPARSE_DENSE]
-    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 20)
-    lv = out["luma_levels"].reshape(B, 16, 16).astype(jnp.int32)
-    ca = out["chroma_ac_levels"].reshape(B, 8, 16).astype(jnp.int32)
-    blocks = jnp.concatenate([lv, ca], axis=1)         # (B, 24, 16)
+def _pack_blocks_wire(dense, blocks, K):
+    """Shared block-granular pack: dense (B, D) int32 per-MB fields +
+    blocks (B, 24, 16) int32 4x4 levels (16 luma AC + 8 chroma AC) →
+    (dense_flat int8 (5 + B*D,), entries uint8 (K, 12), count).
+    Entry rows hold coded blocks first, raster order: [id u32le |
+    8B levels as nibbles lo|hi<<4] with id = mb*24 + blk. has-big
+    fires when any level leaves [-8, 7], a dense field leaves int8,
+    or the frame has more than K coded blocks."""
+    B = blocks.shape[0]
     big = (jnp.any((blocks > 7) | (blocks < -8))
            | jnp.any((dense > 127) | (dense < -128)))
 
@@ -1263,20 +1256,12 @@ def pack_syn_blocks(out: dict, mb_w: int, mb_h: int):
     return dense_flat, entries, count
 
 
-def unpack_syn_blocks(dense_np: np.ndarray, entries_np: np.ndarray,
-                      mb_w: int, mb_h: int):
-    """Host unpack for pack_syn_blocks (None when has-big is set)."""
+def _unpack_blocks_wire(dense_np, entries_np, B, D):
+    """Host half of _pack_blocks_wire: returns (dense (B, D) int16,
+    blocks (B, 24, 16) int16) or None when has-big is set."""
     if dense_np[0]:
         return None
-    B = mb_w * mb_h
-    dense = dense_np[5:].astype(np.int16).reshape(B, 20)
-    syn = {}
-    off = 0
-    for k, sz in _SPARSE_DENSE:
-        shape = dict(SYN_PACK_LAYOUT)[k]
-        syn[k] = dense[:, off:off + sz].reshape((mb_h, mb_w) + shape)
-        off += sz
-    syn["mv"] = syn["mv8"][:, :, 0, 0]
+    dense = dense_np[5:].astype(np.int16).reshape(B, D)
     count = sparse_count(dense_np)
     blocks = np.zeros((B * 24, 16), np.int16)
     if count:
@@ -1289,7 +1274,92 @@ def unpack_syn_blocks(dense_np: np.ndarray, entries_np: np.ndarray,
         vals = np.concatenate([n0 - ((n0 > 7) << 4),
                                n1 - ((n1 > 7) << 4)], axis=1)
         blocks[ids.astype(np.int64)] = vals
-    blocks = blocks.reshape(B, 24, 16)
+    return dense, blocks.reshape(B, 24, 16)
+
+
+def pack_syn_blocks(out: dict, mb_w: int, mb_h: int):
+    """P-frame device wire pack, block-granular. Returns (dense,
+    entries, count): dense = has-big flag + coded-block count (u32le) +
+    per-MB mv8/partition/ref/cbp/chroma-DC (20 B/MB, int8); entries =
+    one 12-byte row per coded 4x4 block (see _pack_blocks_wire)."""
+    B = mb_h * mb_w
+    K = _BLOCKS_PER_MB_BUDGET * B
+    dense_parts = [out[k].reshape(B, -1).astype(jnp.int32)
+                   for k, _ in _SPARSE_DENSE]
+    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 20)
+    lv = out["luma_levels"].reshape(B, 16, 16).astype(jnp.int32)
+    ca = out["chroma_ac_levels"].reshape(B, 8, 16).astype(jnp.int32)
+    blocks = jnp.concatenate([lv, ca], axis=1)         # (B, 24, 16)
+    return _pack_blocks_wire(dense, blocks, K)
+
+
+def unpack_syn_blocks(dense_np: np.ndarray, entries_np: np.ndarray,
+                      mb_w: int, mb_h: int):
+    """Host unpack for pack_syn_blocks (None when has-big is set)."""
+    B = mb_w * mb_h
+    db = _unpack_blocks_wire(dense_np, entries_np, B, 20)
+    if db is None:
+        return None
+    dense, blocks = db
+    syn = {}
+    off = 0
+    for k, sz in _SPARSE_DENSE:
+        shape = dict(SYN_PACK_LAYOUT)[k]
+        syn[k] = dense[:, off:off + sz].reshape((mb_h, mb_w) + shape)
+        off += sz
+    syn["mv"] = syn["mv8"][:, :, 0, 0]
+    syn["luma_levels"] = blocks[:, :16].reshape(mb_h, mb_w, 16, 16)
+    syn["chroma_ac_levels"] = blocks[:, 16:].reshape(mb_h, mb_w, 2, 4, 16)
+    syn["luma_nnz"] = np.count_nonzero(
+        syn["luma_levels"], axis=-1).astype(np.int16)
+    syn["chroma_nnz_ac"] = np.count_nonzero(
+        syn["chroma_ac_levels"], axis=-1).astype(np.int16)
+    syn["chroma_nz_dc"] = (syn["chroma_dc_levels"] != 0).any(-1) \
+        .astype(np.int16)
+    return syn
+
+
+# I-slice block wire: same 24-block entry space; dense carries the
+# intra decision fields + the DC level vectors (I frames code the DC
+# planes separately: I16x16 luma DC hadamard + chroma 2x2 DC). Intra
+# frames are denser than P, so the budget is higher.
+_I_DENSE = (("mb_type", 1), ("i16_mode", 1), ("i4_modes", 16),
+            ("chroma_mode", 1), ("cbp_luma", 1), ("cbp_chroma", 1),
+            ("nz_luma_dc", 1), ("luma_dc_levels", 16),
+            ("chroma_dc_levels", 8))
+_BLOCKS_PER_MB_BUDGET_I = 12
+
+
+def pack_syn_blocks_i(out: dict, mb_w: int, mb_h: int):
+    """I-frame device wire pack, block-granular (see pack_syn_blocks):
+    dense = flag + count + 46 B/MB intra fields, entries = 12 B per
+    coded 4x4 AC block under a 12-blocks/MB frame budget."""
+    B = mb_h * mb_w
+    K = _BLOCKS_PER_MB_BUDGET_I * B
+    dense_parts = [out[k].reshape(B, -1).astype(jnp.int32)
+                   for k, _ in _I_DENSE]
+    dense = jnp.concatenate(dense_parts, axis=1)       # (B, 46)
+    lv = out["luma_levels"].reshape(B, 16, 16).astype(jnp.int32)
+    ca = out["chroma_ac_levels"].reshape(B, 8, 16).astype(jnp.int32)
+    blocks = jnp.concatenate([lv, ca], axis=1)         # (B, 24, 16)
+    return _pack_blocks_wire(dense, blocks, K)
+
+
+def unpack_syn_blocks_i(dense_np: np.ndarray, entries_np: np.ndarray,
+                        mb_w: int, mb_h: int):
+    """Host unpack for pack_syn_blocks_i (None when has-big is set)."""
+    from .intra_frame import SYN_I_LAYOUT
+    B = mb_w * mb_h
+    db = _unpack_blocks_wire(dense_np, entries_np, B, 46)
+    if db is None:
+        return None
+    dense, blocks = db
+    syn = {}
+    off = 0
+    layout = dict(SYN_I_LAYOUT)
+    for k, sz in _I_DENSE:
+        syn[k] = dense[:, off:off + sz].reshape((mb_h, mb_w) + layout[k])
+        off += sz
     syn["luma_levels"] = blocks[:, :16].reshape(mb_h, mb_w, 16, 16)
     syn["chroma_ac_levels"] = blocks[:, 16:].reshape(mb_h, mb_w, 2, 4, 16)
     syn["luma_nnz"] = np.count_nonzero(
