@@ -42,6 +42,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import numpy as np
 
+if os.environ.get("BENCH_PLATFORM"):
+    # this image's axon site hook overrides JAX_PLATFORMS, so a CPU
+    # smoke run must pin the platform through jax.config instead
+    import jax
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
 W = int(os.environ.get("BENCH_W", "1920"))
 H = int(os.environ.get("BENCH_H", "1088"))
 MB_W, MB_H = W // 16, H // 16

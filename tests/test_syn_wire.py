@@ -212,3 +212,17 @@ def test_syn_wire_api_path_cabac():
     b1 = _encode(True, frames)
     for i, (a, b) in enumerate(zip(b0, b1)):
         assert a == b, f"frame {i}: stream bytes differ over the wire"
+
+
+def test_syn_wire_api_path_cavlc_host():
+    """CAVLC with the device entropy stage off (host writers) is the
+    wire's other consumer."""
+    os.environ["X264_DEVICE_ENTROPY"] = "0"
+    try:
+        frames = _clip(3)
+        b0 = _encode(False, frames, cabac=0)
+        b1 = _encode(True, frames, cabac=0)
+        for i, (a, b) in enumerate(zip(b0, b1)):
+            assert a == b, f"frame {i}: stream bytes differ over the wire"
+    finally:
+        del os.environ["X264_DEVICE_ENTROPY"]

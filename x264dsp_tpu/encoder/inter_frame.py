@@ -41,6 +41,7 @@ from ..ops import residual_plane as RP
 from ..ops import transforms as T
 from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
 from .intra_frame import _diag_schedule, _encode_chroma_channel
+from ..ops._lazyconst import LazyConst
 
 # λ·bits LUT for mv components: mv_bits = floor(log2(d+1)*2 + 2.218), d>=1;
 # cost_mv[0] = 1 bit (encoder/analyse.c:243-310, x264_mv_bits_tab :171)
@@ -48,7 +49,7 @@ _MVBITS_RANGE = 4096
 _MVBITS = np.ones(_MVBITS_RANGE, np.int32)
 _d = np.arange(1, _MVBITS_RANGE)
 _MVBITS[1:] = (np.log2(_d + 1.0) * 2 + 1.718 + 0.5).astype(np.int32)
-MVBITS_J = jnp.asarray(_MVBITS)
+MVBITS_J = LazyConst(_MVBITS)
 
 # the table is a monotone step function with ~2·log2(range) steps; a
 # per-element table gather is catastrophic on TPU (the partition bias
@@ -69,7 +70,7 @@ LAMBDA2_TAB = np.array([
     23407, 29491, 37156, 46814, 58982, 74313, 93628, 117964,
     148626, 187257, 235929, 297252, 374514, 471859, 594505, 749029,
     943718, 1189010, 1498059, 1887436], np.int64)
-LAMBDA2_J = jnp.asarray(LAMBDA2_TAB)
+LAMBDA2_J = LazyConst(LAMBDA2_TAB)
 
 
 def _mv_bits(d):
@@ -531,7 +532,9 @@ def _subpel_refine_batch(mv_field, cost_field, mvp_field, fenc_y, wins4,
 
 # (4,4) mask that zeroes the DC slot — .at[..., 0, 0].set() lowers to a
 # per-element scatter on TPU (~34 ms at 1080p); mask-mul is elementwise
-_DC_MASK = jnp.ones((4, 4), jnp.int32).at[0, 0].set(0)
+_DC_MASK = LazyConst(np.where(
+    (np.arange(4)[:, None] == 0) & (np.arange(4)[None, :] == 0), 0,
+    1).astype(np.int32))
 
 
 def _set_dc(d, val=None):

@@ -30,29 +30,30 @@ from ..ops import intra as I
 from ..ops import pixel as PX
 from ..ops import transforms as T
 from ..ops.golden import BLOCK_IDX_X, BLOCK_IDX_Y
+from ..ops._lazyconst import LazyConst
 
-COST_MAX = jnp.int32(1 << 28)
+COST_MAX = np.int32(1 << 28)
 
 # x264_mb_pred_mode4x4_fix (common/predict.h:60-68), indexed by mode+1
-_FIX4 = jnp.asarray(np.array([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 2, 2, 2],
-                             np.int32))
+_FIX4 = LazyConst(np.array([-1, 0, 1, 2, 3, 4, 5, 6, 7, 8, 2, 2, 2],
+                            np.int32))
 # ue(v) bit sizes for fixed mode numbers 0..3
 _UE_BITS = np.array([1, 3, 3, 5], np.int32)
 # per-physical-mode ue bits for 16x16 (fix: V,H,DC,P,DC,DC,DC → 0,1,2,3,2,2,2)
-_BITS16 = jnp.asarray(_UE_BITS[[0, 1, 2, 3, 2, 2, 2]])
+_BITS16 = LazyConst(_UE_BITS[[0, 1, 2, 3, 2, 2, 2]])
 # chroma fix: DC,H,V,P,DC,DC,DC → 0,1,2,3,0,0,0
-_BITSC = jnp.asarray(_UE_BITS[[0, 1, 2, 3, 0, 0, 0]])
+_BITSC = LazyConst(_UE_BITS[[0, 1, 2, 3, 0, 0, 0]])
 
 # evaluation orders per availability case (encoder/analyse.c:436-442),
 # -1 = unused slot (cost forced to +inf)
-_ORDER16 = jnp.asarray(np.array([
+_ORDER16 = LazyConst(np.array([
     [6, -1, -1, -1],   # none: DC_128
     [4, 1, -1, -1],    # left: DC_LEFT, H
     [5, 0, -1, -1],    # top:  DC_TOP, V
     [0, 1, 2, -1],     # left+top: V, H, DC
     [0, 1, 2, 3],      # all: V, H, DC, P
 ], np.int32))
-_ORDERC = jnp.asarray(np.array([
+_ORDERC = LazyConst(np.array([
     [6, -1, -1, -1],   # DC_128
     [4, 1, -1, -1],    # DC_LEFT, H
     [5, 2, -1, -1],    # DC_TOP, V
@@ -283,10 +284,10 @@ def _encode_i16(fenc16, pred16, qp, cqm=None):
 
 
 # static per-block-index geometry tables
-_BX4 = jnp.asarray(BLOCK_IDX_X.astype(np.int32))
-_BY4 = jnp.asarray(BLOCK_IDX_Y.astype(np.int32))
+_BX4 = LazyConst(BLOCK_IDX_X.astype(np.int32))
+_BY4 = LazyConst(BLOCK_IDX_Y.astype(np.int32))
 # static topright availability for by>0 blocks (coded-order rule)
-_TR_STATIC = jnp.asarray(np.array(
+_TR_STATIC = LazyConst(np.array(
     [int(bx < 3 and by > 0
          and _IDX_OF[(int(bx) + 1, int(by) - 1)] < i)
      for i, (bx, by) in enumerate(zip(BLOCK_IDX_X, BLOCK_IDX_Y))],
@@ -531,8 +532,8 @@ def _diag_schedule(mb_w: int, mb_h: int):
 
 # column indices of left-MB blocks (bx=3) and row indices of top-MB
 # bottom blocks (by=3), in coding order
-_LEFT_COL_IDX = jnp.asarray([_IDX_OF[(3, by)] for by in range(4)])
-_TOP_ROW_IDX = jnp.asarray([_IDX_OF[(bx, 3)] for bx in range(4)])
+_LEFT_COL_IDX = np.array([_IDX_OF[(3, by)] for by in range(4)])
+_TOP_ROW_IDX = np.array([_IDX_OF[(bx, 3)] for bx in range(4)])
 
 PAD = 8
 

@@ -30,6 +30,7 @@ from .. import params as P
 from ..ops import mc as MC
 from ..ops import mcgather as MG
 from ..ops import pixel as PX
+from ..ops._lazyconst import LazyConst
 
 LOOKAHEAD_QP = 12
 _LOWRES_PENALTY = 4    # slicetype.c:69
@@ -219,11 +220,11 @@ def lowres_costs(fenc_low, fref_low4, bw: int, bh: int):
 _MVB = np.ones(128, np.int32)
 _d = np.arange(1, 128)
 _MVB[1:] = (np.log2(_d * 4 + 1.0) * 2 + 1.718 + 0.5).astype(np.int32)
-MVBITS_LOW = jnp.asarray(_MVB)     # indexed by |fullpel|
+MVBITS_LOW = LazyConst(_MVB)     # indexed by |fullpel|
 _MVB4 = np.ones(128, np.int32)
 _d4 = np.arange(1, 128)
 _MVB4[1:] = (np.log2(_d4 + 1.0) * 2 + 1.718 + 0.5).astype(np.int32)
-MVBITS_LOW4 = jnp.asarray(_MVB4)   # indexed by |qpel|
+MVBITS_LOW4 = LazyConst(_MVB4)   # indexed by |qpel|
 
 
 class SlicetypeDecider:

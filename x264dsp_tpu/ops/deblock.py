@@ -22,6 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ._lazyconst import LazyConst
 
 # spec tables (common/deblock.c:26-78), index 0..51
 ALPHA_TABLE = np.zeros(52, np.int32)
@@ -49,9 +50,9 @@ _tc0 = [
 for _qp, _v in _tc0:
     TC0_TABLE[_qp, 1:] = _v
 
-_ALPHA_J = jnp.asarray(ALPHA_TABLE)
-_BETA_J = jnp.asarray(BETA_TABLE)
-_TC0_J = jnp.asarray(TC0_TABLE)
+_ALPHA_J = LazyConst(ALPHA_TABLE)
+_BETA_J = LazyConst(BETA_TABLE)
+_TC0_J = LazyConst(TC0_TABLE)
 
 
 def _clamp_idx(i):

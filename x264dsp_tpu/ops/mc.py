@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ._lazyconst import LazyConst
 
 PAD_MC = 32  # reference PADH/PADV (common/frame.h:9-10)
 
@@ -73,8 +74,8 @@ def pad_chroma(recon: jnp.ndarray) -> jnp.ndarray:
                    mode="edge")
 
 
-_HPEL_REF0_J = jnp.asarray(HPEL_REF0)
-_HPEL_REF1_J = jnp.asarray(HPEL_REF1)
+_HPEL_REF0_J = LazyConst(HPEL_REF0)
+_HPEL_REF1_J = LazyConst(HPEL_REF1)
 
 
 def mc_luma_block(ref4: jnp.ndarray, x0, y0, mvx, mvy, bw: int, bh: int):

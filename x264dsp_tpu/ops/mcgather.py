@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import mc as MC
+from ._lazyconst import LazyConst
 
 # luma window margin (fullpel) and size; covers the +-16 fullpel search,
 # +-3 qpel refine drift and the clipped-MVP candidate (clamped by callers)
@@ -38,8 +39,8 @@ WIN_L = 16 + 2 * M_LUMA          # 56
 M_CHROMA = 11
 WIN_C = 8 + 2 * M_CHROMA + 2     # 32 (bilinear needs a 9x9 block)
 
-_HPEL_REF0_J = jnp.asarray(MC.HPEL_REF0)
-_HPEL_REF1_J = jnp.asarray(MC.HPEL_REF1)
+_HPEL_REF0_J = LazyConst(MC.HPEL_REF0)
+_HPEL_REF1_J = LazyConst(MC.HPEL_REF1)
 
 
 def _tile_windows(plane, n_tiles: int, tile: int, win: int, start: int,

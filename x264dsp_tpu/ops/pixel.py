@@ -8,11 +8,13 @@ subsumed by batching: candidates are just another leading axis.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
+from ._lazyconst import LazyConst
 
-_H = jnp.array([[1, 1, 1, 1],
-                [1, -1, 1, -1],
-                [1, 1, -1, -1],
-                [1, -1, -1, 1]], dtype=jnp.int32)
+_H = LazyConst(np.array([[1, 1, 1, 1],
+                         [1, -1, 1, -1],
+                         [1, 1, -1, -1],
+                         [1, -1, -1, 1]], dtype=np.int32))
 
 
 def sad(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -18,22 +18,24 @@ import numpy as np
 
 from .tables import (DEQUANT4_MF, QUANT4_BIAS_INTER, QUANT4_BIAS_INTRA,
                      QUANT4_MF, ZIGZAG_4x4)
+from ._lazyconst import LazyConst
 
-_C = jnp.array([[1, 1, 1, 1],
-                [2, 1, -1, -2],
-                [1, -1, -1, 1],
-                [1, -2, 2, -1]], dtype=jnp.int32)
-_H = jnp.array([[1, 1, 1, 1],
-                [1, 1, -1, -1],
-                [1, -1, -1, 1],
-                [1, -1, 1, -1]], dtype=jnp.int32)
+_C = LazyConst(np.array([[1, 1, 1, 1],
+                         [2, 1, -1, -2],
+                         [1, -1, -1, 1],
+                         [1, -2, 2, -1]], dtype=np.int32))
+_H = LazyConst(np.array([[1, 1, 1, 1],
+                         [1, 1, -1, -1],
+                         [1, -1, -1, 1],
+                         [1, -1, 1, -1]], dtype=np.int32))
 
-# device-resident copies of the quant tables
-QUANT4_MF_J = jnp.asarray(QUANT4_MF)                 # (70, 16)
-QUANT4_BIAS_J = jnp.stack([jnp.asarray(QUANT4_BIAS_INTER),
-                           jnp.asarray(QUANT4_BIAS_INTRA)])  # (2, 70, 16)
-DEQUANT4_MF_J = jnp.asarray(DEQUANT4_MF)             # (6, 16)
-ZIGZAG_J = jnp.asarray(ZIGZAG_4x4)
+# device-resident copies of the quant tables (lazy: no backend init at
+# import — see ops/_lazyconst.py)
+QUANT4_MF_J = LazyConst(QUANT4_MF)                   # (70, 16)
+QUANT4_BIAS_J = LazyConst(np.stack([np.asarray(QUANT4_BIAS_INTER),
+                                    np.asarray(QUANT4_BIAS_INTRA)]))
+DEQUANT4_MF_J = LazyConst(DEQUANT4_MF)               # (6, 16)
+ZIGZAG_J = LazyConst(ZIGZAG_4x4)
 
 
 def cqm_mf(cqm, cqm_set: int):
@@ -219,7 +221,7 @@ def dequant_dc4x4(q: jnp.ndarray, qp, cqm=None,
 
 
 # constant permutation as a 0/1 matrix: out[j] = flat[ZIGZAG[j]]
-_ZIGZAG_P = jnp.asarray(
+_ZIGZAG_P = LazyConst(
     (np.asarray(ZIGZAG_4x4)[:, None] == np.arange(16)[None, :])
     .astype(np.float32))
 
@@ -235,7 +237,7 @@ def zigzag4x4(block: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.int32).reshape(block.shape[:-2] + (16,))
 
 
-_DECIMATE_W = jnp.asarray(
+_DECIMATE_W = LazyConst(
     np.array([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.int32))
 
 
