@@ -206,6 +206,34 @@ def _encode(wire, frames, cabac=1):
         del os.environ["X264_SYN_WIRE"]
 
 
+def test_decoded_qp_dev_matches_host():
+    """The optimistic reference dispatch computes the decoded per-MB QP
+    carry-scan on device; it must equal the host twin bit-for-bit."""
+    import jax.numpy as jnp
+    from x264dsp_tpu import params as P2
+    from x264dsp_tpu.encoder.core import EncoderCore
+
+    p = xt.param_default()
+    p.i_width, p.i_height = 64, 48
+    p.rc.i_rc_method = P2.RC_CQP
+    core = EncoderCore(p)
+    rng = np.random.default_rng(3)
+    mb_h, mb_w = core.mb_h, core.mb_w
+    for st in (P2.SLICE_TYPE_I, P2.SLICE_TYPE_P):
+        syn = {
+            "cbp_luma": rng.integers(0, 16, (mb_h, mb_w)),
+            "cbp_chroma": rng.integers(0, 3, (mb_h, mb_w)),
+            "mb_type": rng.integers(0, 2, (mb_h, mb_w)),
+            "nz_luma_dc": rng.integers(0, 2, (mb_h, mb_w)),
+            "chroma_nz_dc": rng.integers(0, 2, (mb_h, mb_w, 2)),
+        }
+        qp_mb = rng.integers(20, 32, (mb_h, mb_w)).astype(np.int32)
+        host = core._decoded_qp(syn, st, qp_mb, 26)
+        dev = np.asarray(core._decoded_qp_dev(
+            {k: jnp.asarray(v) for k, v in syn.items()}, st, qp_mb, 26))
+        np.testing.assert_array_equal(host, dev, f"slice_type {st}")
+
+
 def test_syn_wire_api_path_cabac():
     frames = _clip()
     b0 = _encode(False, frames)

@@ -275,6 +275,8 @@ class EncoderCore:
         # same default rule as the device entropy stage
         env = os.environ.get("X264_SYN_WIRE")
         self._syn_wire = None if env is None else env == "1"
+        # optimistic reference update dispatched before host entropy
+        self._pending_ref = None
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NAL]:
@@ -437,11 +439,33 @@ class EncoderCore:
         # (offset[0] applies to coef 0 pre-extraction; x264 zeroes it)
         nr["offset"][:, 0] = 0
 
-    def _update_reference(self, recon_y, recon_u, recon_v, syn, slice_type,
-                          qp, qp_mb, is_idr=None):
-        """Deblock the reconstruction (x264_fdec_filter_row reborn as one
-        full-frame wavefront) and build the hpel reference pyramid
-        (x264_frame_filter, common/mc.c:506)."""
+    def _decoded_qp_dev(self, syn, slice_type, qp_mb, slice_qp):
+        """Device twin of _decoded_qp: same raster carry-scan over the
+        not-yet-pulled syntax tensors (cummax of coded indices)."""
+        import jax
+        import jax.numpy as jnp
+        cbp_any = (jnp.asarray(syn["cbp_luma"])
+                   | jnp.asarray(syn["cbp_chroma"])) != 0
+        if slice_type == P.SLICE_TYPE_I:
+            is_i16 = jnp.asarray(syn["mb_type"]) == 0
+            ext = ((jnp.asarray(syn["nz_luma_dc"]) != 0)
+                   | (jnp.asarray(syn["chroma_nz_dc"]) != 0).any(-1))
+            coded = jnp.where(is_i16, cbp_any | ext, cbp_any)
+        else:
+            coded = cbp_any
+        flat = jnp.broadcast_to(jnp.asarray(qp_mb), cbp_any.shape).ravel()
+        m = coded.ravel()
+        idx = jnp.where(m, jnp.arange(m.shape[0]), -1)
+        run = jax.lax.cummax(idx)
+        eff = jnp.where(run >= 0, flat[jnp.maximum(run, 0)], slice_qp)
+        return eff.reshape(cbp_any.shape).astype(jnp.int32)
+
+    def _compute_reference(self, recon_y, recon_u, recon_v, syn,
+                           slice_type, qp, qp_mb, on_device=False):
+        """Pure compute half of the reference update: deblock + hpel
+        pyramid. No DPB mutation. With on_device=True the decoded-QP
+        carry-scan runs on device from the un-pulled syntax tensors so
+        the whole chain can be dispatched before any host sync."""
         import jax.numpy as jnp
         p = self.param
         mb_w, mb_h = self.mb_w, self.mb_h
@@ -457,9 +481,16 @@ class EncoderCore:
                 bs = syn["bs"]
                 feo = syn["feo"]
             # the deblocker sees the DECODED per-MB QP
-            eff_qp = self._decoded_qp(syn, slice_type, qp_mb, qp)
-            eff_qpc = CHROMA_QP_TABLE[np.clip(
-                eff_qp + p.analyse.i_chroma_qp_offset, 0, 51)].astype(np.int32)
+            if on_device:
+                eff_qp = self._decoded_qp_dev(syn, slice_type, qp_mb, qp)
+                eff_qpc = jnp.asarray(CHROMA_QP_TABLE)[jnp.clip(
+                    eff_qp + p.analyse.i_chroma_qp_offset, 0, 51)] \
+                    .astype(jnp.int32)
+            else:
+                eff_qp = self._decoded_qp(syn, slice_type, qp_mb, qp)
+                eff_qpc = CHROMA_QP_TABLE[np.clip(
+                    eff_qp + p.analyse.i_chroma_qp_offset,
+                    0, 51)].astype(np.int32)
             # filter offsets are 2x the signalled div2 values
             # (slice_header_init, encoder.c:1044-1046)
             # this fork codes no intra MBs in P frames, so the skew
@@ -474,14 +505,44 @@ class EncoderCore:
         else:
             dy, du, dv = (jnp.asarray(recon_y), jnp.asarray(recon_u),
                           jnp.asarray(recon_v))
+        planes = (MC.make_ref_planes(dy), MC.pad_chroma(du),
+                  MC.pad_chroma(dv))
+        return dy, du, dv, planes
+
+    def _dispatch_pending_ref(self, syn, slice_type, qp, qp_mb) -> None:
+        """Optimistically dispatch the reference update for a just-
+        encoded single-slice frame BEFORE the host pulls its syntax and
+        runs entropy: the device computes deblock + hpel while the host
+        writes the slice, instead of idling. If the attempt is rejected
+        (VBV / CAVLC-overflow re-encode), the pending result is simply
+        dropped (keyed by syn identity)."""
+        try:
+            res = self._compute_reference(
+                syn["recon_y"], syn["recon_u"], syn["recon_v"], syn,
+                slice_type, qp, qp_mb, on_device=True)
+        except Exception:
+            self._pending_ref = None
+            return
+        self._pending_ref = (id(syn), res)
+
+    def _update_reference(self, recon_y, recon_u, recon_v, syn, slice_type,
+                          qp, qp_mb, is_idr=None):
+        """Deblock the reconstruction (x264_fdec_filter_row reborn as one
+        full-frame wavefront), build the hpel reference pyramid
+        (x264_frame_filter, common/mc.c:506), and commit it to the DPB."""
+        pending = self._pending_ref
+        self._pending_ref = None
+        if pending is not None and pending[0] == id(syn):
+            dy, du, dv, planes = pending[1]
+        else:
+            dy, du, dv, planes = self._compute_reference(
+                recon_y, recon_u, recon_v, syn, slice_type, qp, qp_mb)
         # hpel pyramid into the DPB (x264_reference_update,
         # encoder.c:878-907; only IDR resets the list, :909-916 — a
         # non-IDR I frame is an ordinary reference frame)
         if is_idr or (is_idr is None and slice_type == P.SLICE_TYPE_I):
             self.dpb = []
-        self.dpb.insert(0, {"planes": (MC.make_ref_planes(dy),
-                                       MC.pad_chroma(du),
-                                       MC.pad_chroma(dv)),
+        self.dpb.insert(0, {"planes": planes,
                             "frame_idx": self.i_frame - 1,
                             "frame_num": (self.frame_num - 1)
                             % (1 << self.sps.i_log2_max_frame_num),
@@ -707,12 +768,18 @@ class EncoderCore:
             wire = use_wire and not fast and len(slices) == 1
             wire_p = slice_type == P.SLICE_TYPE_P
             self._dev_wire = None
+            self._pending_ref = None
             if len(slices) == 1:
                 keep = (_DEV_KEEP if fast
                         else (_WIRE_KEEP if wire_p else _WIRE_KEEP_I)
                         if wire else frozenset())
                 syn = encode_band(qp_mb_cur, 0, self.mb_h,
                                   keep_device=keep)
+                if fast or wire:
+                    # overlap: deblock + hpel run on device while the
+                    # host pulls the wire and writes the slice
+                    self._dispatch_pending_ref(syn, slice_type, qp,
+                                               qp_mb_cur)
                 if wire:
                     self._pull_syn_wire(syn, is_p=wire_p)
                 if fast:
