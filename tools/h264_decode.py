@@ -14,6 +14,7 @@ golden pixel ops.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -1451,6 +1452,13 @@ def decode_file(path: str):
 
 
 if __name__ == "__main__":
+    # honor JAX_PLATFORMS through jax.config: this image's axon site
+    # hook overrides the env var, which would block the first jax op
+    # on accelerator init even for a pure host-side decode
+    _plat = os.environ.get("JAX_PLATFORMS")
+    if _plat:
+        import jax
+        jax.config.update("jax_platforms", _plat.split(",")[0])
     frames = decode_file(sys.argv[1])
     print(f"decoded {len(frames)} frames "
           f"{frames[0][0].shape[1]}x{frames[0][0].shape[0]}")

@@ -59,15 +59,21 @@ def hpel_filter(plane: jnp.ndarray):
     return h, v, c
 
 
+@jax.jit
 def make_ref_planes(recon: jnp.ndarray) -> jnp.ndarray:
     """Edge-replicate pad a reconstructed (deblocked) plane and build the
-    4 luma planes [full, h, v, hv]: x264_frame_filter (common/mc.c:506)."""
+    4 luma planes [full, h, v, hv]: x264_frame_filter (common/mc.c:506).
+    Jitted: the API path and the conformance decoder call it eagerly
+    once per reference frame — unjitted it dispatched every pad/filter
+    op as its own kernel launch (an RPC each on a remote-attached
+    device)."""
     p = jnp.pad(recon.astype(jnp.int32),
                 ((PAD_MC, PAD_MC), (PAD_MC, PAD_MC)), mode="edge")
     h, v, c = hpel_filter(p)
     return jnp.stack([p, h, v, c])
 
 
+@jax.jit
 def pad_chroma(recon: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(recon.astype(jnp.int32),
                    ((PAD_MC // 2, PAD_MC // 2), (PAD_MC // 2, PAD_MC // 2)),
