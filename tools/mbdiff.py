@@ -135,6 +135,14 @@ def run_ours(frames, w, h, cfg):
 
 
 def main():
+    # pin CPU like tools/parity.py: the image's axon hook overrides
+    # JAX_PLATFORMS and would block this host-side tool on accelerator
+    # init otherwise
+    if os.environ.get("X264_PARITY_ON_TPU") != "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="4_cif_ippp_cabac_crf")
     ap.add_argument("--frames", type=int, default=6)
