@@ -242,6 +242,32 @@ def test_syn_wire_api_path_cabac():
         assert a == b, f"frame {i}: stream bytes differ over the wire"
 
 
+def test_syn_wire_api_path_multislice():
+    """Multi-slice frames take the per-band wire (band geometry packs)."""
+    frames = _clip(3)
+    os.environ["X264_SYN_WIRE"] = "0"
+    try:
+        p = xt.param_default()
+        p.i_width, p.i_height = W, H
+        p.rc.i_rc_method = P.RC_CQP
+        p.rc.i_qp_constant = 26
+        p.i_keyint_max = 3
+        p.i_slice_count = 3
+
+        def run():
+            enc = xt.Encoder(p)
+            return [b"".join(n.payload for n in
+                             enc.encode(xt.Picture.from_planes(y, u, v))[0])
+                    for (y, u, v) in frames]
+        b0 = run()
+        os.environ["X264_SYN_WIRE"] = "1"
+        b1 = run()
+        for i, (a, b) in enumerate(zip(b0, b1)):
+            assert a == b, f"frame {i}: multi-slice wire bytes differ"
+    finally:
+        del os.environ["X264_SYN_WIRE"]
+
+
 def test_syn_wire_api_path_cavlc_host():
     """CAVLC with the device entropy stage off (host writers) is the
     wire's other consumer."""

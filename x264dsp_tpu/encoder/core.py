@@ -812,7 +812,26 @@ class EncoderCore:
                         "rows": rows, "n_skip": n_skip, "hbits": hbits,
                         "cap": cap}
                 return syn
-            bands = [encode_band(qp_mb_cur, y0, y1) for y0, y1 in slices]
+            wire_keep = ((_WIRE_KEEP if wire_p else _WIRE_KEEP_I)
+                         if use_wire else frozenset())
+            bands = []
+            for y0, y1 in slices:
+                b = encode_band(qp_mb_cur, y0, y1, keep_device=wire_keep)
+                if use_wire:
+                    # per-band block-granular wire (same pack, band
+                    # geometry); recon/strengths stay device until the
+                    # overlapped conversion below
+                    self._pull_syn_wire(b, is_p=wire_p, mb_h=y1 - y0)
+                bands.append(b)
+            if use_wire:
+                for b in bands:
+                    for v in b.values():
+                        try:
+                            v.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                bands = [{k: np.asarray(v) for k, v in b.items()}
+                         for b in bands]
             # nr accumulators are frame totals: sum over bands
             syn = {k: (np.sum([b[k] for b in bands], axis=0)
                        if k.startswith("nr_") else
@@ -1106,7 +1125,8 @@ class EncoderCore:
         return nals, pic_out
 
     # ------------------------------------------------------------------
-    def _pull_syn_wire(self, syn, is_p: bool = True) -> None:
+    def _pull_syn_wire(self, syn, is_p: bool = True,
+                       mb_h: int | None = None) -> None:
         """Pull a host-writer frame's syntax over the block-granular
         wire (inter_frame.pack_syn_blocks / pack_syn_blocks_i): dense
         per-MB fields + one 12-byte entry per coded 4x4 block cross
@@ -1117,15 +1137,17 @@ class EncoderCore:
         frame trips the wire's has-big limits (|level| > 8, dense field
         > int8, coded blocks over budget)."""
         from . import inter_frame
+        if mb_h is None:
+            mb_h = self.mb_h
         keys = _WIRE_SYN if is_p else _WIRE_SYN_I
         keep = _WIRE_KEEP if is_p else _WIRE_KEEP_I
         sub = {k: syn[k] for k in keys}
-        dense, entries, _ = _syn_wire_fn(self.mb_h, self.mb_w, is_p)(sub)
+        dense, entries, _ = _syn_wire_fn(mb_h, self.mb_w, is_p)(sub)
         # speculative prefix (2 coded blocks/MB for P, 8 for the denser
         # intra frames covers typical content): the dense buffer and the
         # prefix cross in parallel RPCs; only an unusually dense frame
         # pays a second pull
-        prefix = entries[:(2 if is_p else 8) * self.mb_h * self.mb_w]
+        prefix = entries[:(2 if is_p else 8) * mb_h * self.mb_w]
         for t in (dense, prefix):
             try:
                 t.copy_to_host_async()
@@ -1139,7 +1161,7 @@ class EncoderCore:
                           else np.asarray(entries))
             unpack = (inter_frame.unpack_syn_blocks if is_p
                       else inter_frame.unpack_syn_blocks_i)
-            up = unpack(dense_np, entries_np, self.mb_w, self.mb_h)
+            up = unpack(dense_np, entries_np, self.mb_w, mb_h)
         if up is None:
             # has-big: the tensors are still in syn, device-resident
             for k in keep - {"recon_y", "recon_u", "recon_v", "bs"}:
