@@ -269,6 +269,43 @@ def mvp_field(mv8, partition, ref, mb_h: int, mb_w: int):
 
 
 # ---------------------------------------------------------------------------
+# gather-free small-table lookup
+# ---------------------------------------------------------------------------
+
+def _masklut(key, table_vals: np.ndarray, nbits: int):
+    """Per-element lookup of a tiny table WITHOUT a gather (TPU gathers
+    are per-element, ~100 ms for 8M indices on v5e): for every output
+    bit b, membership of each key in {t: table[t] bit b set} is a T-bit
+    constant mask; bit = (mask_word[key>>5] >> (key&31)) & 1, the word
+    picked with lax.select_n. O(nbits) vector passes, independent of N."""
+    tv = np.asarray(table_vals, np.int64)
+    T = tv.shape[0]
+    nw = (T + 31) // 32
+    kw = jnp.clip(key >> 5, 0, nw - 1)
+    kb = key & 31
+    out = jnp.zeros(key.shape, jnp.int32)
+    for b in range(nbits):
+        masks = np.zeros(nw, np.int64)
+        for t in range(T):
+            if (int(tv[t]) >> b) & 1:
+                masks[t >> 5] |= 1 << (t & 31)
+        consts = [jnp.broadcast_to(jnp.int32(np.int32(np.uint32(m))),
+                                   key.shape) for m in masks]
+        w = consts[0] if nw == 1 else jax.lax.select_n(kw, *consts)
+        bit = jax.lax.shift_right_logical(w, kb) & 1
+        out = out | (bit << b)
+    return out
+
+
+def _masklut2(key, table_2col: np.ndarray, val_bits: int, len_bits: int):
+    """(value, length) pair lookup via one packed _masklut call."""
+    packed = (np.asarray(table_2col)[:, 1].astype(np.int64) << val_bits) \
+        | np.asarray(table_2col)[:, 0].astype(np.int64)
+    r = _masklut(key, packed, val_bits + len_bits)
+    return r & ((1 << val_bits) - 1), r >> val_bits
+
+
+# ---------------------------------------------------------------------------
 # residual block coder
 # ---------------------------------------------------------------------------
 
@@ -277,55 +314,58 @@ def _block_elements(levels, n: int, nC, chroma_dc: bool, coded):
     (write_block_residual twin). levels: (N, n) zigzag levels; nC: (N,)
     context (ignored when chroma_dc); coded: (N,) bool. Returns
     (vals, lens) of shape (N, 34) in stream order, plus total_coeff (N,)
-    and an overflow flag."""
+    and an overflow flag.
+
+    Position-parallel formulation: instead of compacting the nonzero
+    levels into rank order (argsort + take_along_axis are per-element
+    on TPU — measured ~50 ms + ~2.9 s at 8M rows), every zigzag
+    position computes its own rank/run/zeros-left arithmetically from
+    two tiny prefix scans, and emits its element into the slot
+    j = n-1-p. Slot order equals rank order (descending positions),
+    and zero-length slots vanish in the bitpack, so the byte stream is
+    identical to the rank-compacted writer's."""
     N = levels.shape[0]
     lv = levels.astype(jnp.int32)
     nzm = lv != 0
-    total = nzm.sum(axis=1).astype(jnp.int32)
+    nz_i = nzm.astype(jnp.int32)
+    total = nz_i.sum(axis=1)
     idx = jnp.arange(n, dtype=jnp.int32)
     last = jnp.max(jnp.where(nzm, idx[None, :], -1), axis=1)
     total_zeros = last + 1 - total
 
-    # nonzero coef indices, descending zigzag order: argsort of
-    # (zero-flag, -idx)
-    key = jnp.where(nzm, -idx[None, :], 1)
-    order = jnp.argsort(key, axis=1)            # (N, n)
-    nz_desc = jnp.take_along_axis(
-        jnp.broadcast_to(idx[None, :], lv.shape), order, axis=1)
-    lev = jnp.take_along_axis(lv, order, axis=1)   # lev[k] (garbage >= total)
-    k_idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-    valid_k = k_idx < total[:, None]
-    lev = jnp.where(valid_k, lev, 0)
-    runs = nz_desc[:, :-1] - nz_desc[:, 1:] - 1    # runs[k], valid k+1<total
-
-    # trailing ones (<= 3 leading +-1)
-    is_one = jnp.abs(lev) == 1
-    t1 = jnp.zeros((N,), jnp.int32)
-    for k in range(3):
-        t1 = t1 + ((t1 == k) & (total > k) & is_one[:, k]
-                   ).astype(jnp.int32)
-    sign_bits = jnp.zeros((N,), jnp.int32)
-    for k in range(3):
-        neg = (lev[:, k] < 0).astype(jnp.int32)
-        sign_bits = jnp.where(k < t1, (sign_bits << 1) | neg, sign_bits)
+    # rank (descending zigzag order) of each position: # nonzeros above
+    rank = (jnp.cumsum(nz_i[:, ::-1], axis=1)[:, ::-1] - nz_i)
+    is_one = nzm & (jnp.abs(lv) == 1)
+    # positions whose every higher-position nonzero is +-1
+    bad = nz_i * (~is_one).astype(jnp.int32)
+    bad_above = jnp.cumsum(bad[:, ::-1], axis=1)[:, ::-1] - bad
+    lead_one = is_one & (rank < 3) & (bad_above == 0)
+    t1 = lead_one.astype(jnp.int32).sum(axis=1)
+    neg = (lv < 0).astype(jnp.int32)
+    sign_bits = jnp.where(lead_one, neg << jnp.clip(t1[:, None] - 1 - rank,
+                                                    0, 2), 0).sum(axis=1)
 
     if chroma_dc:
         table = jnp.full((N,), 4, jnp.int32)
     else:
-        table = jnp.asarray(_CT_INDEX)[jnp.minimum(nC, 16)]
-    ctok = jnp.asarray(_CTOK.reshape(-1, 2))
-    tok = ctok[(table * 17 + total) * 4 + jnp.where(total > 0, t1, 0)]
+        table = _masklut(jnp.minimum(nC, 16), _CT_INDEX, 2)
+    tok_key = (table * 17 + total) * 4 + jnp.where(total > 0, t1, 0)
+    tok_v, tok_l = _masklut2(tok_key, _CTOK.reshape(-1, 2), 7, 5)
 
-    vals = [tok[:, 0], sign_bits]
-    lens = [tok[:, 1], t1]
+    vals = [tok_v, sign_bits]
+    lens = [tok_l, t1]
 
-    # level chain
+    # level chain: slot j holds position p = n-1-j; the suffix-length
+    # state advances only at coded positions, so the loop-carried
+    # dependency survives the position relabeling unchanged.
     suffix = ((total > 10) & (t1 < 3)).astype(jnp.int32)
     overflow = jnp.zeros((), bool)
-    for k in range(n):
-        active = (k_idx[0, k] >= t1) & (k_idx[0, k] < total)
-        val_k = lev[:, k]
-        first = (k == t1) & (t1 < 3)
+    for j in range(n):
+        p = n - 1 - j
+        r_p = rank[:, p]
+        active = nzm[:, p] & (r_p >= t1)
+        val_k = lv[:, p]
+        first = (r_p == t1) & (t1 < 3)
         val_k = jnp.where(first, val_k - jnp.sign(val_k), val_k)
         abs_k = jnp.abs(val_k)
         code = 2 * abs_k - 2 + (val_k < 0).astype(jnp.int32)
@@ -361,42 +401,52 @@ def _block_elements(levels, n: int, nC, chroma_dc: bool, coded):
         vals.append(v)
         lens.append(ln)
         # update_suffix on the ORIGINAL level
-        abs_orig = jnp.abs(lev[:, k])
+        abs_orig = jnp.abs(lv[:, p])
         s1 = jnp.maximum(suffix, 1)
         s1 = s1 + ((abs_orig > (3 << (s1 - 1))) & (s1 < 6)).astype(jnp.int32)
         suffix = jnp.where(active, s1, suffix)
-    for k in range(n, 16):
+    for j in range(n, 16):
         z = jnp.zeros((N,), jnp.int32)
         vals.append(z)
         lens.append(z)
 
     # total_zeros
     if chroma_dc:
-        tzt = jnp.asarray(_TZ_DC.reshape(-1, 2))
-        tz = tzt[jnp.maximum(total - 1, 0) * 4
-                 + jnp.clip(total_zeros, 0, 3)]
+        tz_key = jnp.maximum(total - 1, 0) * 4 + jnp.clip(total_zeros, 0, 3)
+        tz_v, tz_l = _masklut2(tz_key, _TZ_DC.reshape(-1, 2), 3, 4)
         tz_on = (total > 0) & (total < 4)
     else:
-        tzt = jnp.asarray(_TZ.reshape(-1, 2))
-        tz = tzt[jnp.maximum(total - 1, 0) * 16
-                 + jnp.clip(total_zeros, 0, 15)]
+        tz_key = jnp.maximum(total - 1, 0) * 16 + jnp.clip(total_zeros,
+                                                           0, 15)
+        tz_v, tz_l = _masklut2(tz_key, _TZ.reshape(-1, 2), 3, 4)
         tz_on = (total > 0) & (total < n)
-    v, ln = _gate(tz[:, 0], tz[:, 1], tz_on)
+    v, ln = _gate(tz_v, tz_l, tz_on)
     vals.append(v)
     lens.append(ln)
 
-    # run_before chain
-    zl = total_zeros
-    rbt = jnp.asarray(_RUN_BEFORE.reshape(-1, 2))
-    for k in range(15):
-        active = ((k + 1) < total) & (zl > 0)
-        run_k = jnp.clip(runs[:, k] if k < runs.shape[1]
-                         else jnp.zeros((N,), jnp.int32), 0, 14)
-        rb = rbt[(jnp.clip(zl, 1, 7) - 1) * 15 + run_k]
-        v, ln = _gate(rb[:, 0], rb[:, 1], active)
+    # run_before chain, position-parallel: at the rank-k nonzero
+    # (k+1 < total), run = gap down to the next nonzero and
+    # zeros_left = p + rank - total + 1 (zeros strictly below p) — both
+    # closed-form, replacing the sequential zl walk.
+    prev_nz = jax.lax.cummax(jnp.where(nzm, idx[None, :], -1), axis=1)
+    nb = jnp.concatenate([jnp.full((N, 1), -1, jnp.int32),
+                          prev_nz[:, :-1]], axis=1)
+    run_p = idx[None, :] - nb - 1
+    zl_p = idx[None, :] + rank - total[:, None] + 1
+    for j in range(15):
+        if j >= n - 1:
+            z = jnp.zeros((N,), jnp.int32)
+            vals.append(z)
+            lens.append(z)
+            continue
+        p = n - 1 - j
+        active = nzm[:, p] & (rank[:, p] + 1 < total) & (zl_p[:, p] > 0)
+        rb_key = ((jnp.clip(zl_p[:, p], 1, 7) - 1) * 15
+                  + jnp.clip(run_p[:, p], 0, 14))
+        rb_v, rb_l = _masklut2(rb_key, _RUN_BEFORE.reshape(-1, 2), 3, 4)
+        v, ln = _gate(rb_v, rb_l, active)
         vals.append(v)
         lens.append(ln)
-        zl = jnp.where(active, zl - run_k, zl)
 
     V = jnp.stack(vals, axis=1)
     L = jnp.stack(lens, axis=1)
@@ -419,6 +469,24 @@ def _nc_from_grid(cnt, h, w):
     both = ex_a & ex_b
     return jnp.where(both, (na + nb + 1) >> 1,
                      jnp.where(ex_a, na, jnp.where(ex_b, nb, 0)))
+
+
+def _coding_to_grid(vals, mb_h: int, mb_w: int):
+    """(mb_h, mb_w, 16) per-4x4-block coding-order values ->
+    (4*mb_h, 4*mb_w) grid, by pure relayout (the .at[].set scatter this
+    replaces is per-element on TPU). Coding order: quadrant i>>2,
+    raster i&3 inside (scan8, common/common.h:140-186)."""
+    t = vals.reshape(mb_h, mb_w, 2, 2, 2, 2)   # (.., qy, qx, by, bx)
+    t = t.transpose(0, 2, 4, 1, 3, 5)          # (mb_h, qy, by, mb_w, qx, bx)
+    return t.reshape(mb_h * 4, mb_w * 4)
+
+
+def _grid_to_coding(grid, mb_h: int, mb_w: int):
+    """Inverse of _coding_to_grid: (4h, 4w) -> (h*w, 16) coding order,
+    by pure relayout (replaces a fancy-index gather)."""
+    t = grid.reshape(mb_h, 2, 2, mb_w, 2, 2)   # (mb_h, qy, by, mb_w, qx, bx)
+    t = t.transpose(0, 3, 1, 4, 2, 5)          # (mb_h, mb_w, qy, qx, by, bx)
+    return t.reshape(mb_h * mb_w, 16)
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +584,7 @@ def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
     # cbp
     clf = cl.reshape(B)
     cchf = cch.reshape(B)
-    v, ln = _ue(jnp.asarray(_CBP_INTER)[(cchf << 4) | clf], 6)
+    v, ln = _ue(_masklut((cchf << 4) | clf, _CBP_INTER, 6), 6)
     hdr_v.append(v * ns)
     hdr_l.append(ln * ns)
     # dqp
@@ -535,18 +603,9 @@ def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
                  & (((clf[:, None] >> (jnp.arange(16)[None, :] >> 2))
                      & 1) == 1))
     nnz_blk = (lvl != 0).sum(axis=2) * blk_coded     # (B, 16)
-    # scatter to the 4x4 position grid
-    cnt = jnp.zeros((mb_h, 4, mb_w, 4), jnp.int32)
-    cnt = cnt.at[:, jnp.asarray(_BIY), :, jnp.asarray(_BIX)].set(
-        nnz_blk.reshape(mb_h, mb_w, 16).transpose(2, 0, 1))
-    cnt = cnt.reshape(mb_h * 4, mb_w * 4)
+    cnt = _coding_to_grid(nnz_blk.reshape(mb_h, mb_w, 16), mb_h, mb_w)
     nc_grid = _nc_from_grid(cnt, mb_h * 4, mb_w * 4)
-    # gather per coding-order block
-    by = (jnp.arange(mb_h)[:, None, None] * 4
-          + jnp.asarray(_BIY)[None, None, :])
-    bx = (jnp.arange(mb_w)[None, :, None] * 4
-          + jnp.asarray(_BIX)[None, None, :])
-    nc_luma = nc_grid[by, bx].reshape(B, 16)
+    nc_luma = _grid_to_coding(nc_grid, mb_h, mb_w)
 
     lv_flat = lvl.reshape(B * 16, 16)
     Vl, Ll, _, ov1 = _block_elements(
@@ -606,52 +665,84 @@ def bitpack(vals, lens, header_vals, header_lens, cap_bytes: int):
 
     vals/lens: (N,) int32, len in [0, 28]; header_vals/lens: (Hn,)
     int32 (the byte-aligned-or-not slice header). Returns (bytes
-    uint8 (cap_bytes,), total_bits int32).
+    uint8 (cap_bytes,), total_bits int32, dropped bool).
 
-    Method: P = exclusive prefix sum of lens -> each element's bits
-    land in 32-bit words P>>5 and (P>>5)+1; contributions are summed
-    per word with a mod-2^32 cumulative sum read at word boundaries
-    (bits of one word never carry: they are disjoint), boundaries
-    located with searchsorted over the monotone word indices."""
-    v = jnp.concatenate([header_vals.astype(jnp.uint32),
-                         vals.astype(jnp.uint32)])
+    Method: hierarchical doubling — every element starts as a 1-word
+    MSB-aligned buffer; adjacent buffer pairs merge level by level
+    (out = a | shift(b, a.len)) until one buffer remains. The dynamic
+    word shift is a binary decomposition of conditional STATIC shifts,
+    so the whole pack is elementwise selects/shifts — no gathers,
+    scatters, sorts, or searchsorted anywhere (all per-element on TPU:
+    the predecessor's searchsorted formulation measured ~1 s per
+    1080p 8-stream batch; this is bandwidth-bound).
+
+    Buffer capacity per level is exact (2^j slots * <=28 bits fit
+    2^j words) until the density cap kicks in: groups of >=256 slots
+    are capped at max(128, 2^(j-2)) words (4096 bits per ~MB-sized
+    group — H.264's worst-case CAVLC MB is ~3.3k bits, so real
+    content fits; pathological content sets `dropped` and the caller
+    falls back to the host writers, the same recovery path as the
+    level-code overflow)."""
+    v = jnp.concatenate([header_vals.astype(jnp.int32),
+                         vals.astype(jnp.int32)])
     ln = jnp.concatenate([header_lens.astype(jnp.int32),
                           lens.astype(jnp.int32)])
-    N = v.shape[0]
-    P = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                         jnp.cumsum(ln)])           # (N+1,)
-    total_bits = P[-1]
-    P = P[:-1]
-    word = P >> 5
-    off = P & 31
-    # MSB-align into a u32, then split across the word boundary
-    # (shift amounts clamped to < 32: equal-to-width shifts are UB in
-    # XLA; the clamped lanes are masked off by the where)
-    sh = jnp.clip(32 - ln, 0, 31).astype(jnp.uint32)
-    A = jnp.where(ln > 0, v << sh, 0)
-    hi = A >> off.astype(jnp.uint32)
-    rem = jnp.clip(32 - off, 0, 31).astype(jnp.uint32)
-    lo = jnp.where(off > 0, A << rem, 0)
-
-    W = cap_bytes // 4
-    # mod-2^32 cumulative sums (int32 wraparound == uint32 mod)
-    Chi = jnp.cumsum(hi.astype(jnp.int32))
-    Clo = jnp.cumsum(lo.astype(jnp.int32))
-    # first element index of each word (elements sorted by word)
-    ws = jnp.arange(W, dtype=jnp.int32)
-    first = jnp.searchsorted(word, ws, side="left").astype(jnp.int32)
-    after = jnp.searchsorted(word, ws, side="right").astype(jnp.int32)
-    Chi0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), Chi])
-    Clo0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), Clo])
-    whi = Chi0[jnp.minimum(after, N)] - Chi0[jnp.minimum(first, N)]
-    # lo parts spill into word+1
-    first_l = jnp.searchsorted(word, ws - 1, side="left").astype(jnp.int32)
-    after_l = jnp.searchsorted(word, ws - 1, side="right").astype(jnp.int32)
-    wlo = Clo0[jnp.minimum(after_l, N)] - Clo0[jnp.minimum(first_l, N)]
-    words = (whi + wlo).astype(jnp.uint32)
-    b = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
-                   (words >> 8) & 0xFF, words & 0xFF], axis=1)
-    return b.reshape(-1).astype(jnp.uint8), total_bits
+    total_bits = ln.sum()
+    cap_words = cap_bytes // 4
+    sh = jnp.clip(32 - ln, 0, 31)
+    buf = jnp.where(ln > 0, v << sh, 0)[:, None]   # (N, 1) MSB-aligned
+    L = ln
+    W = 1
+    level = 0
+    dropped = jnp.zeros((), bool)
+    while buf.shape[0] > 1:
+        N = buf.shape[0]
+        if N % 2:
+            buf = jnp.concatenate([buf, jnp.zeros((1, W), jnp.int32)])
+            L = jnp.concatenate([L, jnp.zeros((1,), jnp.int32)])
+            N += 1
+        pairs = buf.reshape(N // 2, 2, W)
+        a, b = pairs[:, 0], pairs[:, 1]
+        Lp = L.reshape(N // 2, 2)
+        aln, bln = Lp[:, 0], Lp[:, 1]
+        mid_cap = max(128, 1 << max(level - 2, 0))
+        W2 = min(2 * W, mid_cap, cap_words)
+        if W2 > W:
+            pad = W2 - W
+            a = jnp.concatenate([a, jnp.zeros((N // 2, pad), jnp.int32)], 1)
+            b = jnp.concatenate([b, jnp.zeros((N // 2, pad), jnp.int32)], 1)
+        if W2 < 2 * W:
+            dropped = dropped | jnp.any(aln + bln > 32 * W2)
+        # bit-shift b right by a.len & 31 (carry across words)
+        sb = aln & 31
+        carry = jnp.concatenate(
+            [jnp.zeros((N // 2, 1), jnp.int32), b[:, :-1]], 1)
+        bs = jnp.where((sb == 0)[:, None], b,
+                       jax.lax.shift_right_logical(b, sb[:, None])
+                       | (carry << (((32 - sb) & 31)[:, None])))
+        # word-shift right by a.len >> 5: binary conditional shifts
+        sw = jnp.minimum(aln >> 5, W2)
+        if level > 0:           # level-0 buffers are < 32 bits
+            k = 0
+            while (1 << k) <= W2:
+                s = 1 << k
+                shifted = jnp.concatenate(
+                    [jnp.zeros((N // 2, s), jnp.int32), bs[:, :W2 - s]], 1)
+                bs = jnp.where((((sw >> k) & 1) == 1)[:, None],
+                               shifted, bs)
+                k += 1
+        buf = a | bs
+        L = aln + bln
+        W = W2
+        level += 1
+    words = buf[0]
+    if W < cap_words:
+        words = jnp.concatenate(
+            [words, jnp.zeros((cap_words - W,), jnp.int32)])
+    usr = jax.lax.shift_right_logical
+    b = jnp.stack([usr(words, 24) & 0xFF, usr(words, 16) & 0xFF,
+                   usr(words, 8) & 0xFF, words & 0xFF], axis=1)
+    return b.reshape(-1).astype(jnp.uint8), total_bits, dropped
 
 
 def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
@@ -665,7 +756,9 @@ def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
     feeding the row-VBV walk."""
     V, L, n_skip, ov = cavlc_p_elements(syn, qp_mb, slice_qp, n_ref,
                                         mb_h, mb_w)
-    payload, bits = bitpack(V, L, header_vals, header_lens, cap_bytes)
+    payload, bits, drop = bitpack(V, L, header_vals, header_lens,
+                                  cap_bytes)
+    ov = ov | drop
     if not with_rows:
         return payload, bits, n_skip, ov
     B = mb_h * mb_w
@@ -725,28 +818,22 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
     hdr_v = []
     hdr_l = []
     # mb_type: I_4x4 -> ue(0); I_16x16 -> composite ue
-    fix16 = jnp.asarray(_FIX16)[jnp.clip(i16m.reshape(B), 0, 6)]
+    fix16 = _masklut(jnp.clip(i16m.reshape(B), 0, 6), _FIX16, 2)
     t16 = 1 + fix16 + cchf * 4 + jnp.where(clf != 0, 12, 0)
     v, ln = _ue(jnp.where(i4f, 0, t16), 6)
     hdr_v.append(v)
     hdr_l.append(ln)
     # prev_intra4x4_pred_mode syntax: needs the MPM grid
-    fixed4 = jnp.asarray(_FIX4)[jnp.clip(i4m + 1, 0, 12)]  # (h, w, 16)
-    mode_grid = jnp.zeros((mb_h, 4, mb_w, 4), jnp.int32)
-    mode_grid = mode_grid.at[:, jnp.asarray(_BIY), :, jnp.asarray(_BIX)] \
-        .set(fixed4.transpose(2, 0, 1))
-    mode_grid = mode_grid.reshape(mb_h * 4, mb_w * 4)
+    fixed4 = _masklut(jnp.clip(i4m + 1, 0, 12),
+                      np.where(_FIX4 < 0, 0, _FIX4), 4)  # (h, w, 16)
+    mode_grid = _coding_to_grid(fixed4, mb_h, mb_w)
     eff = jnp.where(jnp.repeat(jnp.repeat(is_i4, 4, 0), 4, 1),
                     mode_grid, 2)
     left = jnp.pad(eff, ((0, 0), (1, 0)), constant_values=-1)[:, :-1]
     top = jnp.pad(eff, ((1, 0), (0, 0)), constant_values=-1)[:-1, :]
     pred_g = jnp.minimum(left, top)
     pred_g = jnp.where(pred_g < 0, 2, pred_g)
-    by = (jnp.arange(mb_h)[:, None, None] * 4
-          + jnp.asarray(_BIY)[None, None, :])
-    bx = (jnp.arange(mb_w)[None, :, None] * 4
-          + jnp.asarray(_BIX)[None, None, :])
-    pred = pred_g[by, bx].reshape(B, 16)
+    pred = _grid_to_coding(pred_g, mb_h, mb_w)
     mode = fixed4.reshape(B, 16)
     same = pred == mode
     v4 = jnp.where(same, 1, mode - (mode > pred))
@@ -755,11 +842,11 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
         hdr_v.append(v4[:, i] * i4f)
         hdr_l.append(l4[:, i] * i4f)
     # chroma mode
-    v, ln = _ue(jnp.asarray(_FIXC)[jnp.clip(cmode.reshape(B), 0, 6)], 3)
+    v, ln = _ue(_masklut(jnp.clip(cmode.reshape(B), 0, 6), _FIXC, 2), 3)
     hdr_v.append(v)
     hdr_l.append(ln)
     # cbp (I_4x4 only; I_16x16 carries it in mb_type)
-    v, ln = _ue(jnp.asarray(_CBP_INTRA)[(cchf << 4) | clf], 6)
+    v, ln = _ue(_masklut((cchf << 4) | clf, _CBP_INTRA, 6), 6)
     hdr_v.append(v * i4f)
     hdr_l.append(ln * i4f)
     # dqp: i16 always; i4 iff cbp (empty-I16 suppression: dqp 0)
@@ -783,12 +870,9 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
     nnz_i16 = (lvl[:, :, 1:] != 0).sum(axis=2)
     cnt_blk = jnp.where(blk_coded_i4, nnz_i4,
                         jnp.where(blk_coded_i16, nnz_i16, 0))
-    cnt = jnp.zeros((mb_h, 4, mb_w, 4), jnp.int32)
-    cnt = cnt.at[:, jnp.asarray(_BIY), :, jnp.asarray(_BIX)].set(
-        cnt_blk.reshape(mb_h, mb_w, 16).transpose(2, 0, 1))
-    cnt = cnt.reshape(mb_h * 4, mb_w * 4)
+    cnt = _coding_to_grid(cnt_blk.reshape(mb_h, mb_w, 16), mb_h, mb_w)
     nc_grid = _nc_from_grid(cnt, mb_h * 4, mb_w * 4)
-    nc_luma = nc_grid[by, bx].reshape(B, 16)
+    nc_luma = _grid_to_coding(nc_grid, mb_h, mb_w)
 
     # luma DC block (I_16x16 only): nC at the MB origin
     dc_lv = syn["luma_dc_levels"].astype(jnp.int32).reshape(B, 16)
@@ -849,7 +933,9 @@ def cavlc_i_payload(syn, qp_mb, slice_qp: int, mb_h: int, mb_w: int,
     overflow) — plus, with_rows, cumulative end-of-row bit positions
     (see cavlc_p_payload)."""
     V, L, ov = cavlc_i_elements(syn, qp_mb, slice_qp, mb_h, mb_w)
-    payload, bits = bitpack(V, L, header_vals, header_lens, cap_bytes)
+    payload, bits, drop = bitpack(V, L, header_vals, header_lens,
+                                  cap_bytes)
+    ov = ov | drop
     if not with_rows:
         return payload, bits, ov
     B = mb_h * mb_w
@@ -879,9 +965,9 @@ def cavlc_i_payload_batched(syn, qp_mb, slice_qp: int, mb_h: int,
     off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                            jnp.cumsum(bytes_s).astype(jnp.int32)])
     empty = jnp.zeros((0,), jnp.int32)
-    payload, _ = bitpack(VV.reshape(-1), LL.reshape(-1), empty, empty,
-                         cap_bytes)
-    return payload, off, ov
+    payload, _, drop = bitpack(VV.reshape(-1), LL.reshape(-1), empty,
+                               empty, cap_bytes)
+    return payload, off, ov | drop
 
 
 def cavlc_p_payload_batched(syn, qp_mb, slice_qp: int, n_ref: int,
@@ -911,9 +997,9 @@ def cavlc_p_payload_batched(syn, qp_mb, slice_qp: int, n_ref: int,
     off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                            jnp.cumsum(bytes_s).astype(jnp.int32)])
     empty = jnp.zeros((0,), jnp.int32)
-    payload, _ = bitpack(VV.reshape(-1), LL.reshape(-1), empty, empty,
-                         cap_bytes)
-    return payload, off, n_skip, ov
+    payload, _, drop = bitpack(VV.reshape(-1), LL.reshape(-1), empty,
+                               empty, cap_bytes)
+    return payload, off, n_skip, ov | drop
 
 
 def header_elements(header: bytes, nbits_partial: int, max_slots: int = 16):
