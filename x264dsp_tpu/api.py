@@ -34,9 +34,14 @@ class Picture:
 
     @staticmethod
     def from_planes(y, u, v, pts: int = 0) -> "Picture":
-        return Picture(y=np.asarray(y, dtype=np.uint8),
-                       u=np.asarray(u, dtype=np.uint8),
-                       v=np.asarray(v, dtype=np.uint8), i_pts=pts)
+        """Device arrays (jax) pass through unconverted — zero-copy
+        device-side ingest for pipelines whose frames already live in
+        HBM; anything else is normalized to uint8 numpy."""
+        def norm(a):
+            if type(a).__module__.startswith("jax"):
+                return a
+            return np.asarray(a, dtype=np.uint8)
+        return Picture(y=norm(y), u=norm(u), v=norm(v), i_pts=pts)
 
 
 def picture_init(pic: Picture) -> None:

@@ -125,6 +125,131 @@ def _syn_wire_fn(mb_h: int, mb_w: int, is_p: bool = True):
     return jax.jit(f)
 
 
+# P_SKIP is partition 0; names index the partition stats histogram
+_PART_NAMES = ("P_L0", "P_16x8", "P_8x16", "P_8x8")
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_frame_fn(is_p: bool, mb_h: int, mb_w: int, n_ref: int, cqm,
+                    me_range: int, mv_range: int, dct_decimate: bool,
+                    me_method: int, fast_pskip: bool, partitions: bool,
+                    subme: int, use_satd: bool, i4x4: bool,
+                    deblock_on: bool, dbl_a2: int, dbl_b2: int,
+                    cqpo: int, cap_bytes: int, use_nr: bool,
+                    need_recon: bool, donate: bool):
+    """ONE jitted dispatch for a whole API-path frame: encode + deblock
+    strengths + device CAVLC slice payload + in-loop deblock + hpel
+    reference pyramid + on-device stats histograms. This is the
+    collapse of the former 3-dispatch / ~20-pull flow onto the bench
+    pipeline's shape (x264's only path is its fast path, x264.c:145):
+    the host pulls just the payload (exact size), four scalars/rows
+    vectors and one small stats vector per frame; the reference planes
+    never leave the device.
+
+    Returns a dict: payload/bits/ov (+n_skip, rows), ref planes
+    (ref4, refu, refv), stats (int32 vector), and the deblocked recon
+    (uint8) only when need_recon (PSNR/SSIM accounting is on)."""
+    import jax
+    import jax.numpy as jnp
+    from ..entropy import cavlc_device as CD
+    from ..ops import deblock as DBo
+    from ..ops import mc as MCo
+    from . import intra_frame as IFRA
+
+    cqp_tab = CHROMA_QP_TABLE
+
+    def eff_qp_scan(syn, qp_mb, slice_qp, is_i):
+        cbp_any = (syn["cbp_luma"] | syn["cbp_chroma"]) != 0
+        if is_i:
+            is_i16 = syn["mb_type"] == 0
+            ext = ((syn["nz_luma_dc"] != 0)
+                   | (syn["chroma_nz_dc"] != 0).any(-1))
+            coded = jnp.where(is_i16, cbp_any | ext, cbp_any)
+        else:
+            coded = cbp_any
+        flat = qp_mb.ravel()
+        m = coded.ravel()
+        idx = jnp.where(m, jnp.arange(m.shape[0]), -1)
+        run = jax.lax.cummax(idx)
+        eff = jnp.where(run >= 0, flat[jnp.maximum(run, 0)], slice_qp)
+        return eff.reshape(qp_mb.shape).astype(jnp.int32)
+
+    def hist(x, n):
+        return (x.reshape(-1)[:, None]
+                == jnp.arange(n)[None, :]).sum(0).astype(jnp.int32)
+
+    def f(fy, fu, fv, ref4, refu, refv, qp_mb, lam_mb, slice_qp, hv, hl,
+          nr_y, nr_c):
+        qpc_mb = jnp.asarray(cqp_tab)[jnp.clip(qp_mb + cqpo, 0, 51)] \
+            .astype(jnp.int32)
+        if is_p:
+            syn = inter_frame.encode_p_frame.__wrapped__(
+                fy, fu, fv, ref4, refu, refv, qp_mb, qpc_mb, lam_mb,
+                mb_w=mb_w, mb_h=mb_h, me_range=me_range,
+                mv_range=mv_range, dct_decimate=dct_decimate,
+                me_method=me_method, fast_pskip=fast_pskip,
+                partitions=partitions, n_ref=n_ref, subme=subme,
+                cqm=cqm, nr_offset=(nr_y, nr_c) if use_nr else None)
+            sub = {k: syn[k] for k in _DEV_SYN_P}
+            payload, bits, n_skip, ov, rows = CD.cavlc_p_payload(
+                sub, qp_mb, slice_qp, n_ref, mb_h, mb_w, hv, hl,
+                cap_bytes, with_rows=True)
+            stats = jnp.concatenate([
+                n_skip[None].astype(jnp.int32),
+                hist(syn["partition"], 4),
+                hist(syn["ref"], P.REF_MAX)])
+        else:
+            syn = IFRA.encode_i_frame_best(
+                fy, fu, fv, qp_mb, qpc_mb, lam_mb, mb_w=mb_w, mb_h=mb_h,
+                use_satd=use_satd, i4x4_enabled=i4x4, cqm=cqm)
+            sub = {k: syn[k] for k in _DEV_SYN_I}
+            payload, bits, ov, rows = CD.cavlc_i_payload(
+                sub, qp_mb, slice_qp, mb_h, mb_w, hv, hl, cap_bytes,
+                with_rows=True)
+            n_skip = jnp.zeros((), jnp.int32)
+            is_i4 = syn["mb_type"] == 1
+            stats = jnp.concatenate([
+                is_i4.sum()[None].astype(jnp.int32),
+                hist(jnp.where(is_i4, 7, syn["i16_mode"]), 7),
+                hist(jnp.where(is_i4[..., None], syn["i4_modes"],
+                               12).reshape(-1), 12),
+                hist(syn["chroma_mode"], 7),
+                jnp.stack([(syn["cbp_luma"] != 0).sum(),
+                           (syn["cbp_chroma"] >= 1).sum(),
+                           (syn["cbp_chroma"] == 2).sum()]
+                          ).astype(jnp.int32)])
+        # in-loop deblock + hpel pyramid (x264_fdec_filter_row +
+        # x264_frame_filter, full-frame)
+        if deblock_on:
+            if is_p:
+                bs, feo = syn["bs"], syn["feo"]
+                intra_mb = jnp.zeros((mb_h, mb_w), jnp.int32)
+                mode = "none"
+            else:
+                bs = jnp.full((mb_h, mb_w, 2, 4, 4), 3, jnp.int32)
+                feo = jnp.zeros((mb_h, mb_w), jnp.int32)
+                intra_mb = jnp.ones((mb_h, mb_w), jnp.int32)
+                mode = "all"
+            eff = eff_qp_scan(syn, qp_mb, slice_qp, not is_p)
+            eff_c = jnp.asarray(cqp_tab)[jnp.clip(eff + cqpo, 0, 51)] \
+                .astype(jnp.int32)
+            dy, du, dv = DBo.deblock_frame(
+                syn["recon_y"], syn["recon_u"], syn["recon_v"], bs,
+                intra_mb, feo, eff, eff_c, dbl_a2, dbl_b2,
+                mb_w=mb_w, mb_h=mb_h, intra_mode=mode)
+        else:
+            dy, du, dv = syn["recon_y"], syn["recon_u"], syn["recon_v"]
+        planes = (MCo.make_ref_planes(dy), MCo.pad_chroma(du),
+                  MCo.pad_chroma(dv))
+        return dict(payload=payload, bits=bits, ov=ov, n_skip=n_skip,
+                    rows=rows, planes=planes, stats=stats,
+                    recon=(dy.astype(jnp.uint8), du.astype(jnp.uint8),
+                           dv.astype(jnp.uint8)))
+
+    donate_args = (3, 4, 5) if (is_p and donate) else ()
+    return jax.jit(f, donate_argnums=donate_args)
+
+
 def pad_mod16(plane: np.ndarray, mb: int) -> np.ndarray:
     """x264_frame_expand_border_mod16 (common/frame.c:423): replicate edge
     pixels to the MB-aligned size."""
@@ -568,9 +693,26 @@ class EncoderCore:
         NALs — or ([], None) while the queue fills (encoder.c:1775-1781
         "waiting for filling of buffers") and on drained encode(None)."""
         if pic is not None:
-            fy = pad_mod16(np.asarray(pic.y, np.uint8), 16)
-            fu = pad_mod16(np.asarray(pic.u, np.uint8), 8)
-            fv = pad_mod16(np.asarray(pic.v, np.uint8), 8)
+            if type(pic.y).__module__.startswith("jax"):
+                # device-resident ingest: no host round-trip; mod16 pad
+                # on device (edge replicate, frame.c:423)
+                import jax.numpy as jnp
+
+                def padj(plane, mb):
+                    h, w = plane.shape
+                    H = ((h + mb - 1) // mb) * mb
+                    W = ((w + mb - 1) // mb) * mb
+                    if (H, W) == (h, w):
+                        return plane
+                    return jnp.pad(plane, ((0, H - h), (0, W - w)),
+                                   mode="edge")
+                fy = padj(pic.y, 16)
+                fu = padj(pic.u, 8)
+                fv = padj(pic.v, 8)
+            else:
+                fy = pad_mod16(np.asarray(pic.y, np.uint8), 16)
+                fu = pad_mod16(np.asarray(pic.u, np.uint8), 8)
+                fv = pad_mod16(np.asarray(pic.v, np.uint8), 8)
             # slice-type decision at put time (x264_lookahead_put_frame +
             # slicetype_analyse over the next list, lookahead.c:59,102):
             # types/costs of queued frames are known before the head
@@ -685,6 +827,12 @@ class EncoderCore:
             import jax
             use_wire = jax.default_backend() == "tpu"
         dev_ent = dev_ent and not p.b_cabac
+        # IDR resets frame_num BEFORE any slice header is built — the
+        # device-entropy header is baked here, not at write_slice time
+        # (a mid-stream IDR previously embedded the stale frame_num in
+        # the device path's header)
+        if is_idr:
+            self.frame_num = 0
         dev_hdr = None
         if dev_ent:
             from ..entropy import cavlc_device as CD
@@ -696,6 +844,17 @@ class EncoderCore:
             hv, hl = CD.header_elements(hb, hn, max_slots=32)
             dev_hdr = (jnp.asarray(hv), jnp.asarray(hl),
                        (len(hb) - 1) * 8 + hn)
+
+        # ---- fused fast path: one device dispatch for the whole frame
+        # (encode + entropy + deblock + hpel refs), the bench pipeline's
+        # shape as the PRODUCT path. Falls back to the multi-dispatch
+        # flow below on entropy overflow (rare) or ineligible configs.
+        if (dev_ent and len(slices) == 1 and p.i_slice_max_size == 0
+                and os.environ.get("X264_FUSED", "1") != "0"):
+            out = self._frame_fused(rec, slice_type, is_idr, qp, qp_mb,
+                                    n_ref_active, valid_dpb, dev_hdr)
+            if out is not None:
+                return out
 
         def encode_band(qp_mb_cur, y0, y1, keep_device=frozenset()):
             """Encode MB rows [y0, y1) as an independent band (a slice:
@@ -741,9 +900,10 @@ class EncoderCore:
                     me_range=p.analyse.i_me_range,
                     mv_range=p.analyse.i_mv_range,
                     dct_decimate=bool(p.analyse.b_dct_decimate),
-                    # UMH/ESA map to the fully parallel candidate scoring;
-                    # DIA/HEX keep the exact sequential-MVP wavefront
-                    me_parallel=p.analyse.i_me_method >= P.ME_UMH,
+                    # DIA/HEX = the reference's pattern walks (batched,
+                    # decoupled MVP); UMH = exhaustive parallel argmin;
+                    # ESA = exhaustive + exact-MVP wavefront
+                    me_method=min(max(p.analyse.i_me_method, 0), 3),
                     fast_pskip=bool(p.analyse.b_fast_pskip),
                     partitions=bool(p.analyse.inter
                                     & P.ANALYSE_PSUB16x16),
@@ -913,8 +1073,6 @@ class EncoderCore:
             # version-SEI write is compiled out (encoder.c:1916-1944;
             # the explicit x264_encoder_headers flow keeps the SEI)
             nals.extend(self.headers()[:2])
-        if is_idr:
-            self.frame_num = 0
         if self.sps.vui_nal_hrd_present and is_idr:
             # buffering-period SEI on every IDR (set.c:577-597)
             delay, offset = self.rc.hrd_fullness(self.sps)
@@ -1127,6 +1285,237 @@ class EncoderCore:
                           u=self.last_recon[1][:ch, :cw],
                           v=self.last_recon[2][:ch, :cw],
                           i_frame_qp=qp, i_frame_type=ftype, i_pts=pic.i_pts)
+        return nals, pic_out
+
+    # ------------------------------------------------------------------
+    def _frame_fused(self, rec, slice_type, is_idr, qp, qp_mb,
+                     n_ref, valid_dpb, dev_hdr):
+        """Fast-path frame encode through _fused_frame_fn: ONE device
+        dispatch per attempt; the host's per-frame work is the payload
+        pull + NAL framing + RC scalars. Returns (nals, pic_out), or
+        None to fall back to the multi-dispatch path (entropy
+        overflow / noise-reduction accounting)."""
+        import jax.numpy as jnp
+        p = self.param
+        if self.nr is not None:
+            return None     # NR accumulators live on the slow path
+        is_p = slice_type == P.SLICE_TYPE_P
+        need_recon = bool(p.analyse.b_psnr or p.analyse.b_ssim)
+        cap = _DEV_PAYLOAD_BYTES_PER_MB * self.mb_w * self.mb_h + 4096
+        cap = -(-cap // 4) * 4
+        fn = _fused_frame_fn(
+            is_p, self.mb_h, self.mb_w, n_ref, self.cqm,
+            p.analyse.i_me_range, p.analyse.i_mv_range,
+            bool(p.analyse.b_dct_decimate),
+            min(max(p.analyse.i_me_method, 0), 3),
+            bool(p.analyse.b_fast_pskip),
+            bool(p.analyse.inter & P.ANALYSE_PSUB16x16),
+            min(max(p.analyse.i_subpel_refine, 0), 11),
+            self.use_satd, self.i4x4_enabled,
+            self._deblock_enabled(qp), self.deblock_a * 2,
+            self.deblock_b * 2, p.analyse.i_chroma_qp_offset, cap,
+            False, need_recon, False)
+        fy, fu, fv = rec["fy"], rec["fu"], rec["fv"]
+        if is_p:
+            if n_ref == 1:
+                ref4, refu, refv = valid_dpb[0]["planes"]
+            else:
+                cropped = [r["planes"] for r in valid_dpb[:n_ref]]
+                ref4 = jnp.stack([r[0] for r in cropped])
+                refu = jnp.stack([r[1] for r in cropped])
+                refv = jnp.stack([r[2] for r in cropped])
+        else:
+            z = jnp.zeros((), jnp.int32)   # unused by the I branch
+            ref4 = refu = refv = z
+        hv, hl, hbits = dev_hdr
+        zero = jnp.zeros((), jnp.int32)
+
+        def attempt(qp_mb_cur):
+            lam = LAMBDA_TAB[qp_mb_cur].astype(np.int32)
+            out = fn(fy, fu, fv, ref4, refu, refv,
+                     jnp.asarray(qp_mb_cur), jnp.asarray(lam), qp,
+                     hv, hl, zero, zero)
+            for t in (out["bits"], out["ov"], out["rows"],
+                      out["stats"]):
+                try:
+                    t.copy_to_host_async()
+                except AttributeError:
+                    pass
+            return out
+
+        def pull_payload(out):
+            bits = int(np.asarray(out["bits"]))
+            if bool(np.asarray(out["ov"])) or bits > cap * 8:
+                return None
+            nbytes = (bits + 7) >> 3
+            bucket = min(1 << max(12, (max(nbytes, 1) - 1).bit_length()),
+                         cap)
+            pl = np.asarray(out["payload"][:bucket])[:nbytes].tobytes()
+            self._row_bits = np.diff(
+                np.asarray(out["rows"]).astype(np.int64), prepend=hbits)
+            return pl
+
+        out = attempt(qp_mb)
+        payload = pull_payload(out)
+        if payload is None:
+            return None     # entropy overflow: multi-dispatch fallback
+
+        # per-row VBV walk + frame-size cap (ratecontrol.c:599-780 +
+        # the MinCR frame cap), re-encoding through the SAME fused fn
+        row_satd = rec["row_costs"]
+        if (self.rc.b_vbv and row_satd is not None
+                and len(row_satd) == self.mb_h):
+            ramp = np.full(self.mb_h, qp, np.int32)
+            for _ in range(3):
+                new_ramp = self.rc.row_vbv_adjust(
+                    slice_type, ramp, self._row_bits, row_satd)
+                if new_ramp is None:
+                    break
+                qp_mb = np.clip(
+                    qp_mb + (new_ramp - ramp)[:, None], p.rc.i_qp_min,
+                    min(p.rc.i_qp_max, P.QP_MAX_SPEC)).astype(np.int32)
+                ramp = new_ramp
+                out = attempt(qp_mb)
+                pl = pull_payload(out)
+                if pl is None:
+                    return None
+                payload = pl
+        if self.rc.b_vbv:
+            for _ in range(8):
+                bits = len(payload) * 8
+                limit = self.rc.frame_size_limit()
+                if bits <= limit or qp_mb.min() >= P.QP_MAX_SPEC:
+                    break
+                step = max(1, int(round(6 * math.log2(bits / limit))))
+                qp_mb = np.minimum(qp_mb + step, P.QP_MAX_SPEC)
+                out = attempt(qp_mb)
+                pl = pull_payload(out)
+                if pl is None:
+                    return None
+                payload = pl
+            if (row_satd is not None and len(row_satd) == self.mb_h
+                    and self._row_bits is not None):
+                self.rc.row_vbv_commit(slice_type, qp_mb.mean(axis=1),
+                                       self._row_bits, row_satd)
+        self._last_qp_mb = qp_mb
+        self._last_syn = None
+        self._dev_wire = None
+        self._pending_ref = None
+
+        # ---- NAL assembly (same order as the multi-dispatch path)
+        nals = []
+        if p.b_repeat_headers and self.i_frame == 0:
+            nals.extend(self.headers()[:2])
+        if self.sps.vui_nal_hrd_present and is_idr:
+            delay, offset = self.rc.hrd_fullness(self.sps)
+            nals.append(NAL(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                            nal_unit(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                                     sei_buffering_period_rbsp(
+                                         self.sps, delay, offset))))
+            self._cpb_delay = 0
+        if (self.sps.vui_nal_hrd_present
+                or self.sps.vui_pic_struct_present):
+            nals.append(NAL(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                            nal_unit(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
+                                     sei_pic_timing_rbsp(
+                                         self.sps, self._cpb_delay, 0))))
+            self._cpb_delay += 2
+        nal_type = P.NAL_SLICE_IDR if is_idr else P.NAL_SLICE
+        nals.append(NAL(nal_type, P.NAL_PRIORITY_HIGHEST,
+                        nal_unit(nal_type, P.NAL_PRIORITY_HIGHEST,
+                                 payload)))
+        if is_idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        self.frame_num = (self.frame_num + 1) % (
+            1 << self.sps.i_log2_max_frame_num)
+        self.i_frame += 1
+
+        # ---- DPB commit (planes computed inside the fused step)
+        if is_idr or slice_type == P.SLICE_TYPE_I:
+            self.dpb = []
+        self.dpb.insert(0, {"planes": out["planes"],
+                            "frame_idx": self.i_frame - 1,
+                            "frame_num": (self.frame_num - 1)
+                            % (1 << self.sps.i_log2_max_frame_num),
+                            "corrupt": False})
+        del self.dpb[max(p.i_frame_reference, 1):]
+        if need_recon:
+            for v in out["recon"]:
+                try:
+                    v.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self.last_recon = tuple(
+                np.asarray(v).astype(np.uint8) for v in out["recon"])
+        else:
+            # recon stays device-resident; pic_out carries device-backed
+            # planes (np.asarray pulls lazily if a consumer wants pixels)
+            self.last_recon = out["recon"]
+
+        # ---- stats (the on-device histogram vector)
+        st = self.stats
+        vec = np.asarray(out["stats"])
+        pic = rec["pic"]
+        st.i_frame_count[slice_type] += 1
+        total = sum(len(n.payload) for n in nals)
+        st.i_frame_size[slice_type] += total
+        filler = self.rc.end(slice_type, total * 8)
+        if filler > 0:
+            nals.append(NAL(P.NAL_FILLER, P.NAL_PRIORITY_DISPOSABLE,
+                            nal_unit(P.NAL_FILLER,
+                                     P.NAL_PRIORITY_DISPOSABLE,
+                                     filler_rbsp(filler))))
+            st.i_frame_size[slice_type] += len(nals[-1].payload)
+        st.f_frame_qp[slice_type] += float(qp_mb.mean())
+        if is_p:
+            n_skip = int(vec[0])
+            part_hist = vec[1:5].copy()
+            ref_hist = vec[5:5 + P.REF_MAX].copy()
+            st.i_mb_count["P_SKIP"] = \
+                st.i_mb_count.get("P_SKIP", 0) + n_skip
+            part_hist[0] -= n_skip
+            for name, n in zip(_PART_NAMES, part_hist):
+                if n:
+                    st.i_mb_count[name] = \
+                        st.i_mb_count.get(name, 0) + int(n)
+            ref_hist[0] -= n_skip
+            st.i_mb_count_ref += np.maximum(ref_hist, 0)
+        else:
+            n_i4 = int(vec[0])
+            st.i_mb_count["I_4x4"] = st.i_mb_count.get("I_4x4", 0) + n_i4
+            st.i_mb_count["I_16x16"] = (st.i_mb_count.get("I_16x16", 0)
+                                        + self.mb_w * self.mb_h - n_i4)
+            st.i16_modes += vec[1:8]
+            st.i4_modes += vec[8:20]
+            st.chroma_modes += vec[20:27]
+            st.cbp_coded += vec[27:30]
+            st.cbp_mbs += self.mb_w * self.mb_h
+        h, w = pic.y.shape
+        if p.analyse.b_psnr and self.last_recon is not None:
+            for plane, (recn, src) in enumerate(
+                    zip(self.last_recon, (pic.y, pic.u, pic.v))):
+                ph, pw = src.shape
+                d = recn[:ph, :pw].astype(np.int64) - src.astype(np.int64)
+                ssd_p = int((d * d).sum())
+                st.ssd[plane] += ssd_p
+                st.pixels[plane] += ph * pw
+                st.ssd_type[slice_type][plane] += ssd_p
+                st.pixels_type[slice_type][plane] += ph * pw
+        if p.analyse.b_ssim and self.last_recon is not None:
+            from ..ops.pixel import ssim_wxh
+            s, cnt = ssim_wxh(np.asarray(self.last_recon[0])[2:h, 2:w],
+                              pic.y[2:, 2:])
+            st.f_ssim += float(s)
+            st.i_ssim_cnt += cnt
+
+        ftype = (P.TYPE_IDR if is_idr
+                 else P.TYPE_I if slice_type == P.SLICE_TYPE_I
+                 else P.TYPE_P)
+        ch, cw = pic.u.shape
+        ry, ru, rv = self.last_recon
+        pic_out = Picture(y=ry[:h, :w], u=ru[:ch, :cw], v=rv[:ch, :cw],
+                          i_frame_qp=qp, i_frame_type=ftype,
+                          i_pts=pic.i_pts)
         return nals, pic_out
 
     # ------------------------------------------------------------------

@@ -301,6 +301,158 @@ def _mvp_field_parallel(mv_field, mb_w: int, mb_h: int):
     return jnp.where(count[..., None] == 1, single, med)
 
 
+# hex2 pattern (me.c hex2[], the 6 points A..F of the radius-2 hexagon)
+_HEX_PTS = ((-2, 0), (-1, 2), (1, 2), (2, 0), (1, -2), (-1, -2))
+_DIA_PTS = ((0, -1), (0, 1), (-1, 0), (1, 0))
+_SQUARE_PTS = _DIA_PTS + ((-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def _surface_at(cost, bx, by, R: int):
+    """Per-MB read of the (mb_h, mb_w, n, n) surface at fullpel offset
+    (bx, by) in [-R, R]: a masked reduce (TPU gathers are per-element;
+    one fused pass over the surface serves the whole grid). Returns
+    BIG for out-of-surface positions."""
+    n = 2 * R + 1
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, n), 2)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, n), 3)
+    m = (iy == (by + R)[..., None, None]) & (ix == (bx + R)[..., None, None])
+    v = jnp.where(m, cost, 0).sum(axis=(-1, -2))
+    inb = (jnp.abs(bx) <= R) & (jnp.abs(by) <= R)
+    return jnp.where(inb, v, jnp.int32(1 << 28))
+
+
+def _try_candidates(cost, bcost, bx, by, cands, R: int, gate=None):
+    """Sequential strict-less acceptance of candidate offsets (the
+    COPY1_IF_LT chains of me.c): cands = [(dx, dy) static] relative to
+    the CURRENT center, evaluated against the biased surface. One fused
+    surface pass per candidate group. Returns (bcost, bx, by, moved)."""
+    n = 2 * R + 1
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, n), 2)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n, n), 3)
+    ox, oy = bx, by
+    for dx, dy in cands:
+        cx, cy = ox + dx, oy + dy
+        m = ((iy == (cy + R)[..., None, None])
+             & (ix == (cx + R)[..., None, None]))
+        c = jnp.where(m, cost, 0).sum(axis=(-1, -2))
+        inb = (jnp.abs(cx) <= R) & (jnp.abs(cy) <= R)
+        c = jnp.where(inb, c, jnp.int32(1 << 28))
+        better = c < bcost
+        if gate is not None:
+            better = better & gate
+        bcost = jnp.where(better, c, bcost)
+        bx = jnp.where(better, cx, bx)
+        by = jnp.where(better, cy, by)
+    return bcost, bx, by, (bx != ox) | (by != oy)
+
+
+def _pattern_walk(cost_raw, cost_biased, mvp_fp, mv_prev, method: int,
+                  me_range: int, mb_w: int, mb_h: int):
+    """Batched DIA (me.c:237-274) / HEX (me.c:276-387) full-pel search
+    over the precomputed cost surfaces, every MB in lockstep with
+    per-MB active masks standing in for the serial loop's breaks.
+
+    Seeding follows the reference's subme<3 path (me.c:196-228): the
+    rounded-clipped MVP is costed WITHOUT the mv-rate bias (the
+    rounding-fairness rule in the me.c comment), then the extra
+    candidates (mv_prev — our stand-in for the mvc predictor list —
+    and (0,0)) with bias, then the pattern loop on the biased surface.
+    HEX uses the reference's own #if 0 equivalent form (full hexagon
+    per iteration — the 3-point rolling version is a dedup of it) plus
+    the final 8-point square refine. Positions live on the surface
+    (fullpel offsets in [-R, R] around zero), which is also the
+    physical search bound of the exhaustive modes."""
+    R = me_range
+    bx = jnp.clip(mvp_fp[..., 0], -R, R)
+    by = jnp.clip(mvp_fp[..., 1], -R, R)
+    bcost = _surface_at(cost_raw, bx, by, R)   # no bias at the MVP
+    # extra candidates, biased (mvc + (0,0), me.c:207-233)
+    for cand in ([] if mv_prev is None else [mv_prev]):
+        cx = jnp.clip(cand[..., 0], -R, R)
+        cy = jnp.clip(cand[..., 1], -R, R)
+        c = _surface_at(cost_biased, cx, cy, R)
+        better = c < bcost
+        bcost = jnp.where(better, c, bcost)
+        bx = jnp.where(better, cx, bx)
+        by = jnp.where(better, cy, by)
+    zc = _surface_at(cost_biased, jnp.zeros_like(bx), jnp.zeros_like(by), R)
+    nz_mvp = (bx != 0) | (by != 0)
+    better = nz_mvp & (zc < bcost)
+    bcost = jnp.where(better, zc, bcost)
+    bx = jnp.where(better, 0, bx)
+    by = jnp.where(better, 0, by)
+
+    active = jnp.ones(bx.shape, bool)
+    if method == 0:          # DIA
+        for _ in range(me_range):
+            bcost, bx, by, moved = _try_candidates(
+                cost_biased, bcost, bx, by, _DIA_PTS, R, gate=active)
+            active = active & moved
+    else:                    # HEX
+        for _ in range(max(me_range >> 1, 1)):
+            bcost, bx, by, moved = _try_candidates(
+                cost_biased, bcost, bx, by, _HEX_PTS, R, gate=active)
+            active = active & moved
+        bcost, bx, by, _ = _try_candidates(
+            cost_biased, bcost, bx, by, _SQUARE_PTS, R)
+    return bx, by, bcost
+
+
+def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
+                       me_range: int, mv_range: int, subme: int = 1,
+                       method: int = 0):
+    """DIA/HEX MV decision: the reference's cheap pattern searches
+    (me.c:237-387), batched over the whole MB grid with a decoupled
+    median-MVP estimate (two passes: a zero-MVP walk seeds a shifted
+    -median MVP field, the second walk is the real search — the serial
+    raster's neighbor propagation, reborn as one propagation step; the
+    entropy stage recomputes the exact MVP from final MVs, so the
+    bitstream stays exact). Subpel refinement is shared with the other
+    modes."""
+    R = me_range
+    n = 2 * R + 1
+    mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
+    offs = jnp.arange(-R, R + 1)
+    lo_x = (mvmin_x >> 2) + 6
+    hi_x = (mvmax_x >> 2) - 6
+    lo_y = (mvmin_y >> 2) + 6
+    hi_y = (mvmax_y >> 2) - 6
+    ok = ((offs[None, None, :] >= lo_x[:, None, None])
+          & (offs[None, None, :] <= hi_x[:, None, None]))
+    ok = ok[None, :, :, :] & \
+        ((offs[None, :, None] >= lo_y[:, None, None])
+         & (offs[None, :, None] <= hi_y[:, None, None]))[:, None, :, :]
+    cost_raw = jnp.where(ok, cost_surf, 1 << 28)
+
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
+
+    def biased(mvp):
+        mvx_q = offs[None, None, None, :] * 4
+        mvy_q = offs[None, None, :, None] * 4
+        bias = _mv_cost(lam_mb[..., None, None], mvx_q, mvy_q,
+                        mvp[..., 0][..., None, None],
+                        mvp[..., 1][..., None, None])
+        return jnp.where(ok, cost_surf + bias, 1 << 28)
+
+    # pass 1: zero MVP (a frame's first row/col sees exactly this)
+    zero_mvp = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
+    bx0, by0, _ = _pattern_walk(cost_raw, biased(zero_mvp),
+                                zero_mvp, None, method, R, mb_w, mb_h)
+    mv0 = jnp.stack([bx0 * 4, by0 * 4], axis=-1)
+    # pass 2: median-MVP estimate from the propagated field
+    mvp = _mvp_field_parallel(mv0, mb_w, mb_h)
+    mvp_fp = jnp.stack([(mvp[..., 0] + 2) >> 2,
+                        (mvp[..., 1] + 2) >> 2], axis=-1)   # me.c:141-142
+    bx, by, bcost = _pattern_walk(cost_raw, biased(mvp), mvp_fp,
+                                  jnp.stack([bx0, by0], -1), method,
+                                  R, mb_w, mb_h)
+    mv_field = jnp.stack([bx * 4, by * 4], axis=-1)
+    cost_field = bcost
+    return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, wins4,
+                                lam, mb_w, mb_h, mvmin_x, mvmax_x,
+                                mvmin_y, mvmax_y, subme=subme)
+
+
 def decide_mvs_parallel(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
                         me_range: int, mv_range: int, subme: int = 1):
     """Fully parallel MV decision (no wavefront) — the ESA/UMH-mapped mode:
@@ -1481,24 +1633,36 @@ def _ref_bits(r: int, n_ref: int) -> int:
                                              "mv_range", "dct_decimate",
                                              "me_parallel", "fast_pskip",
                                              "partitions", "n_ref",
-                                             "subme"))
+                                             "subme", "me_method"))
 def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                    qp, qpc, lam, mb_w: int, mb_h: int, me_range: int,
                    mv_range: int, dct_decimate: bool,
                    me_parallel: bool = False, fast_pskip: bool = True,
                    partitions: bool = False, n_ref: int = 1,
-                   subme: int = 1, cqm=None, nr_offset=None):
+                   subme: int = 1, cqm=None, nr_offset=None,
+                   me_method: int = -1):
     """Full P-frame device pipeline. ref4/refu/refv from mc.make_ref_planes
     / mc.pad_chroma on the DEBLOCKED reference(s) — with n_ref > 1 they
     carry a leading reference axis (nearest first, x264_reference_build
-    order, encoder.c:813-862). me_parallel picks the fully-parallel MV
-    decision (the UMH/ESA me_method mapping) over the exact
-    sequential-MVP wavefront (DIA/HEX). fast_pskip runs the batched
-    P-SKIP probe (analyse.c:1095-1118) and forces successful MBs to
-    MC-only skips. partitions enables the 16x8/8x16/8x8 analysis
-    (X264_ANALYSE_PSUB16x16, analyse.c:1141-1182). Multi-ref: per-MB best
-    reference by fullpel cost + λ·ref bits (analyse.c:787-862); partition
-    shapes inherit the MB's reference (:869)."""
+    order, encoder.c:813-862).
+
+    me_method selects the full-pel search (x264_me_search_ref,
+    me.c:129-394): 0 = DIA and 1 = HEX run the reference's own pattern
+    walks, batched on the cost surfaces with a decoupled median-MVP
+    estimate (decide_mvs_pattern) — the fork's defaults and the fast
+    path; 2 (UMH) = exhaustive-surface argmin with decoupled MVP
+    (decide_mvs_parallel); 3 (ESA) = exhaustive argmin with the exact
+    sequential-MVP wavefront (decide_mvs). The reference compiles
+    UMH/ESA out (me.c:389-394); here they are deliberate
+    stronger-than-reference tiers. me_method=-1 keeps the legacy
+    me_parallel mapping (True -> 2, False -> 3).
+
+    fast_pskip runs the batched P-SKIP probe (analyse.c:1095-1118) and
+    forces successful MBs to MC-only skips. partitions enables the
+    16x8/8x16/8x8 analysis (X264_ANALYSE_PSUB16x16, analyse.c:1141-1182).
+    Multi-ref: per-MB best reference by fullpel cost + λ·ref bits
+    (analyse.c:787-862); partition shapes inherit the MB's reference
+    (:869)."""
     if n_ref == 1:
         if ref4.ndim == 4:
             ref4, refu, refv = ref4[0], refu[0], refv[0]
@@ -1553,9 +1717,19 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
                     for r, w in enumerate(winsv_r))
         wins4_r0, winsu_r0, winsv_r0 = wins_r[0], winsu_r[0], winsv_r[0]
     surf = cost8.sum(axis=(2, 3))
-    decide = decide_mvs_parallel if me_parallel else decide_mvs
-    mv_field = decide(surf, fenc_y, wins4, lam, mb_w, mb_h,
-                      me_range, mv_range, subme=subme)
+    if me_method < 0:
+        me_method = 2 if me_parallel else 3
+    if me_method <= 1:
+        mv_field = decide_mvs_pattern(surf, fenc_y, wins4, lam, mb_w,
+                                      mb_h, me_range, mv_range,
+                                      subme=subme, method=me_method)
+    elif me_method == 2:
+        mv_field = decide_mvs_parallel(surf, fenc_y, wins4, lam, mb_w,
+                                       mb_h, me_range, mv_range,
+                                       subme=subme)
+    else:
+        mv_field = decide_mvs(surf, fenc_y, wins4, lam, mb_w, mb_h,
+                              me_range, mv_range, subme=subme)
     skip_ok = None
     if fast_pskip:
         psk = pskip_mv_field(mv_field, mb_w, mb_h)

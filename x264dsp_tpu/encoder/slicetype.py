@@ -40,6 +40,24 @@ _MLOW = 10             # lowres window margin (±8 fullpel + subpel drift)
 _WINLOW = 8 + 2 * _MLOW
 
 
+@functools.lru_cache(maxsize=None)
+def _summary_fn(bw: int, bh: int, do_edges: bool):
+    """One-pull frame summary: [icost_sum, pcost_sum, icost_row_sums,
+    pcost_row_sums] as a single (2 + 2*bh,) int64 vector."""
+    def f(low, prev4):
+        icost, pcost, _ = lowres_costs(low, prev4, bw=bw, bh=bh)
+
+        def s(m):
+            mm = m if do_edges else m[1:-1, 1:-1]
+            return mm.sum().astype(jnp.int64)[None]
+
+        return jnp.concatenate([
+            s(icost), s(pcost),
+            icost.sum(axis=1).astype(jnp.int64),
+            pcost.sum(axis=1).astype(jnp.int64)])
+    return jax.jit(f)
+
+
 @functools.partial(jax.jit, static_argnames=("bw", "bh"))
 def lowres_costs(fenc_low, fref_low4, bw: int, bh: int):
     """Per-8x8-block (icost, bcost) on the lowres planes
@@ -259,23 +277,33 @@ class SlicetypeDecider:
             m = cmap if do_edges else cmap[1:-1, 1:-1]
             return int(np.asarray(m.sum()))
 
+        # ONE device->host pull per frame: frame sums + per-row sums of
+        # both cost maps cross together ((2 + 2*bh,) int64) — the
+        # per-map pulls cost ~7 round-trips/frame on a high-latency link
+        import os as _os
+        dbg_on = _os.environ.get("X264_ST_DEBUG") == "1"
         if self.prev_lowres is None:
-            icost, _, _mvs = lowres_costs(low, low4, bw=bw, bh=bh)
-            cost = frame_sum(icost)
+            vec = np.asarray(_summary_fn(bw, bh, bool(do_edges))(
+                low, low4))
+            cost = int(vec[0])
             sc = True
-            cmap = icost
+            row_i = row_p = vec[2:2 + bh]
+            isum = cost
         else:
-            icost, pcost, _mvs = lowres_costs(low, self.prev_lowres,
-                                              bw=bw, bh=bh)
-            isum = frame_sum(icost)
-            psum = frame_sum(pcost)
+            vec = np.asarray(_summary_fn(bw, bh, bool(do_edges))(
+                low, self.prev_lowres))
+            isum, psum = int(vec[0]), int(vec[1])
+            row_i = vec[2:2 + bh]
+            row_p = vec[2 + bh:]
             sc = self._scenecut(isum, psum, gop)
             cost = isum if (force_i or sc) else psum
-            cmap = icost if (force_i or sc) else pcost
-            self.dbg = {"icost": np.asarray(icost),
-                        "pcost": np.asarray(pcost),
-                        "mvx": np.asarray(_mvs[0]),
-                        "mvy": np.asarray(_mvs[1])}
+            if dbg_on:
+                icost, pcost, _mvs = lowres_costs(low, self.prev_lowres,
+                                                  bw=bw, bh=bh)
+                self.dbg = {"icost": np.asarray(icost),
+                            "pcost": np.asarray(pcost),
+                            "mvx": np.asarray(_mvs[0]),
+                            "mvy": np.asarray(_mvs[1])}
 
         is_key = force_i or (sc and self.param.i_scenecut_threshold > 0
                              and gop >= max(self.param.i_keyint_min, 1))
@@ -286,7 +314,7 @@ class SlicetypeDecider:
         self.frame_idx += 1
         # per-MB-row lowres cost (fdec->i_row_satd twin filled by
         # x264_rc_analyse_slice, slicetype.c:605-642) for row-VBV
-        self.row_costs = np.asarray(cmap).reshape(bh, -1).sum(axis=1) \
+        self.row_costs = (row_i if (force_i or sc) else row_p) \
             .astype(np.int64)
         return slice_type, is_key, cost
 

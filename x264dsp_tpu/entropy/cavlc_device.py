@@ -85,10 +85,6 @@ _BIY = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3], np.int32)
 
 _PART_N = np.array([1, 2, 2, 4], np.int32)
 
-# per-MB element slot budget: 17 header + 26 blocks * 34
-_HDR_SLOTS = 17
-_BLK_SLOTS = 34
-_MB_SLOTS = _HDR_SLOTS + 26 * _BLK_SLOTS
 
 
 # ---------------------------------------------------------------------------
@@ -448,9 +444,12 @@ def _block_elements(levels, n: int, nC, chroma_dc: bool, coded):
         vals.append(v)
         lens.append(ln)
 
-    V = jnp.stack(vals, axis=1)
-    L = jnp.stack(lens, axis=1)
-    cg = coded.astype(jnp.int32)[:, None]
+    # slot-major (34, N): every slot is computed as an (N,) vector, so
+    # this orientation is free here and it is the one the word-emit
+    # packer wants (instances on the dense minor axis)
+    V = jnp.stack(vals, axis=0)
+    L = jnp.stack(lens, axis=0)
+    cg = coded.astype(jnp.int32)[None, :]
     return V * cg, L * cg, total * coded.astype(jnp.int32), overflow
 
 
@@ -496,9 +495,10 @@ def _grid_to_coding(grid, mb_h: int, mb_w: int):
 def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
                      mb_w: int):
     """All CAVLC syntax elements of a P slice body as (vals, lens)
-    int32 tensors of shape (B * _MB_SLOTS + 2,), in stream order, plus
-    (n_skip, overflow). The trailing 2 slots carry the end-of-frame
-    skip run and the rbsp stop bit (x264tpu_write_slice_p:1245-1249)."""
+    slot-major group tensors in stream order — (hdr_V/L (17, B),
+    groups [(V (34, B*nb), L, nb) for luma/cDC/cAC], tail_V/L (2,)
+    carrying the end-of-frame skip run and the rbsp stop bit
+    (x264tpu_write_slice_p:1245-1249)) — plus (n_skip, overflow)."""
     B = mb_h * mb_w
     part = syn["partition"].astype(jnp.int32)
     ref = syn["ref"].astype(jnp.int32) if "ref" in syn else \
@@ -562,18 +562,16 @@ def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
     # mvd per partition
     mvpf = mvp.reshape(B, 4, 2)
     mv8f = mv8.reshape(B, 2, 2, 2)
-    # partition slot -> quadrant index holding its mv
+    # partition slot -> quadrant holding its mv (static selects; a
+    # fancy-index gather here is per-element on TPU)
     # part0: q(0,0); part1 (16x8): rows 0/1 -> q(0,0), q(1,0);
     # part2 (8x16): cols -> q(0,0), q(0,1); part3: all four
-    qy = jnp.stack([jnp.zeros_like(partf),
-                    jnp.where(partf == 1, 1, 0),
-                    jnp.ones_like(partf),
-                    jnp.ones_like(partf)], 1)
-    qx = jnp.stack([jnp.zeros_like(partf),
-                    jnp.where(partf >= 2, 1, 0),
-                    jnp.zeros_like(partf),
-                    jnp.ones_like(partf)], 1)
-    pm = mv8f[jnp.arange(B)[:, None], qy, qx, :]     # (B, 4, 2)
+    sel1 = (partf == 1)[:, None]
+    pm = jnp.stack([
+        mv8f[:, 0, 0],
+        jnp.where(sel1, mv8f[:, 1, 0], mv8f[:, 0, 1]),
+        mv8f[:, 1, 0],
+        mv8f[:, 1, 1]], axis=1)                      # (B, 4, 2)
     for pi in range(4):
         on = ns & (pi < part_n)
         for comp in range(2):
@@ -593,8 +591,8 @@ def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
     hdr_v.append(v * on)
     hdr_l.append(ln * on)
 
-    hdr_V = jnp.stack(hdr_v, 1)                      # (B, 17)
-    hdr_L = jnp.stack(hdr_l, 1)
+    hdr_V = jnp.stack(hdr_v, 0)                      # (17, B) slot-major
+    hdr_L = jnp.stack(hdr_l, 0)
 
     # ---- residual blocks ----
     # luma total_coeff grid for nC (final values: nnz if block coded)
@@ -636,113 +634,202 @@ def cavlc_p_elements(syn, qp_mb, slice_qp, n_ref: int, mb_h: int,
         cac[..., 1:].reshape(B * 8, 15), 15, nc_ac.reshape(B * 8), False,
         jnp.repeat(ac_coded_mb[:, None], 8, 1).reshape(B * 8))
 
-    # ---- assemble stream order: hdr | luma*16 | cdc*2 | cac*8 ----
-    V = jnp.concatenate([
-        hdr_V, Vl.reshape(B, 16 * _BLK_SLOTS),
-        Vd.reshape(B, 2 * _BLK_SLOTS), Va.reshape(B, 8 * _BLK_SLOTS)],
-        axis=1).reshape(B * _MB_SLOTS)
-    L = jnp.concatenate([
-        hdr_L, Ll.reshape(B, 16 * _BLK_SLOTS),
-        Ld.reshape(B, 2 * _BLK_SLOTS), La.reshape(B, 8 * _BLK_SLOTS)],
-        axis=1).reshape(B * _MB_SLOTS)
-
-    # trailing skip run + rbsp stop bit (zero byte-align is implicit:
-    # the packed buffer beyond the stop bit is zero)
+    # ---- group layout (stream order per MB: hdr | luma*16 | cdc*2 |
+    # cac*8), slot-major — consumed by the v3 packer below. Trailing
+    # slots: end-of-frame skip run + rbsp stop bit (zero byte-align is
+    # implicit: the packed buffer beyond the stop bit is zero).
     trail = B - 1 - jax.lax.cummax(jnp.where(~flat_skip, idxs, -1))[B - 1]
     tv, tl = _ue(trail, 16)
     on = trail > 0
-    V = jnp.concatenate([V, jnp.stack([tv * on, jnp.ones((), jnp.int32)])])
-    L = jnp.concatenate([L, jnp.stack([tl * on, jnp.ones((), jnp.int32)])])
-    return V, L, n_skip, (ov1 | ov2 | ov3)
+    tail_V = jnp.stack([tv * on, jnp.ones((), jnp.int32)])
+    tail_L = jnp.stack([tl * on, jnp.ones((), jnp.int32)])
+    groups = [(Vl, Ll, 16), (Vd, Ld, 2), (Va, La, 8)]
+    return (hdr_V, hdr_L, groups, tail_V, tail_L, n_skip,
+            (ov1 | ov2 | ov3))
 
 
 # ---------------------------------------------------------------------------
 # data-parallel bit packing
 # ---------------------------------------------------------------------------
 
-def bitpack(vals, lens, header_vals, header_lens, cap_bytes: int):
-    """Concatenate elements (header first) into a byte buffer.
+# ---------------------------------------------------------------------------
+# data-parallel bit packing, v3
+#
+# Three stages, chosen by measured TPU primitive costs (everything is
+# elementwise selects/shifts — no gathers, scatters, sorts or
+# searchsorted, all of which are per-element on this hardware; and no
+# minor-axis strided slices, which relayout per element: 856 ms for one
+# stride-2 deinterleave of a 58.8M 1-D array vs 30 ms for the same
+# slice on a major axis):
+#
+#   1. _emit_group: each syntax GROUP (a slice-header / MB-header /
+#      residual-block slot row, <=34 slots, <=640 bits) packs into a
+#      20-word buffer with a chain of one-hot word emits — XLA fuses
+#      the chain into a single kernel (measured ~5 ms for 34 emits
+#      over (1.7M, 24)). Arrays are slot-major with instances on the
+#      dense minor axis.
+#   2. _tree_3d: the 28 group buffers of each MB merge pairwise along
+#      the MAJOR axis ((n, W, B) layout) into one 128-word MB buffer
+#      (4096 bits; H.264's worst-case CAVLC MB is ~3.3k bits — denser
+#      pathology sets `dropped`, falling back to the host writers).
+#   3. _tree_rows: MB buffers (rows of an (M, W) array, major-axis
+#      pairing again) merge log2(M) levels into the final stream.
+# ---------------------------------------------------------------------------
 
-    vals/lens: (N,) int32, len in [0, 28]; header_vals/lens: (Hn,)
-    int32 (the byte-aligned-or-not slice header). Returns (bytes
-    uint8 (cap_bytes,), total_bits int32, dropped bool).
+_W_GRP = 20     # words per packing group (640 bits >= worst block 630)
+_W_MB = 128     # words per MB buffer (4096 bits, dropped-flag past it)
 
-    Method: hierarchical doubling — every element starts as a 1-word
-    MSB-aligned buffer; adjacent buffer pairs merge level by level
-    (out = a | shift(b, a.len)) until one buffer remains. The dynamic
-    word shift is a binary decomposition of conditional STATIC shifts,
-    so the whole pack is elementwise selects/shifts — no gathers,
-    scatters, sorts, or searchsorted anywhere (all per-element on TPU:
-    the predecessor's searchsorted formulation measured ~1 s per
-    1080p 8-stream batch; this is bandwidth-bound).
 
-    Buffer capacity per level is exact (2^j slots * <=28 bits fit
-    2^j words) until the density cap kicks in: groups of >=256 slots
-    are capped at max(128, 2^(j-2)) words (4096 bits per ~MB-sized
-    group — H.264's worst-case CAVLC MB is ~3.3k bits, so real
-    content fits; pathological content sets `dropped` and the caller
-    falls back to the host writers, the same recovery path as the
-    level-code overflow)."""
-    v = jnp.concatenate([header_vals.astype(jnp.int32),
-                         vals.astype(jnp.int32)])
-    ln = jnp.concatenate([header_lens.astype(jnp.int32),
-                          lens.astype(jnp.int32)])
-    total_bits = ln.sum()
-    cap_words = cap_bytes // 4
-    sh = jnp.clip(32 - ln, 0, 31)
-    buf = jnp.where(ln > 0, v << sh, 0)[:, None]   # (N, 1) MSB-aligned
-    L = ln
-    W = 1
-    level = 0
+def _emit_group(V, L, W_out: int):
+    """Pack slot rows into word buffers. V/L: (K, N) slot-major int32,
+    lens in [0, 28]. Returns ((W_out, N) words MSB-first, (N,) ln,
+    overflow bool: any row's bits > 32*W_out)."""
+    K, N = V.shape
+    P = jnp.cumsum(L, axis=0) - L                  # exclusive prefix
+    ln = P[-1] + L[-1]
+    sh = jnp.clip(32 - L, 0, 31)
+    A = jnp.where(L > 0, V << sh, 0)
+    off = P & 31
+    w = P >> 5
+    hi = jax.lax.shift_right_logical(A, off)
+    lo = jnp.where(off > 0, A << ((32 - off) & 31), 0)
+    iota = jnp.arange(W_out)[:, None]
+    out = jnp.zeros((W_out, N), jnp.int32)
+    for k in range(K):
+        out = out | jnp.where(iota == w[k][None, :], hi[k][None, :], 0)
+        out = out | jnp.where(iota == w[k][None, :] + 1, lo[k][None, :],
+                              0)
+    return out, ln, jnp.any(ln > 32 * W_out)
+
+
+def _combine(a, b, aln, bln, W2: int, axis: int):
+    """out = a | shift(b by aln bits): the pairwise merge. a/b padded
+    to W2 words along `axis` already; aln/bln broadcastable over it.
+    The dynamic word shift is a binary decomposition of conditional
+    static shifts."""
+    nd = a.ndim
+    exp = [slice(None)] * nd
+    exp[axis] = None
+    sb = jnp.expand_dims(aln & 31, axis)
+    zpad = [(0, 0)] * nd
+
+    def shift_words(x, s):
+        pad = list(zpad)
+        pad[axis] = (s, 0)
+        sl = [slice(None)] * nd
+        sl[axis] = slice(0, W2 - s)
+        return jnp.pad(x[tuple(sl)], pad)
+
+    carry = shift_words(b, 1)
+    bs = jnp.where(sb == 0, b,
+                   jax.lax.shift_right_logical(b, sb)
+                   | (carry << ((32 - sb) & 31)))
+    sw = jnp.minimum(aln >> 5, W2)
+    k = 0
+    while (1 << k) <= W2:
+        s = 1 << k
+        bs = jnp.where(jnp.expand_dims((sw >> k) & 1, axis) == 1,
+                       shift_words(bs, s), bs)
+        k += 1
+    return a | bs, aln + bln
+
+
+def _pad_axis(x, axis: int, n: int):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n)
+    return jnp.pad(x, pad) if n else x
+
+
+def _tree_3d(bufs, lens, w_cap: int):
+    """Merge (n, W, N) group buffers pairwise along axis 0 down to one
+    (W_final, N) buffer per instance. Returns (buf, ln, dropped)."""
     dropped = jnp.zeros((), bool)
-    while buf.shape[0] > 1:
-        N = buf.shape[0]
-        if N % 2:
-            buf = jnp.concatenate([buf, jnp.zeros((1, W), jnp.int32)])
-            L = jnp.concatenate([L, jnp.zeros((1,), jnp.int32)])
-            N += 1
-        pairs = buf.reshape(N // 2, 2, W)
-        a, b = pairs[:, 0], pairs[:, 1]
-        Lp = L.reshape(N // 2, 2)
-        aln, bln = Lp[:, 0], Lp[:, 1]
-        mid_cap = max(128, 1 << max(level - 2, 0))
-        W2 = min(2 * W, mid_cap, cap_words)
-        if W2 > W:
-            pad = W2 - W
-            a = jnp.concatenate([a, jnp.zeros((N // 2, pad), jnp.int32)], 1)
-            b = jnp.concatenate([b, jnp.zeros((N // 2, pad), jnp.int32)], 1)
+    while bufs.shape[0] > 1:
+        n, W, N = bufs.shape
+        if n % 2:
+            bufs = _pad_axis(bufs, 0, 1)
+            lens = _pad_axis(lens, 0, 1)
+            n += 1
+        a, b = bufs[0::2], bufs[1::2]
+        aln, bln = lens[0::2], lens[1::2]
+        W2 = min(2 * W, w_cap)
+        a = _pad_axis(a, 1, W2 - W)
+        b = _pad_axis(b, 1, W2 - W)
         if W2 < 2 * W:
             dropped = dropped | jnp.any(aln + bln > 32 * W2)
-        # bit-shift b right by a.len & 31 (carry across words)
-        sb = aln & 31
-        carry = jnp.concatenate(
-            [jnp.zeros((N // 2, 1), jnp.int32), b[:, :-1]], 1)
-        bs = jnp.where((sb == 0)[:, None], b,
-                       jax.lax.shift_right_logical(b, sb[:, None])
-                       | (carry << (((32 - sb) & 31)[:, None])))
-        # word-shift right by a.len >> 5: binary conditional shifts
-        sw = jnp.minimum(aln >> 5, W2)
-        if level > 0:           # level-0 buffers are < 32 bits
-            k = 0
-            while (1 << k) <= W2:
-                s = 1 << k
-                shifted = jnp.concatenate(
-                    [jnp.zeros((N // 2, s), jnp.int32), bs[:, :W2 - s]], 1)
-                bs = jnp.where((((sw >> k) & 1) == 1)[:, None],
-                               shifted, bs)
-                k += 1
-        buf = a | bs
-        L = aln + bln
-        W = W2
-        level += 1
+        bufs, lens = _combine(a, b, aln, bln, W2, axis=1)
+    return bufs[0], lens[0], dropped
+
+
+def _tree_rows(buf, L, cap_words: int):
+    """Merge (M, W) row buffers pairwise along axis 0 (stream order)
+    into one (cap_words,) word stream. Returns (words, dropped)."""
+    dropped = jnp.zeros((), bool)
+    while buf.shape[0] > 1:
+        M, W = buf.shape
+        if M % 2:
+            buf = _pad_axis(buf, 0, 1)
+            L = _pad_axis(L, 0, 1)
+            M += 1
+        a, b = buf[0::2], buf[1::2]
+        aln, bln = L[0::2], L[1::2]
+        W2 = min(2 * W, cap_words)
+        a = _pad_axis(a, 1, W2 - W)
+        b = _pad_axis(b, 1, W2 - W)
+        if W2 < 2 * W:
+            dropped = dropped | jnp.any(aln + bln > 32 * W2)
+        buf, L = _combine(a, b, aln, bln, W2, axis=1)
     words = buf[0]
-    if W < cap_words:
+    if words.shape[0] < cap_words:
         words = jnp.concatenate(
-            [words, jnp.zeros((cap_words - W,), jnp.int32)])
+            [words, jnp.zeros((cap_words - words.shape[0],), jnp.int32)])
+    return words, dropped
+
+
+def _words_to_bytes(words):
     usr = jax.lax.shift_right_logical
     b = jnp.stack([usr(words, 24) & 0xFF, usr(words, 16) & 0xFF,
                    usr(words, 8) & 0xFF, words & 0xFF], axis=1)
-    return b.reshape(-1).astype(jnp.uint8), total_bits, dropped
+    return b.reshape(-1).astype(jnp.uint8)
+
+
+def _assemble_mb_rows(hdr_V, hdr_L, groups, B: int):
+    """hdr_V/L: (Kh, B) per-MB header slots; groups: list of
+    (V (34, B*nb), L, nb) residual-block categories in stream order.
+    Returns ((n_rows, 20, B) words, (n_rows, B) lens, overflow)."""
+    ho, hln, ov = _emit_group(hdr_V, hdr_L, _W_GRP)
+    bufs = [ho[None]]
+    lns = [hln[None]]
+    for V, L, nb in groups:
+        o, ln, ov_g = _emit_group(V, L, _W_GRP)    # (20, B*nb)
+        ov = ov | ov_g
+        # (20, B, nb) -> (nb, 20, B): the minor (instance) axis is
+        # untouched, so this is a tile-granular permute, not a
+        # per-element relayout
+        bufs.append(o.reshape(_W_GRP, B, nb).transpose(2, 0, 1))
+        lns.append(ln.reshape(B, nb).T)
+    return jnp.concatenate(bufs, 0), jnp.concatenate(lns, 0), ov
+
+
+def _pack_stream(mb_rows, mb_lens, hv, hl, tail_V, tail_L,
+                 cap_words: int):
+    """Stage 2+3: merge each MB's group rows to a 128-word buffer, put
+    the slice-header pseudo-row in front and the tail pseudo-row (end
+    skip-run / rbsp stop) behind, and merge all rows into the stream.
+    Returns (words (cap_words,), total_bits, ln_mb (B,), dropped)."""
+    mb_buf, ln_mb, d1 = _tree_3d(mb_rows, mb_lens, _W_MB)  # (128, B)
+    hdr_buf, hdr_ln, _ = _emit_group(hv[:, None], hl[:, None], _W_GRP)
+    tail_buf, tail_ln, _ = _emit_group(tail_V[:, None], tail_L[:, None],
+                                       _W_GRP)
+    W = mb_buf.shape[0]
+    row_words = jnp.concatenate(
+        [_pad_axis(hdr_buf, 0, W - _W_GRP),
+         mb_buf,
+         _pad_axis(tail_buf, 0, W - _W_GRP)], axis=1)      # (W, 1+B+1)
+    rows = row_words.T                                     # one transpose
+    L = jnp.concatenate([hdr_ln, ln_mb, tail_ln])
+    words, d2 = _tree_rows(rows, L, cap_words)
+    return words, L.sum(), ln_mb, d1 | d2
 
 
 def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
@@ -754,17 +841,19 @@ def cavlc_p_payload(syn, qp_mb, slice_qp: int, n_ref: int, mb_h: int,
     of each MB row (header included, trailing skip-run/stop excluded:
     the native writers' row_bits_out semantics, entropy.cpp:1244-1245),
     feeding the row-VBV walk."""
-    V, L, n_skip, ov = cavlc_p_elements(syn, qp_mb, slice_qp, n_ref,
-                                        mb_h, mb_w)
-    payload, bits, drop = bitpack(V, L, header_vals, header_lens,
-                                  cap_bytes)
-    ov = ov | drop
+    B = mb_h * mb_w
+    hdr_V, hdr_L, groups, tail_V, tail_L, n_skip, ov = \
+        cavlc_p_elements(syn, qp_mb, slice_qp, n_ref, mb_h, mb_w)
+    mb_rows, mb_lens, d1 = _assemble_mb_rows(hdr_V, hdr_L, groups, B)
+    words, bits, ln_mb, d2 = _pack_stream(
+        mb_rows, mb_lens, header_vals.astype(jnp.int32),
+        header_lens.astype(jnp.int32), tail_V, tail_L, cap_bytes // 4)
+    payload = _words_to_bytes(words)
+    ov = ov | d1 | d2
     if not with_rows:
         return payload, bits, n_skip, ov
-    B = mb_h * mb_w
     rows = (header_lens.sum()
-            + jnp.cumsum(L[:B * _MB_SLOTS]
-                         .reshape(mb_h, mb_w * _MB_SLOTS).sum(axis=1)))
+            + jnp.cumsum(ln_mb.reshape(mb_h, mb_w).sum(axis=1)))
     return payload, bits, n_skip, ov, rows
 
 
@@ -778,16 +867,13 @@ _CBP_INTRA = np.array([
     41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0],
     np.int32)
 
-# I MB slots: mb_type(1) + i4 modes(16) + chroma_mode(1) + cbp(1)
-# + dqp(1) = 20, then 27 blocks (luma DC + 16 luma + 2 cDC + 8 cAC)
-_I_HDR_SLOTS = 20
-_I_MB_SLOTS = _I_HDR_SLOTS + 27 * _BLK_SLOTS
 
 
 def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
     """CAVLC syntax elements of an I slice body (write_mb_i twin):
-    (vals, lens) int32 (B * _I_MB_SLOTS + 1,) in stream order (the last
-    slot is the rbsp stop bit), plus the overflow flag."""
+    slot-major group tensors in stream order (hdr (20, B), groups
+    [luma DC, luma*16, cDC*2, cAC*8], tail = rbsp stop bit) plus the
+    overflow flag."""
     B = mb_h * mb_w
     mb_type = syn["mb_type"].astype(jnp.int32)      # 1 = I_4x4
     is_i4 = (mb_type == 1)
@@ -855,8 +941,8 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
     on = i4f & updates | ~i4f
     hdr_v.append(v * on)
     hdr_l.append(ln * on)
-    hdr_V = jnp.stack(hdr_v, 1)                     # (B, 20)
-    hdr_L = jnp.stack(hdr_l, 1)
+    hdr_V = jnp.stack(hdr_v, 0)                     # (20, B) slot-major
+    hdr_L = jnp.stack(hdr_l, 0)
 
     # ---- luma nC grid: i4 -> nnz of 16-coef blocks; i16 -> nnz of the
     # 15 AC coefs when cbp set; else 0 (luma_cnt twin)
@@ -886,11 +972,10 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
     V15, L15, _, ov2 = _block_elements(
         lvl[:, :, 1:].reshape(B * 16, 15), 15, nc_luma.reshape(B * 16),
         False, blk_coded_i16.reshape(B * 16))
-    sel = i4f[:, None, None]
-    Vl = jnp.where(sel, V16.reshape(B, 16, _BLK_SLOTS),
-                   V15.reshape(B, 16, _BLK_SLOTS))
-    Ll = jnp.where(sel, L16.reshape(B, 16, _BLK_SLOTS),
-                   L15.reshape(B, 16, _BLK_SLOTS))
+    # slot-major select: (34, B*16), per-MB i4 flag broadcast per block
+    sel = jnp.repeat(i4f, 16)[None, :]
+    Vl = jnp.where(sel, V16, V15)
+    Ll = jnp.where(sel, L16, L15)
 
     # chroma (identical to the P path)
     cdc = syn["chroma_dc_levels"].astype(jnp.int32).reshape(B, 2, 4)
@@ -913,17 +998,13 @@ def cavlc_i_elements(syn, qp_mb, slice_qp, mb_h: int, mb_w: int):
         cac[..., 1:].reshape(B * 8, 15), 15, nc_ac.reshape(B * 8), False,
         jnp.repeat(ac_coded_mb[:, None], 8, 1).reshape(B * 8))
 
-    V = jnp.concatenate([
-        hdr_V, Vdc, Vl.reshape(B, 16 * _BLK_SLOTS),
-        Vd.reshape(B, 2 * _BLK_SLOTS), Va.reshape(B, 8 * _BLK_SLOTS)],
-        axis=1).reshape(B * _I_MB_SLOTS)
-    L = jnp.concatenate([
-        hdr_L, Ldc, Ll.reshape(B, 16 * _BLK_SLOTS),
-        Ld.reshape(B, 2 * _BLK_SLOTS), La.reshape(B, 8 * _BLK_SLOTS)],
-        axis=1).reshape(B * _I_MB_SLOTS)
-    V = jnp.concatenate([V, jnp.ones((1,), jnp.int32)])   # rbsp stop
-    L = jnp.concatenate([L, jnp.ones((1,), jnp.int32)])
-    return V, L, (ov0 | ov1 | ov2 | ov3 | ov4)
+    # stream order per MB: hdr | luma DC | luma*16 | cdc*2 | cac*8
+    # (exactly 28 groups — no padding row needed in the merge tree)
+    tail_V = jnp.ones((1,), jnp.int32)      # rbsp stop bit
+    tail_L = jnp.ones((1,), jnp.int32)
+    groups = [(Vdc, Ldc, 1), (Vl, Ll, 16), (Vd, Ld, 2), (Va, La, 8)]
+    return hdr_V, hdr_L, groups, tail_V, tail_L, \
+        (ov0 | ov1 | ov2 | ov3 | ov4)
 
 
 def cavlc_i_payload(syn, qp_mb, slice_qp: int, mb_h: int, mb_w: int,
@@ -932,17 +1013,37 @@ def cavlc_i_payload(syn, qp_mb, slice_qp: int, mb_h: int, mb_w: int,
     """Full device CAVLC I-slice payload. Returns (bytes, total_bits,
     overflow) — plus, with_rows, cumulative end-of-row bit positions
     (see cavlc_p_payload)."""
-    V, L, ov = cavlc_i_elements(syn, qp_mb, slice_qp, mb_h, mb_w)
-    payload, bits, drop = bitpack(V, L, header_vals, header_lens,
-                                  cap_bytes)
-    ov = ov | drop
+    B = mb_h * mb_w
+    hdr_V, hdr_L, groups, tail_V, tail_L, ov = \
+        cavlc_i_elements(syn, qp_mb, slice_qp, mb_h, mb_w)
+    mb_rows, mb_lens, d1 = _assemble_mb_rows(hdr_V, hdr_L, groups, B)
+    words, bits, ln_mb, d2 = _pack_stream(
+        mb_rows, mb_lens, header_vals.astype(jnp.int32),
+        header_lens.astype(jnp.int32), tail_V, tail_L, cap_bytes // 4)
+    payload = _words_to_bytes(words)
+    ov = ov | d1 | d2
     if not with_rows:
         return payload, bits, ov
-    B = mb_h * mb_w
     rows = (header_lens.sum()
-            + jnp.cumsum(L[:B * _I_MB_SLOTS]
-                         .reshape(mb_h, mb_w * _I_MB_SLOTS).sum(axis=1)))
+            + jnp.cumsum(ln_mb.reshape(mb_h, mb_w).sum(axis=1)))
     return payload, bits, ov, rows
+
+
+def _payload_batched(per_stream, syn, qp_mb, cap_bytes: int):
+    """Shared batched packer: vmap the per-stream payload, then merge
+    the S byte-aligned stream buffers into one (a tiny log2(S)-level
+    tree). per_stream(syn_s, qp_s) -> (words, bits, *extras)."""
+    S = syn["cbp_luma"].shape[0]
+    cap_s = (cap_bytes // S // 4) * 4
+    out = jax.vmap(per_stream)(syn, qp_mb)
+    words_s, bits_s = out[0], out[1]
+    bits_al = (bits_s + 7) & ~7
+    bytes_s = bits_al >> 3
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(bytes_s).astype(jnp.int32)])
+    drop_s = bits_al > cap_s * 8
+    words, d = _tree_rows(words_s, bits_al, cap_bytes // 4)
+    return (_words_to_bytes(words), off, drop_s | d) + tuple(out[2:])
 
 
 def cavlc_i_payload_batched(syn, qp_mb, slice_qp: int, mb_h: int,
@@ -950,23 +1051,20 @@ def cavlc_i_payload_batched(syn, qp_mb, slice_qp: int, mb_h: int,
                             cap_bytes: int):
     """Batched-stream I-slice device CAVLC (see the P twin)."""
     S = syn["cbp_luma"].shape[0]
-    V, L, ov = jax.vmap(
-        lambda s, q: cavlc_i_elements(s, q, slice_qp, mb_h, mb_w)
-    )(syn, qp_mb)
-    hv = jnp.broadcast_to(header_vals[None], (S,) + header_vals.shape)
-    hl = jnp.broadcast_to(header_lens[None], (S,) + header_lens.shape)
-    VV = jnp.concatenate([hv, V], axis=1)
-    LL = jnp.concatenate([hl, L], axis=1)
-    bits_s = LL.sum(axis=1)
-    pad = (8 - (bits_s & 7)) & 7
-    VV = jnp.concatenate([VV, jnp.zeros((S, 1), VV.dtype)], axis=1)
-    LL = jnp.concatenate([LL, pad[:, None]], axis=1)
-    bytes_s = (bits_s + pad) >> 3
-    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                           jnp.cumsum(bytes_s).astype(jnp.int32)])
-    empty = jnp.zeros((0,), jnp.int32)
-    payload, _, drop = bitpack(VV.reshape(-1), LL.reshape(-1), empty,
-                               empty, cap_bytes)
+    B = mb_h * mb_w
+    cap_s = (cap_bytes // S // 4) * 4
+
+    def one(syn_s, qp_s):
+        hdr_V, hdr_L, groups, tail_V, tail_L, ov = \
+            cavlc_i_elements(syn_s, qp_s, slice_qp, mb_h, mb_w)
+        mb_rows, mb_lens, d1 = _assemble_mb_rows(hdr_V, hdr_L, groups, B)
+        words, bits, _, d2 = _pack_stream(
+            mb_rows, mb_lens, header_vals.astype(jnp.int32),
+            header_lens.astype(jnp.int32), tail_V, tail_L, cap_s // 4)
+        return words, bits, ov | d1 | d2
+
+    payload, off, drop, ov = (lambda r: (r[0], r[1], r[2], r[3]))(
+        _payload_batched(one, syn, qp_mb, cap_bytes))
     return payload, off, ov | drop
 
 
@@ -974,31 +1072,28 @@ def cavlc_p_payload_batched(syn, qp_mb, slice_qp: int, n_ref: int,
                             mb_h: int, mb_w: int, header_vals,
                             header_lens, cap_bytes: int):
     """Batched-stream device CAVLC: syn fields carry a leading stream
-    axis S. All S slice payloads are packed back-to-back into ONE byte
-    buffer (each stream's stream is byte-aligned via an explicit pad
-    element), so the host pulls one meta array and one exact-size
-    payload slice per batch instead of per-MB syntax tensors.
+    axis S. All S slice payloads pack independently (vmapped), then the
+    byte-aligned stream buffers merge back-to-back into ONE byte buffer,
+    so the host pulls one meta array and one exact-size payload slice
+    per batch instead of per-MB syntax tensors.
 
     Returns (payload uint8 (cap_bytes,), byte_off int32 (S+1,),
     n_skip (S,), overflow (S,) bool)."""
     S = syn["cbp_luma"].shape[0]
-    V, L, n_skip, ov = jax.vmap(
-        lambda s, q: cavlc_p_elements(s, q, slice_qp, n_ref, mb_h, mb_w)
-    )(syn, qp_mb)
-    hv = jnp.broadcast_to(header_vals[None], (S,) + header_vals.shape)
-    hl = jnp.broadcast_to(header_lens[None], (S,) + header_lens.shape)
-    VV = jnp.concatenate([hv, V], axis=1)
-    LL = jnp.concatenate([hl, L], axis=1)
-    bits_s = LL.sum(axis=1)
-    pad = (8 - (bits_s & 7)) & 7
-    VV = jnp.concatenate([VV, jnp.zeros((S, 1), VV.dtype)], axis=1)
-    LL = jnp.concatenate([LL, pad[:, None]], axis=1)
-    bytes_s = (bits_s + pad) >> 3
-    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                           jnp.cumsum(bytes_s).astype(jnp.int32)])
-    empty = jnp.zeros((0,), jnp.int32)
-    payload, _, drop = bitpack(VV.reshape(-1), LL.reshape(-1), empty,
-                               empty, cap_bytes)
+    B = mb_h * mb_w
+    cap_s = (cap_bytes // S // 4) * 4
+
+    def one(syn_s, qp_s):
+        hdr_V, hdr_L, groups, tail_V, tail_L, n_skip, ov = \
+            cavlc_p_elements(syn_s, qp_s, slice_qp, n_ref, mb_h, mb_w)
+        mb_rows, mb_lens, d1 = _assemble_mb_rows(hdr_V, hdr_L, groups, B)
+        words, bits, _, d2 = _pack_stream(
+            mb_rows, mb_lens, header_vals.astype(jnp.int32),
+            header_lens.astype(jnp.int32), tail_V, tail_L, cap_s // 4)
+        return words, bits, n_skip, ov | d1 | d2
+
+    payload, off, drop, n_skip, ov = (lambda r: r)(
+        _payload_batched(one, syn, qp_mb, cap_bytes))
     return payload, off, n_skip, ov | drop
 
 
