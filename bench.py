@@ -3,30 +3,25 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: 300 fps/chip 1080p (BASELINE.md build target).
 
-Measures the CONFORMANT 1080p pipeline in steady state WITH the
-keyint-50 I-frame share (1 I per 50 frames, like the fork's default
-GOP, common/common.c:51):
-  device: P-frame encode (Pallas ME cost surfaces + MV decision +
-          P-SKIP probe + plane-resident residual + device strengths) or
-          the I-frame wavefront, + in-loop deblock + hpel reference
-          update + the DEVICE CAVLC entropy stage (baseline profile —
-          the BASELINE.json north-star config; the packed slice
-          payloads themselves cross the wire)
-  host:   exact-size payload pull + C++ nal_escape + NAL framing for P;
-          i8 syntax wire + C++ CAVLC writers for the keyint I share —
-          overlapped with the device encode of the next frame (the
-          reference's row-lag pipeline, encoder.c:1359, reborn as
-          frame-lag: frame N+1 is dispatched BEFORE frame N's wire is
-          pulled, so transfer and entropy hide under compute).
-End-to-end fps = frames / wall-clock including both stages.
+Measures the PUBLIC API in steady state WITH the keyint-50 I-frame
+share (1 I per 50 frames, the fork's default GOP, common/common.c:51):
+the measured product is x264dsp_tpu.BatchEncoder — the multi-stream
+public encoder (the reference's frame threading reborn as stream
+batching, SURVEY §2.6) — fed device-resident frames over its zero-copy
+ingest path. Each slot is ONE fused device dispatch (encode + deblock
+strengths + device CAVLC + in-loop deblock + hpel reference pyramid,
+refs donated in place); the host pulls the exact-size slice payloads
+and frames the NALs for the previous slot while the device computes
+the next (the reference's row-lag pipeline, encoder.c:1359, reborn as
+slot-lag). End-to-end fps = frames / wall-clock including both stages.
 
-A second stderr line reports the public-API path (cli.py flow: RC/AQ/
-slicetype/headers on) on a short clip for cross-checking; its per-tensor
-pulls pay ~20 tunnel RPCs/frame on this rig, which a PCIe host doesn't.
+A second stderr line reports the single-stream Encoder path (cli.py
+flow: RC/AQ/slicetype/headers on) on a short clip for cross-checking.
 
-Env: BENCH_STREAMS=N (default 4) batches N independent streams
-(BASELINE.json config 5); entropy then runs in a thread pool.
-BENCH_FRAMES overrides the frame count. BENCH_API=0 skips the API line.
+Env: BENCH_STREAMS=N (default: calibrate 8 vs 16) batches N streams
+(BASELINE.json config 5). BENCH_FRAMES overrides the frame count.
+BENCH_API=0 skips the API line. BENCH_PROFILE=1 prints the per-stage
+internal breakdown instead of running the pipeline.
 NOTE: this rig reaches the chip through a ~30 ms/RPC tunnel at
 ~30 MB/s; on a PCIe-attached host the transfer term is negligible.
 """
@@ -360,46 +355,19 @@ def main():
               file=sys.stderr)
         return
 
-    from concurrent.futures import ThreadPoolExecutor
-
     def run_pipeline(S, frames):
-        """Warm + run the steady pipeline at batch size S; returns
-        (aggregate fps, ms/batch)."""
-        pool = ThreadPoolExecutor(max_workers=min(max(S, 2), 8))
-
-        # speculative prefix: covers the typical bench frame (~19 KB/
-        # stream) so the offsets and the payload cross the tunnel in
-        # PARALLEL RPCs instead of two serialized round-trips
-        PREFIX = 48 * 1024 * S
-
-        def entropy_batch(prev):
-            """Pull the previous step's output and finish the NALs: meta
-            pull (per-stream byte offsets) overlapped with a speculative
-            payload-prefix pull — the payload IS the entropy-coded slice
-            body (device CAVLC); the host only escapes and frames the
-            NAL. Falls back to an exact-size pull when a batch outgrows
-            the prefix."""
-            _kind, wire = prev
-            payload, off, ov = wire
-            pref = payload[:PREFIX]
-            try:
-                off.copy_to_host_async()
-                pref.copy_to_host_async()
-            except AttributeError:
-                pass
-            off_np = np.asarray(off)
-            total = int(off_np[-1])
-            if total <= PREFIX:
-                raw = np.asarray(pref)[:total]
-            else:
-                raw = np.asarray(payload[:total])
-            assert not np.asarray(ov).any(), "CAVLC level overflow"
-
-            def one(s):
-                body = raw[off_np[s]:off_np[s + 1]].tobytes()
-                esc = native.nal_escape(body)
-                return 4 + 1 + len(esc if esc is not None else body)
-            return sum(pool.map(one, range(S)))
+        """Warm + run the PUBLIC BatchEncoder at batch size S; returns
+        (aggregate fps, ms/batch). The encoder's internal one-slot
+        pipelining overlaps host entropy with device compute."""
+        import x264dsp_tpu as xt
+        p = xt.param_default()
+        p.i_width, p.i_height = W, H
+        p.b_cabac = 0
+        p.rc.i_rc_method = xt.RC_CQP
+        p.rc.i_qp_constant = QP
+        p.i_keyint_max = KEYINT
+        p.i_scenecut_threshold = 0
+        enc = xt.BatchEncoder(p, S)
 
         ring = frame_ring(S)
 
@@ -411,42 +379,32 @@ def main():
             t = 1 + ph if ph < 4 else 7 - ph
             return ring[t]
 
-        def dispatch(i, refs):
-            if i % KEYINT == 0:
-                wire, refs2 = istep(*batch_frames(i))
-                return ("I", wire), refs2
-            wire, refs2 = pstep(*batch_frames(i), *refs)
-            return ("P", wire), refs2
+        # warm both compiles (I at slot 0, P at slot 1) + the pulls
+        enc.encode_batch(batch_frames(0))
+        enc.encode_batch(batch_frames(1))
+        enc.encode_batch(None)
 
-        # bootstrap refs from an I step + warm all compiles
-        warm_i, refs = istep(*batch_frames(0))
-        entropy_batch(("I", warm_i))
-        warm_p, refs = pstep(*batch_frames(1), *refs)
-        entropy_batch(("P", warm_p))
-        jax.block_until_ready(refs)
-
-        # timed loop, one batch in flight: dispatch N+1, then pull +
-        # entropy N while the device computes
-        prev, refs = dispatch(2, refs)
         t0 = time.perf_counter()
         done = 0
+        nbytes = 0
         for i in range(frames):
-            cur, refs = dispatch(3 + i, refs)
-            entropy_batch(prev)
-            done += S
-            prev = cur
-        entropy_batch(prev)
+            out = enc.encode_batch(batch_frames(2 + i))
+            if out is not None:
+                done += S
+                nbytes += sum(len(n.payload) for nl in out for n in nl)
+        out = enc.encode_batch(None)
         done += S
         dt = time.perf_counter() - t0
-        return done / dt, dt / (frames + 1) * 1e3
+        enc.close()
+        return done / dt, dt / frames * 1e3
 
     if os.environ.get("BENCH_STREAMS"):
         S = streams
     else:
-        # calibrate the stream-batch size on THIS rig: wavefront
+        # calibrate the stream-batch size on THIS rig: batching
         # amortization vs HBM pressure trade differently per chip
         best = None
-        for cand in (4, 8):
+        for cand in (8, 16):
             f, ms = run_pipeline(cand, 6)
             print(f"calibrate S={cand}: {f:.2f} fps aggregate "
                   f"({ms:.1f} ms/batch)", file=sys.stderr)
@@ -455,9 +413,9 @@ def main():
         S = best[0]
 
     fps, msb = run_pipeline(S, n_frames)
-    print(f"steady pipeline: {fps:.2f} fps aggregate "
-          f"({S} streams, {msb:.1f} ms/batch, keyint {KEYINT})",
-          file=sys.stderr)
+    print(f"steady pipeline (public BatchEncoder): {fps:.2f} fps "
+          f"aggregate ({S} streams, {msb:.1f} ms/batch, keyint "
+          f"{KEYINT})", file=sys.stderr)
 
     if os.environ.get("BENCH_API", "1") != "0":
         try:
@@ -469,10 +427,11 @@ def main():
             print(f"public-API path failed: {e}", file=sys.stderr)
 
     print(json.dumps({
-        "metric": (f"{W}x{H} IPPP+keyint{KEYINT} baseline-profile steady "
-                   f"pipeline fps/chip ({S}-stream aggregate: device "
-                   f"encode+deblock+ref update+device CAVLC entropy + "
-                   f"payload pull + host NAL framing)"),
+        "metric": (f"{W}x{H} IPPP+keyint{KEYINT} baseline-profile "
+                   f"fps/chip through the PUBLIC BatchEncoder API "
+                   f"({S}-stream aggregate: fused device encode+deblock"
+                   f"+hpel refs+device CAVLC in one dispatch, host "
+                   f"payload pull + NAL framing overlapped)"),
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 300.0, 4),

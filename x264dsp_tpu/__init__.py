@@ -27,4 +27,12 @@ from .api import (  # noqa: F401
     picture_alloc, picture_clean, picture_init,
 )
 
+
+def __getattr__(name):
+    # lazy: BatchEncoder pulls in the jitted core on first use
+    if name == "BatchEncoder":
+        from .encoder.batch import BatchEncoder
+        return BatchEncoder
+    raise AttributeError(name)
+
 __version__ = "0.1.0"

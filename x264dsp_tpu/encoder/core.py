@@ -136,7 +136,7 @@ def _fused_frame_fn(is_p: bool, mb_h: int, mb_w: int, n_ref: int, cqm,
                     subme: int, use_satd: bool, i4x4: bool,
                     deblock_on: bool, dbl_a2: int, dbl_b2: int,
                     cqpo: int, cap_bytes: int, use_nr: bool,
-                    need_recon: bool, donate: bool):
+                    need_recon: bool, donate: bool, batched: bool = False):
     """ONE jitted dispatch for a whole API-path frame: encode + deblock
     strengths + device CAVLC slice payload + in-loop deblock + hpel
     reference pyramid + on-device stats histograms. This is the
@@ -247,6 +247,12 @@ def _fused_frame_fn(is_p: bool, mb_h: int, mb_w: int, n_ref: int, cqm,
                            dv.astype(jnp.uint8)))
 
     donate_args = (3, 4, 5) if (is_p and donate) else ()
+    if batched:
+        # stream-batched variant (BatchEncoder): frames/refs/QP grids
+        # carry a leading stream axis; the slice QP, header bits and NR
+        # offsets are shared (lockstep GOP => identical headers)
+        f = jax.vmap(f, in_axes=(0, 0, 0, 0, 0, 0, 0, 0,
+                                 None, None, None, None, None))
     return jax.jit(f, donate_argnums=donate_args)
 
 
