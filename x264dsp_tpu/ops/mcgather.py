@@ -74,7 +74,13 @@ def _tile_windows(plane, n_tiles: int, tile: int, win: int, start: int,
 def luma_windows(ref4, mb_w: int, mb_h: int):
     """ref4: (4, Hp, Wp) padded planes from mc.make_ref_planes.
     Returns (mb_h*mb_w, 4, WIN_L, WIN_L) bf16 per-MB windows covering
-    fullpel offsets in [-M_LUMA, M_LUMA)."""
+    fullpel offsets in [-M_LUMA, M_LUMA). On TPU the relayout runs in
+    the Pallas strip kernel (ops/pallas/windows.py) — the XLA 5-D
+    transpose lowers ~30x below HBM speed; this path is its
+    bit-identical twin/fallback."""
+    if jax.default_backend() == "tpu":
+        from .pallas.windows import luma_windows_pallas
+        return luma_windows_pallas(ref4, mb_w, mb_h, M_LUMA, MC.PAD_MC)
     start = MC.PAD_MC - M_LUMA
     w = _tile_windows(ref4, mb_h, 16, WIN_L, start, axis=1)
     # w: (4, mb_h, WIN_L, Wp)
@@ -86,7 +92,12 @@ def luma_windows(ref4, mb_w: int, mb_h: int):
 
 def chroma_windows(refc, mb_w: int, mb_h: int):
     """refc: (Hp/2, Wp/2) padded chroma plane (mc.pad_chroma).
-    Returns (mb_h*mb_w, WIN_C, WIN_C) bf16."""
+    Returns (mb_h*mb_w, WIN_C, WIN_C) bf16 (Pallas on TPU, see
+    luma_windows)."""
+    if jax.default_backend() == "tpu":
+        from .pallas.windows import chroma_windows_pallas
+        return chroma_windows_pallas(refc, mb_w, mb_h, M_CHROMA,
+                                     MC.PAD_MC // 2)
     start = MC.PAD_MC // 2 - M_CHROMA
     w = _tile_windows(refc, mb_h, 8, WIN_C, start, axis=0)
     w = _tile_windows(w, mb_w, 8, WIN_C, start, axis=2)

@@ -24,7 +24,6 @@ def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
     W = mb_w * 16
     n = 2 * R + 1
     f = f_ref[0]  # (16, W)
-    dy = pl.program_id(1)
 
     # 8-column segment sums as a matmul with a 0/1 selection matrix (the
     # (W,)→(2*mb_w,8) reshape isn't lowerable in Mosaic; the MXU does this
@@ -35,32 +34,37 @@ def _kernel(R: int, mb_w: int, f_ref, r_ref, o_ref):
     mbi = jax.lax.broadcasted_iota(jnp.int32, (W, 2 * mb_w), 1)
     sel = ((col >> 3) == mbi).astype(jnp.bfloat16)
 
-    # The dy sweep runs on the grid (a fully unrolled (2R+1)^2 double loop
-    # compiles for >10 min in Mosaic); dynamic sublane starts must be
-    # 8-aligned, so the 16-row window at offset dy comes from a dynamic
-    # sublane rotate instead of a slice. The dx sweep stays unrolled: lane
-    # offsets can't be dynamic, and the compiler lowers the misaligned
-    # static slices to vector shifts.
-    rows = pltpu.roll(r_ref[0], (16 + 2 * R) - dy, axis=0)[:16]
-    halves = []
-    for dx in range(n):
-        win = rows[:, dx:dx + W]
-        ad = jnp.abs(f - win)                # (16, W) int32
-        halves.append(ad[:8].sum(axis=0, keepdims=True))
-        halves.append(ad[8:].sum(axis=0, keepdims=True))
-    # ONE (4n, W) @ (W, 2mb_w) matmul for the whole dx sweep: a 2-row
-    # lhs uses 2/128 of the MXU's systolic rows, 132 rows use ~full.
-    # The 8-row sums reach 8*255 = 2040 > 2^8, which bf16's 8-bit
-    # significand can't hold, so the lhs is split into hi/lo bytes
-    # (both <= 255, exactly representable): two stacked single-pass
-    # bf16 dots with f32 accumulation are bit-exact and 3x cheaper on
-    # the MXU than the f32 Precision.HIGHEST (6-pass) dot they replace.
-    stacked = jnp.concatenate(halves, axis=0)          # (2n, W) int32
-    hilo = jnp.concatenate([stacked >> 8, stacked & 0xFF],
-                           axis=0).astype(jnp.bfloat16)
-    out = jnp.dot(hilo, sel, preferred_element_type=jnp.float32)
-    tile = out[:2 * n] * 256.0 + out[2 * n:]
-    o_ref[0, 0] = tile.astype(jnp.int32)
+    # The dy sweep is a fori_loop INSIDE the kernel (as a grid dimension
+    # it multiplied the program count by 2R+1 — at 1080p x 8 streams
+    # ~18k programs whose fixed launch overhead dominated the measured
+    # 90 ms/batch); dynamic sublane starts must be 8-aligned, so the
+    # 16-row window at offset dy comes from a dynamic sublane rotate.
+    # The dx sweep stays unrolled: lane offsets can't be dynamic, and
+    # the compiler lowers the misaligned static slices to vector shifts.
+    def body(dy, _):
+        rows = pltpu.roll(r_ref[0], (16 + 2 * R) - dy, axis=0)[:16]
+        halves = []
+        for dx in range(n):
+            win = rows[:, dx:dx + W]
+            ad = jnp.abs(f - win)            # (16, W) int32
+            halves.append(ad[:8].sum(axis=0, keepdims=True))
+            halves.append(ad[8:].sum(axis=0, keepdims=True))
+        # ONE (4n, W) @ (W, 2mb_w) matmul for the whole dx sweep: a
+        # 2-row lhs uses 2/128 of the MXU's systolic rows, 132 rows use
+        # ~full. The 8-row sums reach 8*255 = 2040 > 2^8, which bf16's
+        # 8-bit significand can't hold, so the lhs is split into hi/lo
+        # bytes (both <= 255, exactly representable): two stacked
+        # single-pass bf16 dots with f32 accumulation are bit-exact and
+        # 3x cheaper on the MXU than a Precision.HIGHEST (6-pass) dot.
+        stacked = jnp.concatenate(halves, axis=0)      # (2n, W) int32
+        hilo = jnp.concatenate([stacked >> 8, stacked & 0xFF],
+                               axis=0).astype(jnp.bfloat16)
+        out = jnp.dot(hilo, sel, preferred_element_type=jnp.float32)
+        tile = out[:2 * n] * 256.0 + out[2 * n:]
+        o_ref[0, dy] = tile.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "R",
@@ -76,16 +80,16 @@ def sad_cost_surfaces_8x8(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
     kernel = functools.partial(_kernel, R, mb_w)
     out = pl.pallas_call(
         kernel,
-        grid=(mb_h, n),
+        grid=(mb_h,),
         in_specs=[
-            pl.BlockSpec((1, 16, W), lambda i, dy: (i, 0, 0),
+            pl.BlockSpec((1, 16, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16 + 2 * R, W + 2 * R),
-                         lambda i, dy: (i, 0, 0),
+                         lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, n * 2, 2 * mb_w),
-                               lambda i, dy: (i, dy, 0, 0),
+        out_specs=pl.BlockSpec((1, n, n * 2, 2 * mb_w),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mb_h, n, n * 2, 2 * mb_w),
                                        jnp.int32),
