@@ -346,7 +346,7 @@ def _try_candidates(cost, bcost, bx, by, cands, R: int, gate=None):
     return bcost, bx, by, (bx != ox) | (by != oy)
 
 
-def _pattern_walk(cost_raw, cost_biased, mvp_fp, mv_prev, method: int,
+def _pattern_walk(cost_raw, cost_biased, mvp_fp, mvc, method: int,
                   me_range: int, mb_w: int, mb_h: int):
     """Batched DIA (me.c:237-274) / HEX (me.c:276-387) full-pel search
     over the precomputed cost surfaces, every MB in lockstep with
@@ -366,8 +366,9 @@ def _pattern_walk(cost_raw, cost_biased, mvp_fp, mv_prev, method: int,
     bx = jnp.clip(mvp_fp[..., 0], -R, R)
     by = jnp.clip(mvp_fp[..., 1], -R, R)
     bcost = _surface_at(cost_raw, bx, by, R)   # no bias at the MVP
-    # extra candidates, biased (mvc + (0,0), me.c:207-233)
-    for cand in ([] if mv_prev is None else [mv_prev]):
+    # extra candidates, biased (the mvc predictor list + (0,0),
+    # me.c:207-233)
+    for cand in (mvc or []):
         cx = jnp.clip(cand[..., 0], -R, R)
         cy = jnp.clip(cand[..., 1], -R, R)
         c = _surface_at(cost_biased, cx, cy, R)
@@ -434,18 +435,49 @@ def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
                         mvp[..., 1][..., None, None])
         return jnp.where(ok, cost_surf + bias, 1 << 28)
 
-    # pass 1: zero MVP (a frame's first row/col sees exactly this)
+    # pass 1: zero MVP with the zero-anchored rate bias (exactly what
+    # the reference's first row/column sees)
     zero_mvp = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
-    bx0, by0, _ = _pattern_walk(cost_raw, biased(zero_mvp),
-                                zero_mvp, None, method, R, mb_w, mb_h)
+    cb0 = biased(zero_mvp)
+    bx0, by0, _ = _pattern_walk(cost_raw, cb0, zero_mvp, None,
+                                method, R, mb_w, mb_h)
     mv0 = jnp.stack([bx0 * 4, by0 * 4], axis=-1)
-    # pass 2: median-MVP estimate from the propagated field
+    # pass 2: median-MVP estimate from the propagated field; the mvc
+    # candidate list (x264_mb_predict_mv_ref16x16, mvpred.c:167 —
+    # spatial neighbour MVs) comes from pass 1's field, one step stale
     mvp = _mvp_field_parallel(mv0, mb_w, mb_h)
     mvp_fp = jnp.stack([(mvp[..., 0] + 2) >> 2,
                         (mvp[..., 1] + 2) >> 2], axis=-1)   # me.c:141-142
+    fp0 = jnp.stack([bx0, by0], -1)
+
+    def shift_fp(dy, dx):
+        m = jnp.roll(fp0, (dy, dx), axis=(0, 1))
+        ys, xs = jnp.mgrid[0:mb_h, 0:mb_w]
+        ok = ((ys - dy >= 0) & (ys - dy < mb_h)
+              & (xs - dx >= 0) & (xs - dx < mb_w))
+        return jnp.where(ok[..., None], m, 0)
+    mvc = [fp0, shift_fp(0, 1), shift_fp(1, 0), shift_fp(1, -1)]
     bx, by, bcost = _pattern_walk(cost_raw, biased(mvp), mvp_fp,
-                                  jnp.stack([bx0, by0], -1), method,
-                                  R, mb_w, mb_h)
+                                  mvc, method, R, mb_w, mb_h)
+    # pass 3: one more propagation round — the serial raster's MVP
+    # chain reaches arbitrarily far; two Jacobi rounds recover most of
+    # it (round 3 closes the scan-order tail: measured on the parity
+    # corpus, see tools/parity.py configs 2-4)
+    mv1 = jnp.stack([bx * 4, by * 4], axis=-1)
+    mvp = _mvp_field_parallel(mv1, mb_w, mb_h)
+    mvp_fp = jnp.stack([(mvp[..., 0] + 2) >> 2,
+                        (mvp[..., 1] + 2) >> 2], axis=-1)
+    fp1 = jnp.stack([bx, by], -1)
+
+    def shift_fp1(dy, dx):
+        m = jnp.roll(fp1, (dy, dx), axis=(0, 1))
+        ys, xs = jnp.mgrid[0:mb_h, 0:mb_w]
+        ok = ((ys - dy >= 0) & (ys - dy < mb_h)
+              & (xs - dx >= 0) & (xs - dx < mb_w))
+        return jnp.where(ok[..., None], m, 0)
+    mvc = [fp1, shift_fp1(0, 1), shift_fp1(1, 0), shift_fp1(1, -1)]
+    bx, by, bcost = _pattern_walk(cost_raw, biased(mvp), mvp_fp,
+                                  mvc, method, R, mb_w, mb_h)
     mv_field = jnp.stack([bx * 4, by * 4], axis=-1)
     cost_field = bcost
     return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, wins4,
