@@ -1086,7 +1086,10 @@ class EncoderCore:
                             nal_unit(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
                                      sei_buffering_period_rbsp(
                                          self.sps, delay, offset))))
-            self._cpb_delay = 0
+            # don't reset cpb delay for keyframes under intra refresh
+            # (slicetype.c:383-386, encoder.c:1947)
+            if not self.param.b_intra_refresh:
+                self._cpb_delay = 0
         if (self.sps.vui_nal_hrd_present
                 or self.sps.vui_pic_struct_present):
             # pic-timing SEI per frame (set.c:599-630)
@@ -1418,7 +1421,10 @@ class EncoderCore:
                             nal_unit(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,
                                      sei_buffering_period_rbsp(
                                          self.sps, delay, offset))))
-            self._cpb_delay = 0
+            # don't reset cpb delay for keyframes under intra refresh
+            # (slicetype.c:383-386, encoder.c:1947)
+            if not self.param.b_intra_refresh:
+                self._cpb_delay = 0
         if (self.sps.vui_nal_hrd_present
                 or self.sps.vui_pic_struct_present):
             nals.append(NAL(P.NAL_SEI, P.NAL_PRIORITY_DISPOSABLE,

@@ -128,6 +128,12 @@ class SPS:
 
         max_frame_num = sps.vui_max_dec_frame_buffering * (
             (1 if param.i_bframe_pyramid else 0) + 1) + 1
+        if param.b_intra_refresh:
+            # intra refresh cannot write a recovery time greater than
+            # max_frame_num - 1 (set.c:138-143)
+            time_to_recovery = min(sps.i_mb_width - 1,
+                                   param.i_keyint_max) + param.i_bframe - 1
+            max_frame_num = max(max_frame_num, time_to_recovery + 1)
         sps.i_log2_max_frame_num = 4
         while (1 << sps.i_log2_max_frame_num) <= max_frame_num:
             sps.i_log2_max_frame_num += 1

@@ -264,7 +264,12 @@ class SlicetypeDecider:
         low = low4[0]
 
         gop = self.frame_idx - self.last_keyframe
-        force_i = gop >= p.i_keyint_max or self.prev_lowres is None
+        # with periodic intra refresh only frame 0 takes the keyint_max
+        # IDR (slicetype.c:516); the fork can't emit the refresh wave
+        # itself (intra-in-P compiled out, analyse.c:1214-1219)
+        keyint_applies = (not p.b_intra_refresh) or self.frame_idx == 0
+        force_i = (keyint_applies and gop >= p.i_keyint_max) \
+            or self.prev_lowres is None
 
         # Without mb-tree or VBV the edge ring is excluded from the
         # frame cost ("the edge mbs reduce the predictive quality of

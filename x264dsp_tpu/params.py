@@ -371,6 +371,15 @@ def validate_parameters(p: Param) -> Param:
     if p.i_keyint_max == 1:
         p.b_intra_refresh = 0
         p.analyse.i_weighted_pred = 0
+    # periodic-intra-refresh constraints (encoder.c:193-198); note the
+    # fork's intra-in-P analysis is compiled out (analyse.c:1214-1219),
+    # so no refresh wave can be emitted — only the parameter's
+    # observable plumbing (ref clamp, SPS frame_num sizing, keyint/HRD
+    # gating) is reproduced
+    if p.b_intra_refresh and (p.i_frame_reference > 1 or p.i_dpb_size > 1):
+        x264_log(p, LOG_WARNING, "ref > 1 + intra-refresh is not supported")
+        p.i_frame_reference = 1
+        p.i_dpb_size = 1
     if p.i_keyint_min == KEYINT_MIN_AUTO:
         p.i_keyint_min = max(p.i_keyint_max // 10, 1)
     p.i_keyint_min = clip3(p.i_keyint_min, 1, p.i_keyint_max // 2 + 1)
@@ -567,7 +576,8 @@ def param2string(p: Param, b_res: bool = False) -> str:
     s.append(f"weightp={max(a.i_weighted_pred, 0)}")
     s.append(f"keyint={p.i_keyint_max}")
     s.append(f"keyint_min={p.i_keyint_min} "
-             f"scenecut={p.i_scenecut_threshold}")
+             f"scenecut={p.i_scenecut_threshold} "
+             f"intra_refresh={p.b_intra_refresh}")
     if rc.b_mb_tree or rc.i_vbv_buffer_size:
         s.append(f"rc_lookahead={rc.i_lookahead}")
     mode = ("cbr" if rc.i_vbv_max_bitrate == rc.i_bitrate else "abr") \
