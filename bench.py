@@ -281,9 +281,13 @@ def main():
         jax.block_until_ready(ring)
         return ring
 
-    if os.environ.get("BENCH_PROFILE") == "1":
-        # per-stage breakdown of the BATCHED pipeline (memoization-proof
-        # unique-input sweeps, tunnel round-trip amortized)
+    def stage_profile(K=4):
+        """Per-stage breakdown of the BATCHED pipeline (memoization-proof
+        unique-input sweeps, tunnel round-trip amortized). Returns
+        {stage: ms_per_batch} — embedded in the bench JSON so a round
+        record is always attributable (VERDICT r3 weak #3)."""
+        prof = {}
+
         def sweep(name, fn, argsets):
             # block on argsets first: async dispatch would charge any
             # upstream stage calls embedded in them to this stage
@@ -294,11 +298,11 @@ def main():
             outs = [fn(*a) for a in argsets]
             jax.block_until_ready(outs)
             dt = (time.perf_counter() - t0) / len(argsets)
+            prof[name] = round(dt * 1e3, 2)
             print(f"{name:34s} {dt*1e3:8.2f} ms/batch  "
                   f"({dt*1e3/S:6.2f} ms/frame)", file=sys.stderr)
             return outs[0]
 
-        K = 4
         ring = frame_ring(S)
         fsets = [ring[1 + k] for k in range(K)]
 
@@ -350,9 +354,14 @@ def main():
         for s in range(S):
             body = raw[off_np[s]:off_np[s + 1]].tobytes()
             native.nal_escape(body)
-        print(f"{'host pull+escape+frame':34s} "
-              f"{(time.perf_counter()-t0)*1e3:8.2f} ms/batch",
+        dt = (time.perf_counter() - t0) * 1e3
+        prof["host pull+escape+frame"] = round(dt, 2)
+        print(f"{'host pull+escape+frame':34s} {dt:8.2f} ms/batch",
               file=sys.stderr)
+        return prof
+
+    if os.environ.get("BENCH_PROFILE") == "1":
+        stage_profile()
         return
 
     def run_pipeline(S, frames):
@@ -405,7 +414,13 @@ def main():
         # amortization vs HBM pressure trade differently per chip
         best = None
         for cand in (8, 16):
-            f, ms = run_pipeline(cand, 6)
+            try:
+                f, ms = run_pipeline(cand, 6)
+            except Exception as e:  # HBM OOM at the larger batch
+                print(f"calibrate S={cand}: skipped "
+                      f"({type(e).__name__}: {str(e)[:120]})",
+                      file=sys.stderr)
+                continue
             print(f"calibrate S={cand}: {f:.2f} fps aggregate "
                   f"({ms:.1f} ms/batch)", file=sys.stderr)
             if best is None or f > best[1]:
@@ -426,6 +441,13 @@ def main():
         except Exception as e:  # pragma: no cover - diagnostic only
             print(f"public-API path failed: {e}", file=sys.stderr)
 
+    # per-stage breakdown embedded in the round artifact so the record
+    # is attributable even when later runs can't reach the chip
+    try:
+        profile = stage_profile(K=2)
+    except Exception as e:  # pragma: no cover - diagnostic only
+        profile = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     print(json.dumps({
         "metric": (f"{W}x{H} IPPP+keyint{KEYINT} baseline-profile "
                    f"fps/chip through the PUBLIC BatchEncoder API "
@@ -435,6 +457,9 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 300.0, 4),
+        "streams": S,
+        "ms_per_batch": round(msb, 1),
+        "profile_ms_per_batch": profile,
     }))
 
 
