@@ -25,8 +25,8 @@ def _xla_chroma_windows(refc, mb_w, mb_h):
     w = MG._tile_windows(refc, mb_h, 8, MG.WIN_C, start, axis=0)
     w = MG._tile_windows(w, mb_w, 8, MG.WIN_C, start, axis=2)
     import jax.numpy as jnp
-    return w.reshape(mb_h * mb_w, MG.WIN_C, MG.WIN_C
-                     ).astype(jnp.bfloat16)
+    return w.transpose(0, 2, 1, 3).reshape(
+        mb_h * mb_w, MG.WIN_C, MG.WIN_C).astype(jnp.bfloat16)
 
 
 def test_luma_windows_pallas_equals_xla():
