@@ -22,6 +22,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import jax  # noqa: E402
 
+from x264dsp_tpu.utils.jaxcache import ensure_compile_cache  # noqa: E402
+
+# the site hook imports jax before this file runs, so the env vars above
+# are too late for jax's config — set it through the config API (rounds
+# 1-4 unknowingly ran every suite with a dead persistent cache)
+ensure_compile_cache()
+
 if os.environ.get("X264_TEST_ON_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)

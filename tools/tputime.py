@@ -13,6 +13,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # the env-var prologue is a no-op on this image (see jaxcache.py)
+    from x264dsp_tpu.utils.jaxcache import ensure_compile_cache
+    ensure_compile_cache()
+except ImportError:
+    pass
+
 _BASELINE = None
 
 

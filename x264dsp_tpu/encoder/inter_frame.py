@@ -399,9 +399,86 @@ def _pattern_walk(cost_raw, cost_biased, mvp_fp, mvc, method: int,
     return bx, by, bcost
 
 
+def _surface_at_lanes(cost, bx, by, R: int):
+    """Lane-layout twin of _surface_at: cost (mb_h, n, n, mb_w) —
+    [row, dy, dx, mbx] as produced by the Pallas surface16 kernel —
+    bx/by (mb_h, mb_w). Keeping mb_w on the minor (lane) axis avoids
+    the 35 MB relayout the classic layout would need."""
+    n = 2 * R + 1
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, n, n, 1), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, n, n, 1), 2)
+    m = ((iy == (by + R)[:, None, None, :])
+         & (ix == (bx + R)[:, None, None, :]))
+    v = jnp.where(m, cost, 0).sum(axis=(1, 2))
+    inb = (jnp.abs(bx) <= R) & (jnp.abs(by) <= R)
+    return jnp.where(inb, v, jnp.int32(1 << 28))
+
+
+def _try_candidates_lanes(cost, bcost, bx, by, cands, R: int, gate=None):
+    """Lane-layout twin of _try_candidates."""
+    n = 2 * R + 1
+    iy = jax.lax.broadcasted_iota(jnp.int32, (1, n, n, 1), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, n, n, 1), 2)
+    ox, oy = bx, by
+    for dx, dy in cands:
+        cx, cy = ox + dx, oy + dy
+        m = ((iy == (cy + R)[:, None, None, :])
+             & (ix == (cx + R)[:, None, None, :]))
+        c = jnp.where(m, cost, 0).sum(axis=(1, 2))
+        inb = (jnp.abs(cx) <= R) & (jnp.abs(cy) <= R)
+        c = jnp.where(inb, c, jnp.int32(1 << 28))
+        better = c < bcost
+        if gate is not None:
+            better = better & gate
+        bcost = jnp.where(better, c, bcost)
+        bx = jnp.where(better, cx, bx)
+        by = jnp.where(better, cy, by)
+    return bcost, bx, by, (bx != ox) | (by != oy)
+
+
+def _pattern_walk_lanes(cost_raw, cost_biased, mvp_fp, mvc, method: int,
+                        me_range: int, mb_w: int, mb_h: int):
+    """Lane-layout twin of _pattern_walk (same seeding/loop structure,
+    surfaces indexed [row, dy, dx, mbx])."""
+    R = me_range
+    bx = jnp.clip(mvp_fp[..., 0], -R, R)
+    by = jnp.clip(mvp_fp[..., 1], -R, R)
+    bcost = _surface_at_lanes(cost_raw, bx, by, R)
+    for cand in (mvc or []):
+        cx = jnp.clip(cand[..., 0], -R, R)
+        cy = jnp.clip(cand[..., 1], -R, R)
+        c = _surface_at_lanes(cost_biased, cx, cy, R)
+        better = c < bcost
+        bcost = jnp.where(better, c, bcost)
+        bx = jnp.where(better, cx, bx)
+        by = jnp.where(better, cy, by)
+    zc = _surface_at_lanes(cost_biased, jnp.zeros_like(bx),
+                           jnp.zeros_like(by), R)
+    nz_mvp = (bx != 0) | (by != 0)
+    better = nz_mvp & (zc < bcost)
+    bcost = jnp.where(better, zc, bcost)
+    bx = jnp.where(better, 0, bx)
+    by = jnp.where(better, 0, by)
+
+    active = jnp.ones(bx.shape, bool)
+    if method == 0:          # DIA
+        for _ in range(me_range):
+            bcost, bx, by, moved = _try_candidates_lanes(
+                cost_biased, bcost, bx, by, _DIA_PTS, R, gate=active)
+            active = active & moved
+    else:                    # HEX
+        for _ in range(max(me_range >> 1, 1)):
+            bcost, bx, by, moved = _try_candidates_lanes(
+                cost_biased, bcost, bx, by, _HEX_PTS, R, gate=active)
+            active = active & moved
+        bcost, bx, by, _ = _try_candidates_lanes(
+            cost_biased, bcost, bx, by, _SQUARE_PTS, R)
+    return bx, by, bcost
+
+
 def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
                        me_range: int, mv_range: int, subme: int = 1,
-                       method: int = 0):
+                       method: int = 0, surf_lanes=None):
     """DIA/HEX MV decision: the reference's cheap pattern searches
     (me.c:237-387), batched over the whole MB grid with a decoupled
     median-MVP estimate (two passes: a zero-MVP walk seeds a shifted
@@ -409,7 +486,13 @@ def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
     raster's neighbor propagation, reborn as one propagation step; the
     entropy stage recomputes the exact MVP from final MVs, so the
     bitstream stays exact). Subpel refinement is shared with the other
-    modes."""
+    modes.
+
+    Surface input: either cost_surf (mb_h, mb_w, n, n) — the classic
+    layout, from the quadrant surfaces — or surf_lanes (mb_h, n, n,
+    mb_w) with cost_surf=None — the Pallas surface16 kernel's native
+    layout (ops/pallas/me_sad.sad_cost_surface16_lanes), consumed
+    as-is so no 35 MB relayout ever happens."""
     R = me_range
     n = 2 * R + 1
     mvmin_x, mvmax_x, mvmin_y, mvmax_y = make_mv_ranges(mb_w, mb_h, mv_range)
@@ -418,29 +501,50 @@ def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
     hi_x = (mvmax_x >> 2) - 6
     lo_y = (mvmin_y >> 2) + 6
     hi_y = (mvmax_y >> 2) - 6
-    ok = ((offs[None, None, :] >= lo_x[:, None, None])
-          & (offs[None, None, :] <= hi_x[:, None, None]))
-    ok = ok[None, :, :, :] & \
-        ((offs[None, :, None] >= lo_y[:, None, None])
-         & (offs[None, :, None] <= hi_y[:, None, None]))[:, None, :, :]
-    cost_raw = jnp.where(ok, cost_surf, 1 << 28)
 
     lam_mb = jnp.broadcast_to(jnp.asarray(lam), (mb_h, mb_w))
 
-    def biased(mvp):
-        mvx_q = offs[None, None, None, :] * 4
-        mvy_q = offs[None, None, :, None] * 4
-        bias = _mv_cost(lam_mb[..., None, None], mvx_q, mvy_q,
-                        mvp[..., 0][..., None, None],
-                        mvp[..., 1][..., None, None])
-        return jnp.where(ok, cost_surf + bias, 1 << 28)
+    if surf_lanes is not None:
+        # [row, dy, dx, mbx]: x bounds vary over lanes, y over rows
+        ok = ((offs[None, None, :, None] >= lo_x[None, None, None, :])
+              & (offs[None, None, :, None] <= hi_x[None, None, None, :])
+              & (offs[None, :, None, None] >= lo_y[:, None, None, None])
+              & (offs[None, :, None, None] <= hi_y[:, None, None, None]))
+        cost_raw = jnp.where(ok, surf_lanes, 1 << 28)
+
+        def biased(mvp):
+            mvx_q = offs[None, None, :, None] * 4
+            mvy_q = offs[None, :, None, None] * 4
+            bias = _mv_cost(lam_mb[:, None, None, :], mvx_q, mvy_q,
+                            mvp[..., 0][:, None, None, :],
+                            mvp[..., 1][:, None, None, :])
+            return jnp.where(ok, surf_lanes + bias, 1 << 28)
+
+        walk = _pattern_walk_lanes
+    else:
+        ok = ((offs[None, None, :] >= lo_x[:, None, None])
+              & (offs[None, None, :] <= hi_x[:, None, None]))
+        ok = ok[None, :, :, :] & \
+            ((offs[None, :, None] >= lo_y[:, None, None])
+             & (offs[None, :, None] <= hi_y[:, None, None]))[:, None, :, :]
+        cost_raw = jnp.where(ok, cost_surf, 1 << 28)
+
+        def biased(mvp):
+            mvx_q = offs[None, None, None, :] * 4
+            mvy_q = offs[None, None, :, None] * 4
+            bias = _mv_cost(lam_mb[..., None, None], mvx_q, mvy_q,
+                            mvp[..., 0][..., None, None],
+                            mvp[..., 1][..., None, None])
+            return jnp.where(ok, cost_surf + bias, 1 << 28)
+
+        walk = _pattern_walk
 
     # pass 1: zero MVP with the zero-anchored rate bias (exactly what
     # the reference's first row/column sees)
     zero_mvp = jnp.zeros((mb_h, mb_w, 2), jnp.int32)
     cb0 = biased(zero_mvp)
-    bx0, by0, _ = _pattern_walk(cost_raw, cb0, zero_mvp, None,
-                                method, R, mb_w, mb_h)
+    bx0, by0, _ = walk(cost_raw, cb0, zero_mvp, None,
+                       method, R, mb_w, mb_h)
     mv0 = jnp.stack([bx0 * 4, by0 * 4], axis=-1)
     # pass 2: median-MVP estimate from the propagated field; the mvc
     # candidate list (x264_mb_predict_mv_ref16x16, mvpred.c:167 —
@@ -457,8 +561,8 @@ def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
               & (xs - dx >= 0) & (xs - dx < mb_w))
         return jnp.where(ok[..., None], m, 0)
     mvc = [fp0, shift_fp(0, 1), shift_fp(1, 0), shift_fp(1, -1)]
-    bx, by, bcost = _pattern_walk(cost_raw, biased(mvp), mvp_fp,
-                                  mvc, method, R, mb_w, mb_h)
+    bx, by, bcost = walk(cost_raw, biased(mvp), mvp_fp,
+                         mvc, method, R, mb_w, mb_h)
     # pass 3: one more propagation round — the serial raster's MVP
     # chain reaches arbitrarily far; two Jacobi rounds recover most of
     # it (round 3 closes the scan-order tail: measured on the parity
@@ -476,8 +580,8 @@ def decide_mvs_pattern(cost_surf, fenc_y, wins4, lam, mb_w: int, mb_h: int,
               & (xs - dx >= 0) & (xs - dx < mb_w))
         return jnp.where(ok[..., None], m, 0)
     mvc = [fp1, shift_fp1(0, 1), shift_fp1(1, 0), shift_fp1(1, -1)]
-    bx, by, bcost = _pattern_walk(cost_raw, biased(mvp), mvp_fp,
-                                  mvc, method, R, mb_w, mb_h)
+    bx, by, bcost = walk(cost_raw, biased(mvp), mvp_fp,
+                         mvc, method, R, mb_w, mb_h)
     mv_field = jnp.stack([bx * 4, by * 4], axis=-1)
     cost_field = bcost
     return _subpel_refine_batch(mv_field, cost_field, mvp, fenc_y, wins4,
@@ -1695,11 +1799,29 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
     Multi-ref: per-MB best reference by fullpel cost + λ·ref bits
     (analyse.c:787-862); partition shapes inherit the MB's reference
     (:869)."""
+    # surface16 fast path: when the walk is the only surface consumer
+    # (DIA/HEX, single ref, no partition analysis), the Pallas kernel
+    # sums the MB SAD in-kernel and never materializes the 4x bigger
+    # quadrant tensor (me.c:237-387's searches never look at quadrants
+    # either — the cheapness VERDICT r4 missing #1 asked for)
+    surf16_path = (n_ref == 1 and me_method in (0, 1) and not partitions
+                   and jax.default_backend() == "tpu")
+    surf_lanes = None
     if n_ref == 1:
         if ref4.ndim == 4:
             ref4, refu, refv = ref4[0], refu[0], refv[0]
-        cost8 = fullpel_cost_surfaces_8x8(fenc_y, ref4[0], mb_w, mb_h,
-                                          me_range)
+        if surf16_path:
+            from ..ops.pallas.me_sad import (make_ref_strips,
+                                             sad_cost_surface16_lanes)
+            strips = make_ref_strips(ref4[0], MC.PAD_MC, mb_w, mb_h,
+                                     me_range)
+            surf_lanes = sad_cost_surface16_lanes(
+                fenc_y.astype(jnp.int32), strips, mb_w=mb_w, mb_h=mb_h,
+                R=me_range)
+            cost8 = None
+        else:
+            cost8 = fullpel_cost_surfaces_8x8(fenc_y, ref4[0], mb_w,
+                                              mb_h, me_range)
         wins4 = MG.luma_windows(ref4, mb_w, mb_h)
         winsu = MG.chroma_windows(refu, mb_w, mb_h)
         winsv = MG.chroma_windows(refv, mb_w, mb_h)
@@ -1748,13 +1870,14 @@ def encode_p_frame(fenc_y, fenc_u, fenc_v, ref4, refu, refv,
         winsv = sum(w * ohb[r][:, None, None]
                     for r, w in enumerate(winsv_r))
         wins4_r0, winsu_r0, winsv_r0 = wins_r[0], winsu_r[0], winsv_r[0]
-    surf = cost8.sum(axis=(2, 3))
+    surf = None if cost8 is None else cost8.sum(axis=(2, 3))
     if me_method < 0:
         me_method = 2 if me_parallel else 3
     if me_method <= 1:
         mv_field = decide_mvs_pattern(surf, fenc_y, wins4, lam, mb_w,
                                       mb_h, me_range, mv_range,
-                                      subme=subme, method=me_method)
+                                      subme=subme, method=me_method,
+                                      surf_lanes=surf_lanes)
     elif me_method == 2:
         mv_field = decide_mvs_parallel(surf, fenc_y, wins4, lam, mb_w,
                                        mb_h, me_range, mv_range,

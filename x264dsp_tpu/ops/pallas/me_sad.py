@@ -100,6 +100,69 @@ def sad_cost_surfaces_8x8(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
     return out.transpose(0, 3, 2, 4, 1).reshape(mb_h, mb_w, 2, 2, n, n)
 
 
+def _kernel16(R: int, mb_w: int, f_ref, r_ref, o_ref):
+    """16x16-summed variant of _kernel: accumulates the whole-MB SAD in
+    one 16-row column sum + one (2n, W) @ (W, mb_w) hi/lo-byte dot per
+    dy. Used by the no-partitions DIA/HEX path, where the walk only ever
+    reads the 16x16 surface — writing the 4x bigger quadrant tensor to
+    HBM (and summing it back) was ~40% of the P step's surface cost."""
+    W = mb_w * 16
+    n = 2 * R + 1
+    f = f_ref[0]  # (16, W)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (W, mb_w), 0)
+    mbi = jax.lax.broadcasted_iota(jnp.int32, (W, mb_w), 1)
+    sel = ((col >> 4) == mbi).astype(jnp.bfloat16)
+
+    def body(dy, _):
+        rows = pltpu.roll(r_ref[0], (16 + 2 * R) - dy, axis=0)[:16]
+        sums = []
+        for dx in range(n):
+            win = rows[:, dx:dx + W]
+            ad = jnp.abs(f - win)            # (16, W) int32
+            sums.append(ad.sum(axis=0, keepdims=True))
+        # 16-row sums reach 16*255 = 4080 > 2^8: hi/lo-byte split keeps
+        # the bf16 dots exact (see _kernel)
+        stacked = jnp.concatenate(sums, axis=0)        # (n, W) int32
+        hilo = jnp.concatenate([stacked >> 8, stacked & 0xFF],
+                               axis=0).astype(jnp.bfloat16)
+        out = jnp.dot(hilo, sel, preferred_element_type=jnp.float32)
+        o_ref[0, dy] = (out[:n] * 256.0 + out[n:]).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "R",
+                                             "interpret"))
+def sad_cost_surface16_lanes(fenc_y, ref_strips, mb_w: int, mb_h: int,
+                             R: int, interpret: bool = False):
+    """Whole-MB 16x16 SAD surfaces in LANE layout: fenc_y (mb_h*16,
+    mb_w*16) int32; ref_strips (mb_h, 16+2R, mb_w*16+2R) int32. Returns
+    (mb_h, 2R+1, 2R+1, mb_w) int32 — [row, dy, dx, mbx]. Consumers that
+    want the classic (mb_h, mb_w, n, n) layout transpose (35 MB at
+    1080p); the pattern-walk path reads this layout directly."""
+    W = mb_w * 16
+    n = 2 * R + 1
+    kernel = functools.partial(_kernel16, R, mb_w)
+    return pl.pallas_call(
+        kernel,
+        grid=(mb_h,),
+        in_specs=[
+            pl.BlockSpec((1, 16, W), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16 + 2 * R, W + 2 * R),
+                         lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, n, mb_w),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mb_h, n, n, mb_w), jnp.int32),
+        interpret=interpret,
+    )(fenc_y.reshape(mb_h, 16, W), ref_strips)
+
+
 def sad_cost_surfaces(fenc_y, ref_strips, mb_w: int, mb_h: int, R: int,
                       interpret: bool = False):
     """16x16 SAD surfaces (sum of the quadrant surfaces). Returns
