@@ -326,20 +326,43 @@ def main():
         record is always attributable (VERDICT r3 weak #3)."""
         prof = {}
 
-        def sweep(name, fn, argsets):
-            # block on argsets first: async dispatch would charge any
-            # upstream stage calls embedded in them to this stage
-            jax.block_until_ready(argsets)
-            outs = fn(*argsets[0])
-            jax.block_until_ready(outs)
+        # block_until_ready does NOT reliably wait for device completion
+        # on this tunneled runtime (see tools/tputime.py): the only
+        # trustworthy sync is pulling one element of one output leaf.
+        # r4's profile numbers were sync'd by luck of dispatch depth;
+        # this sweep syncs explicitly and subtracts the RPC baseline.
+        def _pull1(out):
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(jax.device_get(leaf.ravel()[0]))
+
+        _triv = jax.jit(lambda x, i: x * i)
+        _xb = jnp.ones((8, 128))
+        _pull1(_triv(_xb, jnp.float32(0)))
+        _bts = []
+        for i in range(1, 6):
             t0 = time.perf_counter()
-            outs = [fn(*a) for a in argsets]
-            jax.block_until_ready(outs)
-            dt = (time.perf_counter() - t0) / len(argsets)
+            _pull1(_triv(_xb, jnp.float32(i)))
+            _bts.append(time.perf_counter() - t0)
+        base = float(np.median(_bts))
+        print(f"tunnel round-trip baseline: {base*1e3:.1f} ms",
+              file=sys.stderr)
+
+        def sweep(name, fn, argsets):
+            # sync every argset's producer chain first: async dispatch
+            # would charge upstream stage calls to this stage
+            for a in argsets:
+                _pull1(a)
+            _pull1(fn(*argsets[0]))            # compile + warm
+            ts = []
+            for a in argsets:
+                t0 = time.perf_counter()
+                _pull1(fn(*a))
+                ts.append(time.perf_counter() - t0)
+            dt = max(0.0, float(np.median(ts)) - base)
             prof[name] = round(dt * 1e3, 2)
             print(f"{name:34s} {dt*1e3:8.2f} ms/batch  "
                   f"({dt*1e3/S:6.2f} ms/frame)", file=sys.stderr)
-            return outs[0]
+            return fn(*argsets[0])
 
         ring = frame_ring(S)
         fsets = [ring[1 + k] for k in range(K)]

@@ -14,24 +14,26 @@ from pathlib import Path
 # "axon" TPU platform via a config hook that overrides JAX_PLATFORMS, so we
 # pin the platform through jax.config directly.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/x264tpu_jaxcache")
-# Cache EVERY compile: XLA's self-reported compile times land under a
-# 1.0s threshold even when wall time is multi-second, which silently
-# disabled the persistent cache for the whole suite.
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 
 import jax  # noqa: E402
 
 from x264dsp_tpu.utils.jaxcache import ensure_compile_cache  # noqa: E402
 
-# the site hook imports jax before this file runs, so the env vars above
-# are too late for jax's config — set it through the config API (rounds
-# 1-4 unknowingly ran every suite with a dead persistent cache)
-ensure_compile_cache()
-
 if os.environ.get("X264_TEST_ON_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+    # NO persistent compile cache on the CPU suite: XLA:CPU executable
+    # serialization segfaults sporadically while writing cache entries
+    # for the largest programs (jax compilation_cache.put_executable_and
+    # _time -> LoadedExecutable.serialize), which kills the xdist worker
+    # and fails whatever test was running (the r4 "slices flake" shape;
+    # r5 reproduced it in test_row_vbv with a faulthandler trace). The
+    # cpu_aot_loader feature-mismatch warnings on reads point the same
+    # way. Determinism beats compile reuse here; the TPU bench/dryrun
+    # paths keep the cache (remote compiles are the long pole there).
+    jax.config.update("jax_compilation_cache_dir", None)
+else:
+    ensure_compile_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
