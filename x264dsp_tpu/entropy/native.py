@@ -219,11 +219,18 @@ def nal_escape(payload: bytes) -> bytes | None:
 
 def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
                       frame_idx: int, is_p: bool, syn: dict, qp_mb=None,
-                      n_ref: int = 1, row_bits=None):
+                      n_ref: int = 1, row_bits=None, res_ops=None,
+                      res_off=None):
     """C++ CABAC slice body. header must be byte-aligned (the
     cabac_alignment_one_bit already written). Returns (payload, counts)
     with counts = [I_16x16, I_4x4, P_L0, P_SKIP], or None if the native
-    library is unavailable."""
+    library is unavailable.
+
+    res_ops/res_off: optional device-binarized residual op stream +
+    (mb_w*mb_h*27+1) per-block-slot offsets (entropy/cabac_device.py);
+    when given, the writer consumes pre-binarized residual bins instead
+    of re-binarizing on the host (byte-identical, ~arithmetic-only
+    host cost)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -264,5 +271,15 @@ def write_slice_cabac(header: bytes, mb_w: int, mb_h: int, qp: int,
     args.append(_qp_arg(keep, syn.get("ref") if is_p else None))
     args.append(ctypes.c_int(n_ref))
     args.append(_row_bits_arg(row_bits))
+    if res_ops is not None and res_off is not None:
+        ops_arr = np.ascontiguousarray(res_ops, np.int16)
+        off_arr = np.ascontiguousarray(res_off, np.int32)
+        assert off_arr.shape[0] == mb_w * mb_h * 27 + 1
+        keep += [ops_arr, off_arr]
+        args.append(ops_arr.ctypes.data_as(ctypes.c_void_p))
+        args.append(off_arr.ctypes.data_as(ctypes.c_void_p))
+    else:
+        args.append(ctypes.c_void_p(0))
+        args.append(ctypes.c_void_p(0))
     n = lib.x264tpu_write_slice_cabac(*args)
     return out[:n].tobytes(), counts

@@ -665,6 +665,20 @@ static void cabac_block_residual(Cabac &cb, int cat, const int16_t *levels,
     }
 }
 
+// Consume a device-binarized residual op stream (entropy/cabac_device.py):
+// ops are int16, 0..551 = decision(ctx = op >> 1, bin = op & 1),
+// 1024/1025 = bypass bit. The device front-half computes the exact bin
+// sequence of cabac_block_residual above, so this loop is byte-identical
+// by construction and leaves the host with only the arithmetic coder.
+static inline void cabac_consume_ops(Cabac &cb, const int16_t *ops,
+                                     int32_t o0, int32_t o1) {
+    for (int32_t j = o0; j < o1; j++) {
+        int v = ops[j];
+        if (v < 1024) cb.decision(v >> 1, v & 1);
+        else cb.bypass((v & 1) ? -1 : 0);
+    }
+}
+
 static int cabac_mvd_cpn(Cabac &cb, int axis, int mvd, int ctx) {
     int ctxbase = axis ? 47 : 40;
     static const int ctxes[8] = {3, 4, 5, 6, 6, 6, 6, 6};
@@ -722,10 +736,21 @@ int64_t x264tpu_write_slice_cabac(
     const int16_t *mv8 /* nullable: (mb, 2, 2, 2) quadrant MVs */,
     const int16_t *refidx /* nullable: per-MB ref idx */,
     int n_ref /* active L0 refs (1 when refidx null) */,
-    int64_t *row_bits_out /* nullable: cumulative bit pos per MB row */) {
+    int64_t *row_bits_out /* nullable: cumulative bit pos per MB row */,
+    const int16_t *res_ops /* nullable: device residual op stream */,
+    const int32_t *res_off /* nullable: (mb_w*mb_h*27+1) block offsets */) {
     (void)cap;
     memcpy(out, header, header_bytes);
     Cabac cb(!is_p, qp, frame_idx, out + header_bytes);
+    // device front-half: residual bins come pre-binarized per block slot
+    // (slot layout in entropy/cabac_device.py)
+    auto residual = [&](int blkid, int cat, const int16_t *levels, int n) {
+        if (res_ops && res_off)
+            cabac_consume_ops(cb, res_ops, res_off[blkid],
+                              res_off[blkid + 1]);
+        else
+            cabac_block_residual(cb, cat, levels, n);
+    };
     int last_qp = qp;   // running decoded QP (x264 h->mb.i_last_qp)
     int last_dqp = 0;   // slice start (encoder.c:1482)
     int prev_ext = 0;   // extended cbp of the previous MB in raster order
@@ -994,8 +1019,7 @@ int64_t x264tpu_write_slice_cabac(
                     int ctx = cbf_ctx_dc(0, mby, mbx, 8, b_intra);
                     cb.decision(ctx, nz_dc ? 1 : 0);
                     if (nz_dc)
-                        cabac_block_residual(cb, 0, luma_dc_levels + mb * 16,
-                                             16);
+                        residual(mb * 27, 0, luma_dc_levels + mb * 16, 16);
                     if (cl) {
                         for (int i = 0; i < 16; i++) {
                             int bx = mbx * 4 + BIX[i];
@@ -1004,9 +1028,9 @@ int64_t x264tpu_write_slice_cabac(
                             int c2 = cbf_ctx_ac(1, nnz, w4, by, bx, b_intra);
                             cb.decision(c2, nzf ? 1 : 0);
                             if (nzf)
-                                cabac_block_residual(
-                                    cb, 1, luma_levels + (mb * 16 + i) * 16
-                                           + 1, 15);
+                                residual(mb * 27 + 1 + i, 1,
+                                         luma_levels + (mb * 16 + i) * 16
+                                         + 1, 15);
                             nnz[by * w4 + bx] = nzf;
                         }
                     }
@@ -1019,8 +1043,8 @@ int64_t x264tpu_write_slice_cabac(
                         int c2 = cbf_ctx_ac(2, nnz, w4, by, bx, b_intra);
                         cb.decision(c2, nzf ? 1 : 0);
                         if (nzf)
-                            cabac_block_residual(
-                                cb, 2, luma_levels + (mb * 16 + i) * 16, 16);
+                            residual(mb * 27 + 1 + i, 2,
+                                     luma_levels + (mb * 16 + i) * 16, 16);
                         nnz[by * w4 + bx] = nzf;
                     }
                 }
@@ -1030,9 +1054,9 @@ int64_t x264tpu_write_slice_cabac(
                         int nzf = ch == 0 ? cnz0 : cnz1;
                         cb.decision(ctx, nzf ? 1 : 0);
                         if (nzf)
-                            cabac_block_residual(
-                                cb, 3, chroma_dc_levels + (mb * 2 + ch) * 4,
-                                4);
+                            residual(mb * 27 + 17 + ch, 3,
+                                     chroma_dc_levels + (mb * 2 + ch) * 4,
+                                     4);
                     }
                     if (cch == 2) {
                         for (int ch = 0; ch < 2; ch++)
@@ -1045,11 +1069,11 @@ int64_t x264tpu_write_slice_cabac(
                                                     b_intra);
                                 cb.decision(c2, nzf ? 1 : 0);
                                 if (nzf)
-                                    cabac_block_residual(
-                                        cb, 4,
-                                        chroma_ac_levels +
-                                            ((mb * 2 + ch) * 4 + i) * 16 + 1,
-                                        15);
+                                    residual(mb * 27 + 19 + ch * 4 + i, 4,
+                                             chroma_ac_levels +
+                                                 ((mb * 2 + ch) * 4 + i) * 16
+                                                 + 1,
+                                             15);
                                 cnnz[(ch * 2 * mb_h + by) * w2 + bx] = nzf;
                             }
                     }
