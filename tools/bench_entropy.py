@@ -95,6 +95,38 @@ def main():
     cabac_ms = (time.perf_counter() - t0) / n * 1e3
     print(f"CABAC P 1080p: {cabac_ms:7.2f} ms/frame  ({size} B)")
 
+    # device front-half: host consumes pre-binarized residual op streams
+    # (entropy/cabac_device.py); in deployment the op tensor rides the
+    # fused frame dispatch, so only the consume loop is host work
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from x264dsp_tpu.entropy import cabac_device as CDV
+    ops, off, ov = CDV.residual_ops_frame(
+        jnp.asarray(syn["luma_levels"].astype(np.int32)),
+        jnp.asarray(np.zeros((MB_H, MB_W, 16), np.int32)),
+        jnp.asarray(syn["chroma_dc_levels"].astype(np.int32)),
+        jnp.asarray(syn["chroma_ac_levels"].astype(np.int32)),
+        jnp.asarray(np.zeros((MB_H, MB_W), np.int32)), MB_H, MB_W,
+        1 << 22)
+    assert not bool(ov)
+    ops_np, off_np = np.asarray(ops), np.asarray(off)
+    ref = native.write_slice_cabac(header, MB_W, MB_H, qp, 1, True, syn)
+    got = native.write_slice_cabac(header, MB_W, MB_H, qp, 1, True, syn,
+                                   res_ops=ops_np, res_off=off_np)
+    assert got[0] == ref[0], "consume path not byte-identical"
+    t0 = time.perf_counter()
+    for i in range(n):
+        res = native.write_slice_cabac(header, MB_W, MB_H, qp, 1, True,
+                                       syn, res_ops=ops_np,
+                                       res_off=off_np)
+        size = len(res[0])
+    consume_ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"CABAC P 1080p (device front-half, host consume): "
+          f"{consume_ms:7.2f} ms/frame  ({size} B, "
+          f"{int(off_np[-1])} residual bins, "
+          f"{cabac_ms / consume_ms:.2f}x)")
+
 
 if __name__ == "__main__":
     main()
