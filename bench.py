@@ -427,9 +427,19 @@ def main():
 
     def run_pipeline(S, frames):
         """Warm + run the PUBLIC BatchEncoder at batch size S; returns
-        (aggregate fps, ms/batch). The encoder's internal one-slot
-        pipelining overlaps host entropy with device compute."""
+        (aggregate fps, ms/batch, worker_crashes). The encoder's
+        internal one-slot pipelining overlaps host entropy with device
+        compute.
+
+        This rig's tunneled TPU worker sporadically crashes/restarts
+        under sustained load (jax UNAVAILABLE: "TPU worker process
+        crashed or restarted" — seen across unrelated programs and
+        iterations). A crash loses the device-resident ring and refs;
+        the loop re-synthesizes, re-warms (compile caches survive) and
+        continues, excluding the recovery time from the fps clock but
+        recording the crash count in the artifact."""
         import x264dsp_tpu as xt
+        import jax
         p = xt.param_default()
         p.i_width, p.i_height = W, H
         p.b_cabac = 0
@@ -437,9 +447,12 @@ def main():
         p.rc.i_qp_constant = QP
         p.i_keyint_max = KEYINT
         p.i_scenecut_threshold = 0
-        enc = xt.BatchEncoder(p, S)
 
-        ring = frame_ring(S)
+        state = {}
+
+        def fresh():
+            state["enc"] = xt.BatchEncoder(p, S)
+            state["ring"] = frame_ring(S)
 
         def batch_frames(i):
             # frame phase: triangle wave 1,2,3,4,3,2,... — steady
@@ -447,26 +460,59 @@ def main():
             # device-resident ring was synthesized before the timed loop
             ph = i % 6
             t = 1 + ph if ph < 4 else 7 - ph
-            return ring[t]
+            return state["ring"][t]
 
+        fresh()
         # warm both compiles (I at slot 0, P at slot 1) + the pulls
-        enc.encode_batch(batch_frames(0))
-        enc.encode_batch(batch_frames(1))
-        enc.encode_batch(None)
+        state["enc"].encode_batch(batch_frames(0))
+        state["enc"].encode_batch(batch_frames(1))
+        state["enc"].encode_batch(None)
 
-        t0 = time.perf_counter()
         done = 0
         nbytes = 0
-        for i in range(frames):
-            out = enc.encode_batch(batch_frames(2 + i))
-            if out is not None:
-                done += S
-                nbytes += sum(len(n.payload) for nl in out for n in nl)
-        out = enc.encode_batch(None)
-        done += S
-        dt = time.perf_counter() - t0
-        enc.close()
-        return done / dt, dt / frames * 1e3
+        crashes = 0
+        timed = 0.0
+        i = 0
+        t0 = time.perf_counter()
+        while i < frames:
+            try:
+                out = state["enc"].encode_batch(batch_frames(2 + i))
+                if out is not None:
+                    done += S
+                    nbytes += sum(len(n.payload)
+                                  for nl in out for n in nl)
+                i += 1
+            except jax.errors.JaxRuntimeError as e:
+                timed += time.perf_counter() - t0
+                crashes += 1
+                print(f"bench: TPU worker fault at batch {i} "
+                      f"({str(e)[:90]}) — recovering", file=sys.stderr,
+                      flush=True)
+                if crashes > 3 or _remaining() < 180:
+                    break
+                try:
+                    state["enc"].close()
+                except Exception:
+                    pass
+                try:
+                    fresh()
+                    state["enc"].encode_batch(batch_frames(2 + i))
+                    state["enc"].encode_batch(None)
+                except Exception as e2:   # tunnel fully wedged
+                    print(f"bench: recovery failed ({str(e2)[:90]})",
+                          file=sys.stderr, flush=True)
+                    break
+                i += 1
+                t0 = time.perf_counter()
+        timed += time.perf_counter() - t0
+        try:
+            out = state["enc"].encode_batch(None)
+            done += S
+        except Exception:
+            pass
+        state["enc"].close()
+        n_timed = max(done // S, 1)
+        return done / timed, timed / n_timed * 1e3, crashes
 
     if os.environ.get("BENCH_STREAMS"):
         S = streams
@@ -477,7 +523,7 @@ def main():
         best = None
         for cand in (8, 16):
             try:
-                f, ms = run_pipeline(cand, 6)
+                f, ms, _ = run_pipeline(cand, 6)
             except Exception as e:  # HBM OOM at the larger batch
                 print(f"calibrate S={cand}: skipped "
                       f"({type(e).__name__}: {str(e)[:120]})",
@@ -491,10 +537,11 @@ def main():
     else:
         S = 8
 
-    fps, msb = run_pipeline(S, n_frames)
+    fps, msb, crashes = run_pipeline(S, n_frames)
     print(f"steady pipeline (public BatchEncoder): {fps:.2f} fps "
           f"aggregate ({S} streams, {msb:.1f} ms/batch, keyint "
-          f"{KEYINT})", file=sys.stderr, flush=True)
+          f"{KEYINT}, {crashes} worker faults)", file=sys.stderr,
+          flush=True)
     _HEADLINE.update({
         "metric": (f"{W}x{H} IPPP+keyint{KEYINT} baseline-profile "
                    f"fps/chip through the PUBLIC BatchEncoder API "
@@ -506,6 +553,7 @@ def main():
         "vs_baseline": round(fps / 300.0, 4),
         "streams": S,
         "ms_per_batch": round(msb, 1),
+        "tpu_worker_faults": crashes,
     })
 
     # per-stage breakdown embedded in the round artifact so the record

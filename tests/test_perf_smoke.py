@@ -53,14 +53,42 @@ def rig():
                 refvs=refvs)
 
 
-def sweep_ms(fn, argsets):
-    """Warm on argsets[0], then mean ms over the unique-input sweep."""
+def _pull1(out):
+    """True device sync: block_until_ready does not reliably wait on the
+    tunneled runtime (see tools/tputime.py / bench.py stage_profile) —
+    pull one element of one output leaf instead."""
     import jax
-    jax.block_until_ready(fn(*argsets[0]))
-    t0 = time.perf_counter()
-    outs = [fn(*a) for a in argsets]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / len(argsets) * 1e3
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
+def _rpc_baseline():
+    import jax
+    import jax.numpy as jnp
+    triv = jax.jit(lambda x, i: x * i)
+    xb = jnp.ones((8, 128))
+    _pull1(triv(xb, jnp.float32(0)))
+    ts = []
+    for i in range(1, 6):
+        t0 = time.perf_counter()
+        _pull1(triv(xb, jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def sweep_ms(fn, argsets):
+    """Warm on argsets[0], then median ms over the unique-input sweep,
+    each call synced by an output pull, minus the RPC round-trip."""
+    base = _rpc_baseline()
+    for a in argsets:
+        _pull1(a)
+    _pull1(fn(*argsets[0]))
+    ts = []
+    for a in argsets:
+        t0 = time.perf_counter()
+        _pull1(fn(*a))
+        ts.append(time.perf_counter() - t0)
+    return max(0.0, float(np.median(ts)) - base) * 1e3
 
 
 def test_me_sad_surfaces_budget(rig):

@@ -136,7 +136,8 @@ def _fused_frame_fn(is_p: bool, mb_h: int, mb_w: int, n_ref: int, cqm,
                     subme: int, use_satd: bool, i4x4: bool,
                     deblock_on: bool, dbl_a2: int, dbl_b2: int,
                     cqpo: int, cap_bytes: int, use_nr: bool,
-                    need_recon: bool, donate: bool, batched: bool = False):
+                    need_recon: bool, donate: bool, batched: bool = False,
+                    per_stream_qp: bool = False):
     """ONE jitted dispatch for a whole API-path frame: encode + deblock
     strengths + device CAVLC slice payload + in-loop deblock + hpel
     reference pyramid + on-device stats histograms. This is the
@@ -239,21 +240,57 @@ def _fused_frame_fn(is_p: bool, mb_h: int, mb_w: int, n_ref: int, cqm,
                 mb_w=mb_w, mb_h=mb_h, intra_mode=mode)
         else:
             dy, du, dv = syn["recon_y"], syn["recon_u"], syn["recon_v"]
-        planes = (MCo.make_ref_planes(dy), MCo.pad_chroma(du),
-                  MCo.pad_chroma(dv))
-        return dict(payload=payload, bits=bits, ov=ov, n_skip=n_skip,
-                    rows=rows, planes=planes, stats=stats,
-                    recon=(dy.astype(jnp.uint8), du.astype(jnp.uint8),
-                           dv.astype(jnp.uint8)))
+        out = dict(payload=payload, bits=bits, ov=ov, n_skip=n_skip,
+                   rows=rows, stats=stats,
+                   recon=(dy.astype(jnp.uint8), du.astype(jnp.uint8),
+                          dv.astype(jnp.uint8)))
+        if split_refs:
+            out["_dbl"] = (dy, du, dv)
+        else:
+            out["planes"] = (MCo.make_ref_planes(dy),
+                             MCo.pad_chroma(du), MCo.pad_chroma(dv))
+        return out
 
-    donate_args = (3, 4, 5) if (is_p and donate) else ()
+    def refs_fn(dy, du, dv):
+        return (MCo.make_ref_planes(dy), MCo.pad_chroma(du),
+                MCo.pad_chroma(dv))
+
+    # On the TPU backend the 4-stage fusion (encode + deblock + device
+    # CAVLC + hpel reference pyramid) compiles but FAULTS the TPU worker
+    # at execution (r5: reproduced 3x at 1080p; every 3-stage subset
+    # runs clean). Until the Mosaic/XLA interaction is isolated, the
+    # hpel pyramid runs as a second jit fed the deblocked planes —
+    # dispatch overhead only, the planes never visit the host. CPU
+    # (tests, dryrun_multichip) keeps the single fused program.
+    split_refs = jax.default_backend() not in ("cpu",)
+
+    # donating the old ref pyramid only pays in the fused program (the
+    # new planes are written in place); in split mode jit_f has no
+    # matching outputs and the donation would just warn
+    donate_args = (3, 4, 5) if (is_p and donate and not split_refs) else ()
     if batched:
         # stream-batched variant (BatchEncoder): frames/refs/QP grids
         # carry a leading stream axis; the slice QP, header bits and NR
-        # offsets are shared (lockstep GOP => identical headers)
+        # offsets are shared (lockstep GOP => identical headers). With
+        # per_stream_qp (BatchEncoder v2 CRF/ABR) the slice QP and the
+        # pre-packed header elements are per-stream too.
+        qax = 0 if per_stream_qp else None
         f = jax.vmap(f, in_axes=(0, 0, 0, 0, 0, 0, 0, 0,
-                                 None, None, None, None, None))
-    return jax.jit(f, donate_argnums=donate_args)
+                                 qax, qax, qax, None, None))
+        refs_fn = jax.vmap(refs_fn)
+    jit_f = jax.jit(f, donate_argnums=donate_args)
+    if not split_refs:
+        return jit_f
+    # no donation: the deblocked planes can't alias the padded/pyramid
+    # outputs (different shapes), donating would only warn
+    jit_refs = jax.jit(refs_fn)
+
+    def two_dispatch(*args):
+        out = jit_f(*args)
+        out = dict(out)
+        out["planes"] = jit_refs(*out.pop("_dbl"))
+        return out
+    return two_dispatch
 
 
 def pad_mod16(plane: np.ndarray, mb: int) -> np.ndarray:
