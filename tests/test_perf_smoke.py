@@ -2,9 +2,11 @@
 
 The reference tracked per-kernel cycle budgets in the .sa headers
 (pixel-a.sa:11-40 etc.); this is the TPU rebirth: assert ms budgets for
-the hot 1080p kernels so a 10x kernel regression fails CI instead of
-silently landing. Budgets are ~2.5x the measured v5e single-stream
-times (tools/profile_p2.py, round 3) to absorb rig noise.
+the hot 1080p kernels so a kernel regression fails CI instead of
+silently landing. Round 5 tightened the budgets to ~1.3-1.5x of the
+fresh per-frame numbers from the r5 S=8 stage profile (BENCH r5:
+P encode 38.7 ms/frame, deblock 6.2, hpel 1.2, device CAVLC 8.3) —
+single-stream runs lack batch amortization, hence the margin.
 
 Runs ONLY with X264_TEST_ON_TPU=1 on a real chip; the CPU suite skips
 it (CPU times are meaningless for these budgets).
@@ -102,7 +104,7 @@ def test_me_sad_surfaces_budget(rig):
     sad = jax.jit(lambda f, s: sad_cost_surfaces_8x8(
         f.astype(jnp.int32), s, mb_w=MB_W, mb_h=MB_H, R=R))
     ms = sweep_ms(sad, list(zip(rig["fys"], strips)))
-    assert ms < 6.0, f"sad_cost_surfaces_8x8 {ms:.2f} ms (budget 6)"
+    assert ms < 4.0, f"sad_cost_surfaces_8x8 {ms:.2f} ms (budget 4)"
 
 
 def test_deblock_skew_budget(rig):
@@ -117,7 +119,7 @@ def test_deblock_skew_budget(rig):
         v[None].astype(jnp.int32), bs[None], imb[None], feo[None],
         QP, QPC, 0, 0, mb_w=MB_W, mb_h=MB_H, intra_mode="none"))
     ms = sweep_ms(fn, list(zip(rig["fys"], rig["fus"], rig["fvs"])))
-    assert ms < 30.0, f"deblock skew {ms:.2f} ms (budget 30)"
+    assert ms < 12.0, f"deblock skew {ms:.2f} ms (budget 12)"
 
 
 def test_p_residual_budget(rig):
@@ -132,7 +134,7 @@ def test_p_residual_budget(rig):
     fn = jax.jit(lambda f, u, v: IF.encode_p_residual(
         f, u, v, wins4, winsu, winsv, mv8, QP, QPC, MB_W, MB_H, True))
     ms = sweep_ms(fn, list(zip(rig["fys"], rig["fus"], rig["fvs"])))
-    assert ms < 35.0, f"encode_p_residual {ms:.2f} ms (budget 35)"
+    assert ms < 25.0, f"encode_p_residual {ms:.2f} ms (budget 25)"
 
 
 def test_fused_p_step_budget(rig):
@@ -144,4 +146,4 @@ def test_fused_p_step_budget(rig):
     ms = sweep_ms(fn, [(rig["fys"][i], rig["fus"][i], rig["fvs"][i],
                         rig["ref4s"][i], rig["refus"][i], rig["refvs"][i])
                        for i in range(K)])
-    assert ms < 120.0, f"fused P step {ms:.2f} ms (budget 120)"
+    assert ms < 60.0, f"fused P step {ms:.2f} ms (budget 60)"
