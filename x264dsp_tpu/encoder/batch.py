@@ -47,26 +47,37 @@ class BatchEncoder:
     def __init__(self, param: P.Param, n_streams: int):
         self.param = p = P.validate_parameters(param)
         if p.b_cabac:
-            raise P.ValidationError("BatchEncoder v1 is CAVLC-only "
+            raise P.ValidationError("BatchEncoder is CAVLC-only "
                                     "(use Encoder for CABAC streams)")
-        if p.rc.i_rc_method != P.RC_CQP:
-            raise P.ValidationError("BatchEncoder v1 is CQP-only")
+        if p.rc.i_rc_method not in (P.RC_CQP, P.RC_CRF, P.RC_ABR):
+            raise P.ValidationError("unknown rc method")
         if p.rc.i_vbv_buffer_size:
-            raise P.ValidationError("BatchEncoder v1 has no VBV")
+            raise P.ValidationError("BatchEncoder has no VBV")
         if p.rc.i_aq_mode != P.AQ_NONE and p.rc.f_aq_strength > 0:
-            raise P.ValidationError("BatchEncoder v1 has no AQ")
+            raise P.ValidationError("BatchEncoder has no AQ")
         if max(1, p.i_slice_count) != 1 or p.i_slice_max_mbs \
                 or p.i_slice_max_size:
-            raise P.ValidationError("BatchEncoder v1 is single-slice")
+            raise P.ValidationError("BatchEncoder is single-slice")
         if p.i_frame_reference != 1:
-            raise P.ValidationError("BatchEncoder v1 uses 1 reference")
+            raise P.ValidationError("BatchEncoder uses 1 reference")
         if p.analyse.i_noise_reduction:
-            raise P.ValidationError("BatchEncoder v1 has no NR")
+            raise P.ValidationError("BatchEncoder has no NR")
         self.S = int(n_streams)
         self.sps = SPS.init(p, p.i_sps_id)
         self.pps = PPS.init(p, self.sps, p.i_sps_id)
         self.mb_w = self.sps.i_mb_width
         self.mb_h = self.sps.i_mb_height
+        # v2: per-stream rate control (CRF/ABR) — RC scalars are host
+        # floats, one RateControl per stream, frame SATD estimated by a
+        # batched lowres cost pass (the slicetype machinery, lockstep
+        # GOP so only the cost is needed). RC end-update runs one slot
+        # late (when the slot's payload is pulled) to preserve the
+        # device/host pipeline overlap — the same delayed-feedback shape
+        # as x264's frame threading (ratecontrol.c thread_frames).
+        self.per_stream_rc = p.rc.i_rc_method != P.RC_CQP
+        self.rcs = [RateControl(p, self.mb_w * self.mb_h)
+                    for _ in range(self.S if self.per_stream_rc else 0)]
+        self.prev_low4 = None
         self.rc = RateControl(p, self.mb_w * self.mb_h)
         self.use_satd = p.analyse.i_subpel_refine > 0
         self.i4x4_enabled = bool(p.analyse.intra & P.ANALYSE_I4x4)
@@ -99,7 +110,7 @@ class BatchEncoder:
     # ------------------------------------------------------------------
     _deblock_enabled = C.EncoderCore._deblock_enabled
 
-    def _fn(self, is_p: bool, qp: int):
+    def _fn(self, is_p: bool, qp: int, per_stream: bool = False):
         p = self.param
         deblock_on = self._deblock_enabled(qp)
         return C._fused_frame_fn(
@@ -115,7 +126,7 @@ class BatchEncoder:
             p.i_deblocking_filter_beta * 2,
             p.analyse.i_chroma_qp_offset, self._cap,
             False, False, os.environ.get("X264_DONATE", "1") == "1",
-            batched=True)
+            batched=True, per_stream_qp=per_stream)
 
     def _finish_pending(self):
         """Pull the previous slot's payload and frame its NALs."""
@@ -148,6 +159,11 @@ class BatchEncoder:
                                      body)))
             return nals
         out_nals = list(self._pool.map(one, range(self.S)))
+        if self.per_stream_rc:
+            # delayed RC feedback (one slot late, see __init__ comment)
+            for s, nl in enumerate(out_nals):
+                sbits = sum(len(n.payload) for n in nl) * 8
+                self.rcs[s].end(slice_type, sbits)
         # stats (on-device histogram vector, summed over streams)
         vec = np.asarray(out["stats"]).sum(axis=0)
         self.frames[slice_type] += self.S
@@ -202,35 +218,82 @@ class BatchEncoder:
         gop = self.i_frame % max(self.param.i_keyint_max, 1)
         is_idr = gop == 0
         slice_type = P.SLICE_TYPE_I if is_idr else P.SLICE_TYPE_P
-        qp = int(np.clip(self.rc.start(slice_type, 0),
-                         p.rc.i_qp_min, min(p.rc.i_qp_max,
-                                            P.QP_MAX_SPEC)))
+        from ..entropy import cavlc_device as CD
+        qmin = p.rc.i_qp_min
+        qmax = min(p.rc.i_qp_max, P.QP_MAX_SPEC)
         if is_idr:
             self.frame_num = 0
-        # the slice header is shared by all streams (lockstep GOP) and
-        # written by the SAME code path as the single-stream Encoder
-        # (duck-typed unbound call: x264_slice_header_write twin)
-        bw = BitWriter()
-        C.EncoderCore._write_slice_header_common(
-            self, bw, slice_type, qp,
-            self.idr_pic_id if is_idr else -1, n_ref=1, first_mb=0)
-        from ..entropy import cavlc_device as CD
-        hb, hn = bw.get_unaligned()
-        hv, hl = CD.header_elements(hb, hn, max_slots=32)
-        hv_j, hl_j = jnp.asarray(hv), jnp.asarray(hl)
-
-        fn = self._fn(slice_type == P.SLICE_TYPE_P, qp)
-        qp_mb = jnp.full((self.S, self.mb_h, self.mb_w), qp, jnp.int32)
-        lam = jnp.asarray(
-            np.broadcast_to(C.LAMBDA_TAB[qp].astype(np.int32),
-                            (self.S, self.mb_h, self.mb_w)))
+        if self.per_stream_rc:
+            # v2 CRF/ABR: per-stream frame SATD from one batched lowres
+            # cost pass (x264_rc_analyse_slice twin, slicetype.c:605),
+            # per-stream QP + slice header; GOP stays lockstep
+            import jax
+            from ..ops import mc as MC
+            from .slicetype import _summary_fn
+            low4_b = jax.vmap(MC.lowres_planes)(fy)
+            do_edges = bool(p.rc.b_mb_tree or p.rc.i_vbv_buffer_size
+                            or self.mb_w <= 2 or self.mb_h <= 2)
+            sf = _summary_fn(self.mb_w, self.mb_h, do_edges)
+            prev = (self.prev_low4 if (not is_idr
+                                       and self.prev_low4 is not None)
+                    else low4_b)
+            vec = np.asarray(jax.vmap(sf)(low4_b[:, 0], prev))
+            self.prev_low4 = low4_b
+            satd = vec[:, 0] if is_idr else vec[:, 1]
+            qps = np.array([
+                int(np.clip(rc.start(slice_type, int(satd[s])),
+                            qmin, qmax))
+                for s, rc in enumerate(self.rcs)], np.int32)
+            hvs, hls = [], []
+            for s in range(self.S):
+                bw = BitWriter()
+                C.EncoderCore._write_slice_header_common(
+                    self, bw, slice_type, int(qps[s]),
+                    self.idr_pic_id if is_idr else -1, n_ref=1,
+                    first_mb=0)
+                hb, hn = bw.get_unaligned()
+                hv, hl = CD.header_elements(hb, hn, max_slots=32)
+                hvs.append(hv)
+                hls.append(hl)
+            hv_j = jnp.asarray(np.stack(hvs))
+            hl_j = jnp.asarray(np.stack(hls))
+            qp_np = np.broadcast_to(qps[:, None, None],
+                                    (self.S, self.mb_h, self.mb_w))
+            qp_mb = jnp.asarray(np.ascontiguousarray(qp_np))
+            lam = jnp.asarray(np.ascontiguousarray(
+                C.LAMBDA_TAB[qp_np].astype(np.int32)))
+            qp_arg = jnp.asarray(qps)
+            # the deblock no-op threshold (alpha/beta tables are zero
+            # below qp+2*min(a0,b0) <= 15) is per-stream via eff QP; the
+            # program-level gate uses the max so low-QP streams no-op
+            fn = self._fn(slice_type == P.SLICE_TYPE_P, int(qps.max()),
+                          per_stream=True)
+        else:
+            qp = int(np.clip(self.rc.start(slice_type, 0), qmin, qmax))
+            # the slice header is shared by all streams (lockstep GOP)
+            # and written by the SAME code path as the single-stream
+            # Encoder (duck-typed unbound call)
+            bw = BitWriter()
+            C.EncoderCore._write_slice_header_common(
+                self, bw, slice_type, qp,
+                self.idr_pic_id if is_idr else -1, n_ref=1, first_mb=0)
+            hb, hn = bw.get_unaligned()
+            hv, hl = CD.header_elements(hb, hn, max_slots=32)
+            hv_j, hl_j = jnp.asarray(hv), jnp.asarray(hl)
+            qp_mb = jnp.full((self.S, self.mb_h, self.mb_w), qp,
+                             jnp.int32)
+            lam = jnp.asarray(
+                np.broadcast_to(C.LAMBDA_TAB[qp].astype(np.int32),
+                                (self.S, self.mb_h, self.mb_w)))
+            qp_arg = qp
+            fn = self._fn(slice_type == P.SLICE_TYPE_P, qp)
         zero = jnp.zeros((), jnp.int32)
         if slice_type == P.SLICE_TYPE_P:
             ref4, refu, refv = self.refs
         else:
             # unused by the I branch; (S,) so the vmapped fn can map it
             ref4 = refu = refv = jnp.zeros((self.S,), jnp.int32)
-        out = fn(fy, fu, fv, ref4, refu, refv, qp_mb, lam, qp,
+        out = fn(fy, fu, fv, ref4, refu, refv, qp_mb, lam, qp_arg,
                  hv_j, hl_j, zero, zero)
         for t in (out["bits"], out["ov"], out["stats"]):
             try:
