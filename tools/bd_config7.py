@@ -68,6 +68,17 @@ def main():
 
     bitrates = [int(b) for b in os.environ.get(
         "BD_BITRATES", "2500,4000,5500,7000").split(",")]
+    out_path = Path(os.environ.get("BD_OUT", "PARITY_BD7.json"))
+
+    def dump(partial: bool):
+        # incremental writes: a time-boxed run still records every
+        # completed point (VERDICT r4 weak #1 — artifacts must not be
+        # all-or-nothing on a budgeted rig)
+        rec = dict(out)
+        if partial:
+            rec["partial"] = True
+        out_path.write_text(json.dumps(rec, indent=2) + "\n")
+
     ours_pts, oracle_pts = [], []
     for r in bitrates:
         with tempfile.TemporaryDirectory() as td:
@@ -81,14 +92,14 @@ def main():
         oracle_pts.append((osize, opsnr))
         print(f"ask {r} kbps: ours {usize} B / {upsnr:.3f} dB, "
               f"oracle {osize} B / {opsnr:.3f} dB", flush=True)
-
-    out["bd_points"] = {
-        "bitrates_kbps": bitrates,
-        "ours": [{"bytes": int(b), "psnr_y": round(float(p), 3)}
-                 for b, p in ours_pts],
-        "oracle": [{"bytes": int(b), "psnr_y": round(float(p), 3)}
-                   for b, p in oracle_pts],
-    }
+        out["bd_points"] = {
+            "bitrates_kbps": bitrates[:len(ours_pts)],
+            "ours": [{"bytes": int(b), "psnr_y": round(float(p), 3)}
+                     for b, p in ours_pts],
+            "oracle": [{"bytes": int(b), "psnr_y": round(float(p), 3)}
+                       for b, p in oracle_pts],
+        }
+        dump(partial=True)
     if len(bitrates) >= 4:
         ub = np.array([p[0] for p in ours_pts], float)
         up = np.array([p[1] for p in ours_pts])
@@ -110,19 +121,20 @@ def main():
                                "rc.i_bitrate": int(round(ask))})
             print(f"matched ask {ask:.0f} kbps: ours {usize} B / "
                   f"{upsnr:.3f} dB (target {target} B)", flush=True)
+            out["matched_bitrate_4000"] = {
+                "ours": {"bytes": int(usize), "psnr_y": round(upsnr, 3),
+                         "ask_kbps": int(round(ask))},
+                "oracle": {"bytes": int(target),
+                           "psnr_y": round(o4[1], 3)},
+                "size_ratio": round(usize / target, 4),
+                "psnr_delta_db_at_matched_bits": round(upsnr - o4[1], 3),
+            }
+            dump(partial=True)
             if abs(usize / target - 1) <= 0.005:
                 break
             ask *= target / usize
-        out["matched_bitrate_4000"] = {
-            "ours": {"bytes": int(usize), "psnr_y": round(upsnr, 3),
-                     "ask_kbps": int(round(ask))},
-            "oracle": {"bytes": int(target), "psnr_y": round(o4[1], 3)},
-            "size_ratio": round(usize / target, 4),
-            "psnr_delta_db_at_matched_bits": round(upsnr - o4[1], 3),
-        }
 
-    Path(os.environ.get("BD_OUT", "PARITY_BD7.json")).write_text(
-        json.dumps(out, indent=2) + "\n")
+    dump(partial=False)
     print(json.dumps(out, indent=2))
 
 

@@ -445,6 +445,40 @@ class EncoderCore:
         self._syn_wire = None if env is None else env == "1"
         # optimistic reference update dispatched before host entropy
         self._pending_ref = None
+        # device-resident memo for per-frame constant uploads
+        # (SINGLESTREAM_r05.json: ~76 h2d RPCs/frame at ~24 ms each on
+        # the tunneled rig are the single-stream fps floor; the QP /
+        # chroma-QP / lambda MB grids and the slice-QP scalars are flat
+        # per frame under CQP/CRF-without-AQ, so their device buffers
+        # are reusable across frames and re-encode attempts)
+        self._dev_memo: dict = {}
+
+    def _dev_const(self, arr):
+        """Upload a small host array or scalar, memoized when it is
+        constant-valued. Values are QP-like (<= 52 distinct per shape);
+        the memo is cleared if it ever exceeds 512 entries. Non-flat
+        arrays (AQ maps, row-VBV ramps) upload fresh — correctness
+        never depends on a hit. The constructor is jnp.asarray either
+        way, so dtype/weak-type semantics match the uncached path."""
+        import jax.numpy as jnp
+        if isinstance(arr, (int, np.integer)):
+            key = ("pyint", int(arr))
+            hit = self._dev_memo.get(key)
+            if hit is None:
+                if len(self._dev_memo) > 512:
+                    self._dev_memo.clear()
+                hit = self._dev_memo[key] = jnp.asarray(int(arr))
+            return hit
+        a = np.asarray(arr)
+        if a.size and (a == a.flat[0]).all():
+            key = (a.shape, a.dtype.str, a.flat[0].item())
+            hit = self._dev_memo.get(key)
+            if hit is None:
+                if len(self._dev_memo) > 512:
+                    self._dev_memo.clear()
+                hit = self._dev_memo[key] = jnp.asarray(a)
+            return hit
+        return jnp.asarray(a)
 
     # ------------------------------------------------------------------
     def headers(self) -> list[NAL]:
@@ -909,10 +943,13 @@ class EncoderCore:
                 0, 51)].astype(np.int32)
             lam_cur = LAMBDA_TAB[qpb].astype(np.int32)
             mb_hb = y1 - y0
+            qpb_d = self._dev_const(qpb)
+            qpc_d = self._dev_const(qpc_cur)
+            lam_d = self._dev_const(lam_cur)
             if slice_type == P.SLICE_TYPE_I:
                 dev = intra_frame.encode_i_frame_best(
                     fy[y0 * 16:y1 * 16], fu[y0 * 8:y1 * 8],
-                    fv[y0 * 8:y1 * 8], qpb, qpc_cur, lam_cur,
+                    fv[y0 * 8:y1 * 8], qpb_d, qpc_d, lam_d,
                     mb_w=self.mb_w, mb_h=mb_hb,
                     use_satd=self.use_satd, i4x4_enabled=self.i4x4_enabled,
                     cqm=self.cqm)
@@ -937,8 +974,8 @@ class EncoderCore:
                     refv = jnp.stack([r[2] for r in cropped])
                 dev = inter_frame.encode_p_frame(
                     fy[y0 * 16:y1 * 16], fu[y0 * 8:y1 * 8],
-                    fv[y0 * 8:y1 * 8], ref4, refu, refv, qpb, qpc_cur,
-                    lam_cur,
+                    fv[y0 * 8:y1 * 8], ref4, refu, refv, qpb_d, qpc_d,
+                    lam_d,
                     mb_w=self.mb_w, mb_h=mb_hb,
                     me_range=p.analyse.i_me_range,
                     mv_range=p.analyse.i_mv_range,
@@ -1000,7 +1037,8 @@ class EncoderCore:
                     fn = _device_payload_fn(is_p, self.mb_h, self.mb_w,
                                             n_ref_active, cap)
                     hv, hl, hbits = dev_hdr
-                    out = fn(sub, jnp.asarray(qp_mb_cur), qp, hv, hl)
+                    out = fn(sub, self._dev_const(qp_mb_cur),
+                             self._dev_const(qp), hv, hl)
                     if is_p:
                         payload, bits, n_skip, ov, rows = out
                     else:
@@ -1374,13 +1412,13 @@ class EncoderCore:
             z = jnp.zeros((), jnp.int32)   # unused by the I branch
             ref4 = refu = refv = z
         hv, hl, hbits = dev_hdr
-        zero = jnp.zeros((), jnp.int32)
+        zero = self._dev_const(np.zeros((), np.int32))
 
         def attempt(qp_mb_cur):
             lam = LAMBDA_TAB[qp_mb_cur].astype(np.int32)
             out = fn(fy, fu, fv, ref4, refu, refv,
-                     jnp.asarray(qp_mb_cur), jnp.asarray(lam), qp,
-                     hv, hl, zero, zero)
+                     self._dev_const(qp_mb_cur), self._dev_const(lam),
+                     self._dev_const(qp), hv, hl, zero, zero)
             for t in (out["bits"], out["ov"], out["rows"],
                       out["stats"]):
                 try:
