@@ -62,6 +62,9 @@ def main():
                     help="CAVLC instead of the default CABAC")
     ap.add_argument("--cqp", action="store_true",
                     help="CQP 26 instead of the default CRF")
+    ap.add_argument("--nomemo", action="store_true",
+                    help="bypass the Encoder's device-constant memo "
+                         "(the pre-fix upload behavior, for A/B)")
     args = ap.parse_args()
 
     import jax
@@ -79,6 +82,11 @@ def main():
 
     rng = np.random.default_rng(7)
     enc = Encoder(p)
+    if args.nomemo:
+        import jax.numpy as jnp
+        enc._core._dev_const = lambda a: (
+            jnp.asarray(int(a)) if isinstance(a, (int, np.integer))
+            else jnp.asarray(np.asarray(a)))
     enc.headers()
 
     mb_w, mb_h = args.w // 16, args.h // 16
